@@ -1,0 +1,53 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query is forced to full materialization via a cheap count-style
+action (write to noop would also work; count keeps it deterministic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from obmp_psql_spark.registry import all_specs
+    from obmp_psql_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # headline set: the shuffle/join/window-heavy operators that
+    # dominate 100 TB cost; cheap filters ride along for coverage.
+    names = os.environ.get("BENCH_QUERIES")
+    selected = names.split(",") if names else sorted(specs)
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in selected:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Deduplication operators.
+
+BMP-domain use: last-write-wins state compression before upsert
+(reference: WriterRunnable.java:140-153 keyed values map; the
+intended DISTINCT ON semantics in UnicastPrefixQuery.java:29-34) and
+the base-attribute dedup cache (ConsumerRunnable.java:485-501).
+
+Training-data use: exact and near-duplicate document removal at
+100 TB. Everything here is pure DataFrame algebra — shuffles hash on
+the dedup key, map-side partial aggregation applies, and no Python
+UDF sits in the hot path (MinHash/SimHash are built from md5/xxhash64
+column expressions, evaluated JVM-side inside whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Keep exactly one row per key, the first under ``order_by``.
+
+    Equivalent of ``DISTINCT ON (keys) ... ORDER BY keys, order_by``
+    (UnicastPrefixQuery.java:29-34) and of the writer's within-batch
+    state compression (WriterRunnable.java:140-153).
+
+    Scale: one shuffle on ``keys``; with AQE skew-join/partition
+    coalescing this is the minimal plan. Prefer this over
+    ``dropDuplicates`` when "which row survives" matters.
+    """
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, on: list[str], keep_order: list[Column] | None = None) -> DataFrame:
+    """Exact dedup on column values. With ``keep_order`` the survivor
+    is deterministic; otherwise this is a plain ``dropDuplicates``
+    (hash aggregate, cheapest plan)."""
+    if keep_order is None:
+        return df.dropDuplicates(on)
+    return dedup_latest(df, keys=on, order_by=keep_order)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection for text corpora (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def shingle(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column as array<string>.
+
+    Uses sliding windows over the whitespace-token array — pure
+    column expressions (transform/slice), no UDF.
+    """
+    toks = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+    ncount = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), ncount - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    hash_i(s) = md5(i || ':' || s); the signature element is the
+    minimum digest per hash family. md5 keeps the oracle (DuckDB)
+    bit-compatible; on a pure-Spark deployment xxhash64 is ~4x
+    faster — swap via the ``hash_fn`` seam.
+    """
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: shingle -> minhash signature -> split into ``bands``
+    bands of ``num_hashes/bands`` rows -> band-hash -> self-join on
+    (band_index, band_hash) -> distinct candidate pairs (id_a < id_b).
+
+    Scale: the self-join is an equi-join on the band bucket, so it
+    hash-partitions instead of exploding into a cross product; bucket
+    skew (a viral duplicate cluster) is handled by AQE skew-join.
+    Returns columns (id_a, id_b).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingle(F.col(text_col), shingle_n), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.array_join(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), "|",
+                    )).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def simhash64(col: Column, bits: int = 48) -> Column:
+    """SimHash fingerprint (``bits`` wide, <=60 to stay in a signed
+    BIGINT for oracle compatibility) from whitespace tokens.
+
+    Token hash = first bits/4 hex chars of md5, i.e. a ``bits``-bit
+    integer; the fingerprint sets bit k when the sum over tokens of
+    (+1 if token-bit k else -1) is positive. Implemented with
+    aggregate/transform column expressions — JVM-side, no UDF.
+    """
+    hexchars = bits // 4
+    toks = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+    tok_hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, hexchars), 16, 10).cast("long"))
+    # per-bit vote counts via aggregate over the token-hash array
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda k: F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1,
+                                         F.lit(1)).otherwise(F.lit(-1)).cast("long")),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes,
+                   F.sequence(F.lit(0), F.lit(bits - 1)),
+                   lambda v, k: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), k))
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    Inverted-index join: explode distinct shingles, equi-join on the
+    shingle (optionally within ``block_col`` blocks), count shared
+    shingles per pair, then |A ∩ B| / (|A| + |B| - |A ∩ B|).
+
+    Scale: the explode→equi-join is the standard "join on token"
+    inverted index; frequent shingles are the skew risk — cap them
+    upstream (document-frequency filter) for web-scale corpora.
+    Returns (id_a, id_b, jaccard: double).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        F.array_distinct(shingle(F.col(text_col), shingle_n)).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    ex = base.select("__id", *(["__blk"] if block_col else []), "__n",
+                     F.explode("__sh").alias("__s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id"))
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                 F.col("a.__n").alias("na"), F.col("b.__n").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

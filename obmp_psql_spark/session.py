@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+same config block is what we would ship to a 1000-executor cluster,
+minus the master/memory lines which come from the cluster manager.
+
+Scale notes (100 TB design):
+- AQE on: runtime coalescing, skew-join splitting, dynamic join
+  strategy switch replace hand-tuned shuffle partition counts.
+- ``spark.sql.shuffle.partitions`` is only the AQE *initial* value;
+  on a real cluster set it to 2-3x total cores and let AQE coalesce.
+- Session timezone pinned UTC: the reference stores all timestamps
+  as UTC-naive (obmp-psql ``timestamp without time zone``, e.g.
+  /root/reference/database/1_base.sql:319) and the DuckDB oracle is
+  UTC-naive too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_APP = "obmp-psql-spark"
+
+
+def get_spark(app_name: str = _APP, extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark
+        # has no ns timestamps — read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the driver-generated parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame.
+    """
+    all_names = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    # The caller may hand us a session we didn't build (the driver
+    # does); events.ts is TIMESTAMP(NANOS) which Spark only reads
+    # with this runtime conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in names or all_names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # nanosAsLong surfaces ns-precision timestamp columns as
+        # LongType epoch-nanos; truncate to µs (matches DuckDB's
+        # TIMESTAMP_NS -> TIMESTAMP cast) and restore TimestampType.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        for f in df.schema.fields:
+            if f.name == "ts" and isinstance(f.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
