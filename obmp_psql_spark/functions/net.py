@@ -1,0 +1,157 @@
+"""IP / CIDR column-expression toolkit.
+
+The reference leans on Postgres ``inet`` operators — ``&&`` overlap,
+``>>=`` containment, ``host()``, ``family()`` (1_base.sql:66-81,
+2_aggregations.sql:260-265, 8_views.sql:11,76). Spark has no inet
+type, so prefixes are mapped to numeric (start, end) bounds once at
+ingest and every containment/overlap predicate becomes an integer
+range comparison — JVM-side, codegen-friendly, and usable for Parquet
+min/max data skipping on the bounds columns at 100 TB.
+
+IPv4 fits a single BIGINT. IPv6 is represented as two BIGINTs
+(hi/lo, network byte order); comparisons compare (hi, lo)
+lexicographically. Parsing v4 strings is pure column expressions;
+v6 string parsing (:: expansion) is a vectorized pandas UDF on the
+ingest path only — lookup tables are small, never the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# IPv4 (native column expressions)
+# ---------------------------------------------------------------------------
+
+def ipv4_to_long(ip: Column) -> Column:
+    """Dotted-quad string -> BIGINT. (ref F4: IpAddr.getIpBits,
+    src/test/java/org/openbmp/ConsumerRunnableAppTest.java:35-39)"""
+    o = F.split(ip, r"\.")
+    return (
+        o.getItem(0).cast("long") * 16777216
+        + o.getItem(1).cast("long") * 65536
+        + o.getItem(2).cast("long") * 256
+        + o.getItem(3).cast("long")
+    )
+
+
+def long_to_ipv4(n: Column) -> Column:
+    return F.concat_ws(
+        ".",
+        (n / 16777216).cast("long") % 256,
+        (n / 65536).cast("long") % 256,
+        (n / 256).cast("long") % 256,
+        n.cast("long") % 256,
+    )
+
+
+def host(prefix: Column) -> Column:
+    """Strip the mask: '10.1.0.0/16' -> '10.1.0.0' (ref F2:
+    8_views.sql:11,76 host())."""
+    return F.split(prefix, "/").getItem(0)
+
+
+def masklen(prefix: Column) -> Column:
+    return F.coalesce(F.split(prefix, "/").getItem(1).cast("int"), F.lit(32))
+
+
+def ip_family(ip: Column) -> Column:
+    """4 or 6 (ref F3: family(), 2_aggregations.sql:371-376)."""
+    return F.when(ip.contains(":"), F.lit(6)).otherwise(F.lit(4))
+
+
+def ipv4_prefix_bounds(prefix: Column) -> tuple[Column, Column]:
+    """CIDR string -> (start, end) BIGINT bounds. Containment
+    ``p >>= q`` becomes p.start <= q.start AND q.end <= p.end;
+    overlap ``&&`` becomes p.start <= q.end AND q.start <= p.end
+    (ref F4, J5/J6/J7)."""
+    base = ipv4_to_long(host(prefix))
+    m = masklen(prefix)
+    # 2^(32-m) via double pow: powers of two are exact doubles and
+    # shiftleft() only takes a literal bit count, not a column
+    block = F.pow(F.lit(2.0), 32 - m).cast("long")
+    start = base - (base % block)
+    return start, start + block - 1
+
+
+def asn_dot_to_long(asn: Column) -> Column:
+    """'64512.100' dot-notation ASN -> (hi<<16)+lo; plain integers
+    pass through (ref F12: gen_whois_route.py:136-141)."""
+    parts = F.split(asn, r"\.")
+    return F.when(
+        F.size(parts) == 2,
+        parts.getItem(0).cast("long") * 65536 + parts.getItem(1).cast("long"),
+    ).otherwise(asn.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# IPv6 (two-long representation; string parse = ingest-only pandas UDF)
+# ---------------------------------------------------------------------------
+
+_V6_SCHEMA = T.StructType([
+    T.StructField("hi", T.LongType()),
+    T.StructField("lo", T.LongType()),
+])
+
+
+@F.pandas_udf(_V6_SCHEMA)
+def ipv6_to_longs(ip):  # type: ignore[no-untyped-def]
+    """IPv6 string -> (hi, lo) signed longs (offset-free two's
+    complement; order-preserving when compared as unsigned — use
+    ``unsigned_cmp`` helpers below). Vectorized via Arrow."""
+    import ipaddress
+
+    import pandas as pd
+
+    his, los = [], []
+    for v in ip:
+        try:
+            n = int(ipaddress.IPv6Address(v))
+            hi = (n >> 64) & 0xFFFFFFFFFFFFFFFF
+            lo = n & 0xFFFFFFFFFFFFFFFF
+            # map to signed 64-bit
+            his.append(hi - (1 << 64) if hi >= (1 << 63) else hi)
+            los.append(lo - (1 << 64) if lo >= (1 << 63) else lo)
+        except Exception:
+            his.append(None)
+            los.append(None)
+    return pd.DataFrame({"hi": his, "lo": los})
+
+
+def u64_key(c: Column) -> Column:
+    """Map a signed long holding unsigned-64 bits to an
+    order-preserving signed key (flip the sign bit)."""
+    return c.bitwiseXOR(F.lit(-0x8000000000000000))
+
+
+def ipv6_le(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> Column:
+    """(a <= b) over the two-long unsigned-128 representation."""
+    ka, kb = u64_key(hi_a), u64_key(hi_b)
+    return (ka < kb) | ((ka == kb) & (u64_key(lo_a) <= u64_key(lo_b)))
+
+
+# ---------------------------------------------------------------------------
+# IP range -> CIDR list (geo CSV ingest; ref F13 geo-csv-to-psql.py:330-333)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def iprange_to_cidrs(start_ip, end_ip):  # type: ignore[no-untyped-def]
+    """Minimal covering CIDR set for [start_ip, end_ip] (v4), the
+    netaddr.iprange_to_cidrs algorithm. Ingest-only (geo CSV loads),
+    so a pandas UDF is acceptable; explode the result downstream."""
+    import ipaddress
+
+    import pandas as pd
+
+    out = []
+    for s, e in zip(start_ip, end_ip):
+        try:
+            rng = ipaddress.summarize_address_range(
+                ipaddress.IPv4Address(s), ipaddress.IPv4Address(e))
+            out.append([str(c) for c in rng])
+        except Exception:
+            out.append(None)
+    return pd.Series(out)
