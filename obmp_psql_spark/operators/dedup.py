@@ -58,11 +58,16 @@ def shingle(col: Column, n: int = 3) -> Column:
     column expressions (transform/slice), no UDF.
     """
     toks = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
-    ncount = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), ncount - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    ncount = F.size(toks) - (n - 1)
+    # sequence(0, -1) would generate a DESCENDING sequence, not an
+    # empty one — guard short documents explicitly
+    return F.when(
+        ncount > 0,
+        F.transform(
+            F.sequence(F.lit(0), ncount - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
@@ -73,10 +78,14 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     bit-compatible; on a pure-Spark deployment xxhash64 is ~4x
     faster — swap via the ``hash_fn`` seam.
     """
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ])
+    def family_min(i: int):
+        prefix = f"{i}:"
+        # NB: the lambda must stay single-argument — pyspark treats a
+        # two-arg lambda as (element, index) and would override i
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    return F.array(*[family_min(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -128,39 +137,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(col: Column, bits: int = 48) -> Column:
-    """SimHash fingerprint (``bits`` wide, <=60 to stay in a signed
-    BIGINT for oracle compatibility) from whitespace tokens.
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint per document (``bits`` wide, <= 48 so it
+    stays in a signed BIGINT for oracle compatibility).
 
-    Token hash = first bits/4 hex chars of md5, i.e. a ``bits``-bit
-    integer; the fingerprint sets bit k when the sum over tokens of
-    (+1 if token-bit k else -1) is positive. Implemented with
-    aggregate/transform column expressions — JVM-side, no UDF.
+    Token hash = first bits/4 hex chars of md5; the fingerprint sets
+    bit k when the sum over tokens of (+1 if token-bit-k else -1) is
+    positive. Implemented as explode -> single-pass groupBy with
+    ``bits`` conditional sums: one shuffle on the doc id, everything
+    JVM-side (map-side partial aggregation applies). Output:
+    (id_col, simhash: long).
     """
     hexchars = bits // 4
-    toks = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
-    tok_hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, hexchars), 16, 10).cast("long"))
-    # per-bit vote counts via aggregate over the token-hash array
-    votes = F.aggregate(
-        tok_hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
-                        lambda k: F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1,
-                                         F.lit(1)).otherwise(F.lit(-1)).cast("long")),
-            lambda a, v: a + v,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(votes,
-                   F.sequence(F.lit(0), F.lit(bits - 1)),
-                   lambda v, k: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), k))
-                                 .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    h = F.conv(F.substring(F.md5(F.col("__t")), 1, hexchars), 16, 10).cast("long")
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+         .alias(f"__v{k}")
+        for k in range(bits)
+    ])
+    fingerprint = None
+    for k in range(bits):
+        bit = F.when(F.col(f"__v{k}") > 0, F.lit(1 << k).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

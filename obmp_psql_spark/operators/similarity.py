@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``: brute-force exact top-k — the O(N·M) baseline;
+  fine for probe sets, the oracle for recall measurements.
+- ``lsh_topk``: random-hyperplane LSH — bucket vectors by sign
+  pattern, search only bucket collisions; the 100 TB path where the
+  full cross product is impossible. Hyperplanes are deterministic
+  (seeded from index), so results are reproducible.
+
+All arithmetic is built-in column expressions (zip_with/aggregate
+over array<double>), JVM-side; dot products never cross into Python.
+For very wide vectors a Pandas-UDF BLAS path can be swapped in, but
+the expression form keeps plans fusable and is plenty at 64-1024 dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame, items: DataFrame,
+    query_id: str = "vec_id", item_id: str = "vec_id",
+    query_vec: str = "embedding", item_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine per query vector (excludes self-match on
+    equal ids). Output: (query_id, neighbor_id, cos, rank).
+
+    Scale: broadcast the (small) query side; each executor scans its
+    item partitions once — no shuffle until the final per-query top-k,
+    which is a partial top-k then windowed trim."""
+    q = F.broadcast(queries.select(
+        F.col(query_id).alias("query_id"),
+        as_double(F.col(query_vec)).alias("__qv"),
+    ))
+    it = items.select(
+        F.col(item_id).alias("neighbor_id"),
+        as_double(F.col(item_vec)).alias("__iv"),
+    )
+    scored = (
+        q.crossJoin(it)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("__qv"), F.col("__iv")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, dims: int, n_planes: int = 8) -> Column:
+    """Sign-pattern LSH bucket id from deterministic pseudo-random
+    hyperplanes. Plane p component d = sin(p*dims + d) — fixed,
+    engine-independent, good-enough spread for bucketing."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(__import__("math").sin(p * dims + d)) for d in range(dims)])
+        s = dot(vec, plane)
+        bucket = bucket + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dims: int = 64, n_planes: int = 8, k: int = 5,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors among same-bucket vectors.
+    The bucket join is an equi-join (hash, skew-aware); recall rises
+    with fewer planes / multiple tables. Output: (query_id,
+    neighbor_id, cos, rank) for pairs sharing a bucket."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), dims, n_planes))
+    a = base.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv"),
+                    F.col("__bucket").alias("__b"))
+    b = base.select(F.col("__id").alias("neighbor_id"), F.col("__v").alias("__iv"),
+                    F.col("__bucket").alias("__b"))
+    scored = (
+        a.join(b, "__b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("__qv"), F.col("__iv")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str | None = None, threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, optionally blocked
+    (e.g. by label/shard) to bound the pair space. Output:
+    (id_a, id_b, cos)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

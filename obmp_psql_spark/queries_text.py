@@ -1,1 +1,487 @@
-"""Placeholder — populated in later milestones."""
+"""Training-data pipeline operators over documents/embeddings:
+dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH), text analysis
+(lang-ID, quality, token counts, fingerprint), multimodal binary
+plumbing. These are first-class engine components for 100 TB corpus
+work (no obmp-psql analog; see BASELINE.json north star).
+
+Repetitive oracle SQL (16 minhash mins, 32 simhash bit votes, LSH
+hyperplane constants) is generated programmatically so Spark and
+DuckDB share byte-identical constants.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import similarity
+from .operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .registry import register
+from .session import load_tables
+
+# ---------------------------------------------------------------------------
+# shared corpus augmentation: exact clones (+10000) and near-clones
+# (+20000, three extra tokens) so dedup queries have positives
+# ---------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' extra trailing tokens appended', source
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+# normalized lowercase text (Spark: normalize_ws + lower)
+_NORM = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select("doc_id", "text", "source")
+    clones = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text", "source")
+    near = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra trailing tokens appended")).alias("text"),
+                "source")
+    )
+    return base.unionByName(clones).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup by content fingerprint
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    fp AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5({_NORM.format(col='text')}), 1, 12)) AS BIGINT) AS fp64
+      FROM corpus
+    )
+    SELECT fp64,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM fp GROUP BY fp64
+    """,
+    survey_ref="training-data dedup: exact (hash groupBy)",
+    doc="48-bit md5 fingerprint, min-id survivor per group",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint64
+    c = _corpus(spark, sf_dir)
+    return (
+        c.withColumn("fp64", fingerprint64(F.col("text")))
+        .groupBy("fp64")
+        .agg(F.min("doc_id").cast("long").alias("survivor_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding candidate pairs
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES, _BANDS, _SHINGLE_N = 16, 4, 3
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_minhash_cols = ",\n             ".join(
+    f"min(md5('{i}:' || s)) AS h{i}" for i in range(_NUM_HASHES))
+_band_exprs = ",\n         ".join(
+    "md5(" + " || '|' || ".join(f"h{i}" for i in range(b * _ROWS_PER_BAND,
+                                                       (b + 1) * _ROWS_PER_BAND))
+    + f") AS b{b}" for b in range(_BANDS))
+_band_union = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, b{b} AS bucket FROM sigs" for b in range(_BANDS))
+
+_MINHASH_ORACLE = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SHINGLE_N - 1})) AS g(i)
+),
+mh AS (
+  SELECT doc_id, {_minhash_cols}
+  FROM sh GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_band_exprs} FROM mh
+),
+banded AS (
+{_band_union}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "q_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    survey_ref="training-data dedup: MinHash+LSH (shingle->minhash->band->bucket-join)",
+    doc="16-hash signature, 4 bands; candidate pairs via band-bucket equi-join",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
+    return minhash_lsh_pairs(c, "doc_id", "text",
+                             num_hashes=_NUM_HASHES, bands=_BANDS,
+                             shingle_n=_SHINGLE_N)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+_sim_votes = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+    for k in range(_SIM_BITS))
+_sim_fp = " + ".join(
+    f"CASE WHEN v{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END"
+    for k in range(_SIM_BITS))
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, {_SIM_BITS // 4})) AS BIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, {_sim_votes} FROM h GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_sim_fp} AS simhash FROM votes
+"""
+
+
+@register(
+    "q_simhash",
+    oracle=_SIMHASH_ORACLE,
+    survey_ref="training-data dedup: SimHash fingerprint",
+    doc="32-bit simhash: explode tokens, one groupBy with 32 bit votes",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return simhash_fingerprints(d, "doc_id", "text", bits=_SIM_BITS) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, source, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+),
+sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sized na ON na.doc_id = id_a
+JOIN sized nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+"""
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    survey_ref="training-data dedup: n-gram Jaccard via inverted-index join",
+    doc="3-gram shingle Jaccard >= 0.8 within source blocks",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
+    return ngram_jaccard_pairs(c, "doc_id", "text", shingle_n=_SHINGLE_N,
+                               threshold=0.8, block_col="source")
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
+    marks = ", ".join(f"'{m}'" for m in markers)
+    return (f"SELECT doc_id, '{lang}' AS lang, "
+            f"CAST(len(list_filter(string_split({_NORM.format(col='text')}, ' '), "
+            f"t -> t IN ({marks}))) AS BIGINT) AS score FROM documents")
+
+
+@register(
+    "q_lang_id",
+    oracle=None,  # set below after LANG_MARKERS import
+    survey_ref="training-data text analysis: language ID (stopword heuristic)",
+    doc="argmax marker-word score per language; 'und' when all zero",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import lang_id
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _set_lang_oracle() -> None:
+    from .functions.text import LANG_MARKERS
+    from .registry import _REGISTRY
+    scores = "\n  UNION ALL\n  ".join(
+        _lang_score_sql(lang, m) for lang, m in sorted(LANG_MARKERS.items()))
+    # Spark's array_max over struct(score, lang) breaks score ties by
+    # max lang name: mirror with ORDER BY score DESC, lang DESC.
+    _REGISTRY["q_lang_id"].oracle = f"""
+    WITH scores AS (
+      {scores}
+    ), best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scores
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM best WHERE rn = 1
+    """
+
+
+_set_lang_oracle()
+
+
+# ---------------------------------------------------------------------------
+# quality features + token counting
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "'the','a','an','of','and','or','is','are','to','in'"
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(string_split({_NORM.format(col='text')}, ' '),
+                                  t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN n_chars > 0
+                THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS stopword_ratio
+    FROM f
+    """,
+    survey_ref="training-data text analysis: quality scoring",
+    doc="length/punct/stopword features as native column exprs",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_features
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = quality_features(F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q_token_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    survey_ref="training-data text analysis: token counting (ws + BPE-ish regex)",
+    doc="whitespace and subword-proxy token counts",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count_bpe, token_count_ws
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force exact top-k
+# ---------------------------------------------------------------------------
+
+_COS_SQL = ("list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2])) "
+            "/ (sqrt(list_sum(list_transform({a}, x -> x*x))) "
+            "* sqrt(list_sum(list_transform({b}, x -> x*x))))")
+
+@register(
+    "q_ann_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q.emb', b='e.emb')} AS cos
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey_ref="training-data similarity search: brute-force cosine top-k",
+    doc="exact kNN baseline: broadcast queries, scan items once",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(q, e, k=5) \
+        .select("query_id", "neighbor_id", "cos", "rank")
+
+
+# ---------------------------------------------------------------------------
+# similarity search: LSH-bucketed variant (the scale path)
+# ---------------------------------------------------------------------------
+
+_DIMS, _PLANES = 64, 8
+_plane_lits = [
+    "[" + ", ".join(repr(math.sin(p * _DIMS + d)) for d in range(_DIMS)) + "]"
+    for p in range(_PLANES)
+]
+_bucket_sql = " + ".join(
+    f"CASE WHEN {_COS_SQL.format(a='emb', b=_plane_lits[p]).split('/')[0].strip()} > 0 "
+    f"THEN {1 << p} ELSE 0 END"
+    for p in range(_PLANES)
+)
+# note: bucket uses the raw dot product (numerator only), not cosine
+_dot_sql = "list_sum(list_transform(list_zip(emb, {plane}), x -> x[1]*x[2]))"
+_bucket_sql = " + ".join(
+    f"CASE WHEN {_dot_sql.format(plane=_plane_lits[p])} > 0 THEN {1 << p} ELSE 0 END"
+    for p in range(_PLANES)
+)
+
+@register(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, emb, {_bucket_sql} AS bucket FROM e
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='a.emb', b='b.emb')} AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey_ref="training-data similarity search: LSH-bucketed ANN",
+    doc="random-hyperplane sign buckets -> equi-join -> per-bucket top-k",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.lsh_topk(e, dims=_DIMS, n_planes=_PLANES, k=5) \
+        .select("query_id", "neighbor_id", "cos", "rank")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_embed_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, label, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 3 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a='a.emb', b='b.emb')} AS cos
+    FROM base a JOIN base b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.emb', b='b.emb')} >= 0.95
+    """,
+    survey_ref="training-data dedup: embedding-cosine near-dup",
+    doc="label-blocked pair scan, cosine >= 0.95 (clones injected)",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 3 == 0)
+         .withColumn("vec_id", F.col("vec_id") + 10000))
+    return similarity.embedding_neardup_pairs(
+        aug, block_col="label", threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary payload -> typed metadata via mapInPandas
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    m AS (SELECT doc_id, n, md5(text) AS digest FROM p)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           CAST(64 + (n % 640) AS INT) AS width,
+           CAST(64 + ((n * 7) % 480) AS INT) AS height,
+           digest AS content_md5
+    FROM m
+    """,
+    survey_ref="training-data multimodal: binary columns + mapInPandas decode plumbing",
+    doc="opaque binary -> typed metadata; decode kernel stubbed deterministically",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_image_meta
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payloads = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return extract_image_meta(payloads)
