@@ -1,0 +1,473 @@
+"""Batch-apply functions: one per BMP message type.
+
+Each function is pure DataFrame algebra — (state, batch) in, (new
+state, log appends) out — replicating the reference's ON CONFLICT
+CASE matrices, BEFORE/AFTER triggers, and side-effect statements:
+
+- unicast_prefix: UnicastPrefixQuery.java:24-51 (conditional merge),
+  9_triggers.sql:89-126 (change log with old values on withdraw)
+- base_attribute: BaseAttributeQuery.java:33 (ON CONFLICT DO NOTHING)
+- peer: PeerQuery.java:24-40 (merge SET list), :121-153 (RIB flush),
+  9_triggers.sql:43-85 (LocRib backfill, geo enrich, event log)
+- router: RouterQuery.java:28-39 (state-guarded merge), :93-139
+  (first-connection peer-down cascade), 9_triggers.sql:13-40 (geo)
+- collector: CollectorQuery.java:24-29, :60-87 (router cascade)
+- bmp_stat: BmpStatQuery.java:28-53 (plain append)
+
+The streaming layer calls these inside foreachBatch after per-batch
+dedup-latest (WriterRunnable.java:140-153 state compression); batch
+backfills call them directly. Every shuffle hashes on the merge key;
+the full-outer merge join is the single shuffle per table per batch
+(Delta MERGE produces the same plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions import net
+from .operators.dedup import dedup_latest
+from .operators.lpm import lpm_join
+from .schemas import IP_RIB_LOG, PEER_EVENT_LOG
+
+
+def _nullif_empty(c: Column) -> Column:
+    return F.when(F.length(c) > 0, c)
+
+
+def _split_longs(c: Column) -> Column:
+    """'65001 174 3356' -> array<long> (ref PsqlFunctions.java:65-91)."""
+    return F.when(
+        F.length(F.trim(c)) > 0,
+        F.transform(F.split(F.trim(c), r"\s+"), lambda x: x.cast("long")),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _split_strs(c: Column) -> Column:
+    """space-delimited -> array<string> (ref PsqlFunctions.java:154-205)."""
+    return F.when(
+        F.length(F.trim(c)) > 0, F.split(F.trim(c), r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _v4_bounds(prefix: Column, prefix_len: Column, is_ipv4: Column) -> tuple[Column, Column]:
+    """Numeric bounds for v4 prefixes (v6 gets NULL here; the v6
+    two-long variant applies the same way via net.ipv6_to_longs)."""
+    cidr = F.concat_ws("/", prefix, prefix_len.cast("string"))
+    start, end = net.ipv4_prefix_bounds(cidr)
+    return (F.when(is_ipv4, start), F.when(is_ipv4, end))
+
+
+# ---------------------------------------------------------------------------
+# unicast_prefix -> ip_rib (+ ip_rib_log)
+# ---------------------------------------------------------------------------
+
+def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
+    """Message rows -> ip_rib row shape, filtered and batch-compressed."""
+    withdrawn = F.col("is_withdrawn") | (F.lower(F.col("action")) == "del")
+    start, end = _v4_bounds(F.col("prefix"), F.col("prefix_len"), F.col("is_ipv4"))
+    rows = (
+        batch.filter(F.col("prefix_len") <= 128)  # P1
+        .select(
+            F.col("hash").alias("hash_id"),
+            F.col("peer_hash").alias("peer_hash_id"),
+            _nullif_empty(F.col("base_attr_hash")).alias("base_attr_hash_id"),
+            "is_ipv4",
+            F.col("origin_asn").alias("origin_as"),
+            "prefix", "prefix_len", "timestamp",
+            withdrawn.alias("is_withdrawn"),
+            "path_id", "labels", "is_pre_policy", "is_adj_rib_in",
+            start.alias("prefix_start"), end.alias("prefix_end"),
+        )
+    )
+    return dedup_latest(rows, ["peer_hash_id", "hash_id"],
+                        [F.col("timestamp").desc()])
+
+
+def apply_unicast_prefix(state: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (new ip_rib state, ip_rib_log appends).
+
+    Merge semantics (UnicastPrefixQuery.java:35-40): withdraw keeps
+    the previous base_attr_hash_id/origin_as; everything else takes
+    the batch value. first_added_timestamp is insert-only.
+
+    Log semantics (9_triggers.sql:121-126): AFTER UPDATE only (no
+    insert trigger), WHEN state flipped OR (advertise AND attr
+    changed, SQL null semantics); withdraw logs OLD attr/origin.
+    """
+    src = prepare_unicast_prefix(batch).alias("src")
+    tgt = state.alias("tgt")
+    j = src.join(
+        tgt,
+        (F.col("src.peer_hash_id") == F.col("tgt.peer_hash_id"))
+        & (F.col("src.hash_id") == F.col("tgt.hash_id")),
+        "full_outer",
+    )
+    has_src = F.col("src.hash_id").isNotNull()
+    has_tgt = F.col("tgt.hash_id").isNotNull()
+    matched = has_src & has_tgt
+
+    def pick(col: str) -> Column:
+        return F.when(has_src, F.col(f"src.{col}")).otherwise(F.col(f"tgt.{col}"))
+
+    keep_on_withdraw = lambda col: F.when(  # noqa: E731
+        matched & F.col("src.is_withdrawn"), F.col(f"tgt.{col}")
+    ).otherwise(pick(col))
+
+    new_state = j.select(
+        pick("hash_id").alias("hash_id"),
+        pick("peer_hash_id").alias("peer_hash_id"),
+        keep_on_withdraw("base_attr_hash_id").alias("base_attr_hash_id"),
+        pick("is_ipv4").alias("is_ipv4"),
+        keep_on_withdraw("origin_as").alias("origin_as"),
+        pick("prefix").alias("prefix"),
+        pick("prefix_len").alias("prefix_len"),
+        pick("timestamp").alias("timestamp"),
+        F.when(has_tgt, F.col("tgt.first_added_timestamp"))
+         .otherwise(F.col("src.timestamp")).alias("first_added_timestamp"),
+        pick("is_withdrawn").alias("is_withdrawn"),
+        pick("path_id").alias("path_id"),
+        pick("labels").alias("labels"),
+        pick("is_pre_policy").alias("is_pre_policy"),
+        pick("is_adj_rib_in").alias("is_adj_rib_in"),
+        pick("prefix_start").alias("prefix_start"),
+        pick("prefix_end").alias("prefix_end"),
+    )
+
+    changed = matched & (
+        (F.col("src.is_withdrawn") != F.col("tgt.is_withdrawn"))
+        | (
+            (~F.col("src.is_withdrawn"))
+            # plain != replicates Postgres NULL semantics: NULL attr
+            # on either side -> condition NULL -> no log row
+            & (F.col("src.base_attr_hash_id") != F.col("tgt.base_attr_hash_id"))
+        )
+    )
+    log = j.filter(changed).select(
+        F.col("src.is_withdrawn").alias("is_withdrawn"),
+        F.col("src.prefix").alias("prefix"),
+        F.col("src.prefix_len").alias("prefix_len"),
+        F.when(F.col("src.is_withdrawn"), F.col("tgt.base_attr_hash_id"))
+         .otherwise(F.col("src.base_attr_hash_id")).alias("base_attr_hash_id"),
+        F.col("src.peer_hash_id").alias("peer_hash_id"),
+        F.when(F.col("src.is_withdrawn"), F.col("tgt.origin_as"))
+         .otherwise(F.col("src.origin_as")).alias("origin_as"),
+        F.col("src.timestamp").alias("timestamp"),
+    )
+    return new_state, log
+
+
+# ---------------------------------------------------------------------------
+# base_attribute -> base_attrs (insert-if-absent)
+# ---------------------------------------------------------------------------
+
+def prepare_base_attribute(batch: DataFrame) -> DataFrame:
+    rows = batch.select(
+        F.col("hash").alias("hash_id"),
+        F.col("peer_hash").alias("peer_hash_id"),
+        "origin",
+        _split_longs(F.col("as_path")).alias("as_path"),
+        F.coalesce(F.col("as_path_len"),
+                   F.size(_split_longs(F.col("as_path")))).alias("as_path_count"),
+        F.col("origin_asn").alias("origin_as"),
+        "next_hop", "med", "local_pref", "is_atomic_agg", "aggregator",
+        _split_strs(F.col("community_list")).alias("community_list"),
+        _split_strs(F.col("ext_community_list")).alias("ext_community_list"),
+        _split_strs(F.col("large_community_list")).alias("large_community_list"),
+        _split_strs(F.col("cluster_list")).alias("cluster_list"),
+        _nullif_empty(F.col("originator_id")).alias("originator_id"),
+        "nexthop_is_ipv4", "timestamp",
+    )
+    # earliest message wins within a batch: mirrors the consumer-side
+    # processed_attr dedup cache (ConsumerRunnable.java:485-501)
+    return dedup_latest(rows, ["peer_hash_id", "hash_id"],
+                        [F.col("timestamp").asc()])
+
+
+def apply_base_attribute(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """ON CONFLICT DO NOTHING (BaseAttributeQuery.java:33): existing
+    attr rows win; idempotent under redelivery."""
+    fresh = prepare_base_attribute(batch).join(
+        state.select("peer_hash_id", "hash_id"),
+        ["peer_hash_id", "hash_id"], "left_anti")
+    return state.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# peer -> bgp_peers (+ peer_event_log, ip_rib flush)
+# ---------------------------------------------------------------------------
+
+_PEER_SET_COLS = (
+    "name", "state", "timestamp", "local_port", "local_hold_time",
+    "remote_port", "remote_hold_time", "sent_capabilities",
+    "recv_capabilities", "bmp_reason", "bgp_err_code", "bgp_err_subcode",
+    "error_text", "table_name",
+)
+
+
+def prepare_peer(batch: DataFrame, routers: DataFrame, geo_ip: DataFrame | None) -> DataFrame:
+    state_col = F.when(F.lower(F.col("action")).isin("first", "up"), "up") \
+                 .otherwise("down")
+    rows = batch.select(
+        F.col("hash").alias("hash_id"),
+        F.col("router_hash").alias("router_hash_id"),
+        "peer_rd", "is_ipv4",
+        F.col("peer_ip").alias("peer_addr"),
+        "name",
+        "peer_bgp_id",
+        F.col("peer_asn").alias("peer_as"),
+        state_col.alias("state"),
+        F.col("is_l3vpn").alias("is_l3vpn_peer"),
+        "timestamp", "is_pre_policy", "local_ip", "local_bgp_id", "local_port",
+        F.col("local_holddown").alias("local_hold_time"),
+        "local_asn",
+        F.col("peer_port").alias("remote_port"),
+        F.col("peer_holddown").alias("remote_hold_time"),
+        F.col("advertised_cap").alias("sent_capabilities"),
+        F.col("received_cap").alias("recv_capabilities"),
+        F.col("bmp_down_reason").alias("bmp_reason"),
+        F.col("bgp_error_code").alias("bgp_err_code"),
+        F.col("bgp_error_subcode").alias("bgp_err_subcode"),
+        F.col("bgp_error_text").alias("error_text"),
+        "is_loc_rib", "is_loc_rib_filtered", "table_name",
+    )
+    rows = dedup_latest(rows, ["hash_id"], [F.col("timestamp").desc()])
+
+    # t_bgp_peers backfill (9_triggers.sql:46-49): LocRib peers carry
+    # 0.0.0.0 — take name/bgp_id from the router dimension
+    r = F.broadcast(routers.select(
+        F.col("hash_id").alias("__rh"),
+        F.col("name").alias("__rname"),
+        F.col("ip_address").alias("__rip")))
+    needs_backfill = (F.col("peer_addr") == "0.0.0.0") & (F.col("peer_bgp_id") == "0.0.0.0")
+    rows = (
+        rows.join(r, rows["router_hash_id"] == F.col("__rh"), "left")
+        .withColumn("name", F.when(needs_backfill, F.col("__rname")).otherwise(F.col("name")))
+        .withColumn("peer_bgp_id", F.when(needs_backfill, F.col("__rip")).otherwise(F.col("peer_bgp_id")))
+        .drop("__rh", "__rname", "__rip")
+    )
+
+    # geo enrichment: geo_ip_start = find_geo_ip(peer_addr) (J5/G2)
+    if geo_ip is not None and geo_ip.head(1):
+        probes = rows.withColumn("__addr", net.ipv4_to_long(F.col("peer_addr")))
+        matched = lpm_join(
+            probes.filter(F.col("is_ipv4") & F.col("__addr").isNotNull()),
+            probe_key=["hash_id"], probe_addr="__addr",
+            prefixes=geo_ip.select("ip", "masklen", "prefix_start", "prefix_end"),
+            masklen_col="masklen", broadcast=True,
+        ).select("hash_id", F.col("ip").alias("geo_ip_start"))
+        rows = probes.join(matched, "hash_id", "left").drop("__addr")
+    else:
+        rows = rows.withColumn("geo_ip_start", F.lit(None).cast("string"))
+    return rows
+
+
+def apply_peer(
+    peers: DataFrame, ip_rib: DataFrame, routers: DataFrame,
+    batch: DataFrame, geo_ip: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (new bgp_peers, new ip_rib, peer_event_log appends)."""
+    src = prepare_peer(batch, routers, geo_ip).alias("src")
+    tgt = peers.alias("tgt")
+    j = src.join(tgt, F.col("src.hash_id") == F.col("tgt.hash_id"), "full_outer")
+    has_src = F.col("src.hash_id").isNotNull()
+    has_tgt = F.col("tgt.hash_id").isNotNull()
+    matched = has_src & has_tgt
+
+    cols = []
+    for f in peers.schema.fields:
+        c = f.name
+        if c in _PEER_SET_COLS:
+            expr = F.when(has_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))
+        else:
+            # insert-only columns (incl. geo_ip_start: not in the
+            # ON CONFLICT SET list, PeerQuery.java:33-39)
+            expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
+        cols.append(expr.alias(c))
+    new_peers = j.select(*cols)
+
+    # peer_event_log: one row per applied message (t_bgp_peers fires
+    # BEFORE INSERT and UPDATE); down events log err/reason fields,
+    # up events log geo (9_triggers.sql:52-71)
+    s = prepare_peer(batch, routers, geo_ip)
+    is_up = F.col("state") == "up"
+    log = s.select(
+        "state", F.col("hash_id").alias("peer_hash_id"),
+        "local_ip", "local_bgp_id", "local_port", "local_hold_time",
+        "local_asn", "remote_port", "remote_hold_time",
+        "sent_capabilities", "recv_capabilities",
+        F.when(is_up, F.col("geo_ip_start")).alias("geo_ip_start"),
+        F.when(~is_up, F.col("bmp_reason")).alias("bmp_reason"),
+        F.when(~is_up, F.col("bgp_err_code")).alias("bgp_err_code"),
+        F.when(~is_up, F.col("bgp_err_subcode")).alias("bgp_err_subcode"),
+        F.when(~is_up, F.col("error_text")).alias("error_text"),
+        "timestamp",
+    )
+
+    # RIB flush (PeerQuery.java:121-153): on any peer event, drop this
+    # peer's rib rows older than the event
+    flush = F.broadcast(s.select(F.col("hash_id").alias("__ph"),
+                                 F.col("timestamp").alias("__pts")))
+    new_rib = (
+        ip_rib.join(flush, ip_rib["peer_hash_id"] == F.col("__ph"), "left")
+        .filter(F.col("__ph").isNull() | (F.col("timestamp") >= F.col("__pts")))
+        .drop("__ph", "__pts")
+    )
+    return new_peers, new_rib, log
+
+
+# ---------------------------------------------------------------------------
+# router -> routers (+ bgp_peers down-cascade)
+# ---------------------------------------------------------------------------
+
+def apply_router(
+    routers: DataFrame, peers: DataFrame, batch: DataFrame,
+    geo_ip: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (new routers, new bgp_peers).
+
+    Connection counting (RouterQuery.java:93-139, in-memory map in
+    the reference) lives in the ``conn_count`` state column; the
+    peer-down cascade fires only on a router's FIRST connection."""
+    state_col = F.when(F.lower(F.col("action")) == "term", "down").otherwise("up")
+    is_conn = F.lower(F.col("action")).isin("first", "init")
+    rows = batch.select(
+        F.col("hash").alias("hash_id"),
+        "name", "ip_address", "timestamp",
+        state_col.alias("state"),
+        F.col("term_code").alias("term_reason_code"),
+        F.col("term_reason").alias("term_reason_text"),
+        "term_data", "init_data", "description",
+        F.col("collector_hash").alias("collector_hash_id"),
+        "bgp_id",
+        is_conn.alias("__is_conn"),
+    )
+    # batch-aggregate connection deltas per router, keep latest row
+    deltas = rows.groupBy("hash_id").agg(
+        F.sum(F.when(F.col("__is_conn"), 1).otherwise(-1)).alias("__delta"),
+        F.max(F.when(F.col("__is_conn"), F.col("timestamp"))).alias("__conn_ts"),
+    )
+    latest = dedup_latest(rows, ["hash_id"], [F.col("timestamp").desc()]) \
+        .drop("__is_conn").join(deltas, "hash_id")
+
+    # t_routers geo enrich (9_triggers.sql:13-40)
+    if geo_ip is not None and geo_ip.head(1):
+        probes = latest.withColumn("__addr", net.ipv4_to_long(F.col("ip_address")))
+        g = lpm_join(
+            probes.filter(F.col("__addr").isNotNull()),
+            probe_key=["hash_id"], probe_addr="__addr",
+            prefixes=geo_ip.select("ip", "masklen", "prefix_start", "prefix_end"),
+            masklen_col="masklen", broadcast=True,
+        ).select("hash_id", F.col("ip").alias("geo_ip_start"))
+        latest = probes.join(g, "hash_id", "left").drop("__addr")
+    else:
+        latest = latest.withColumn("geo_ip_start", F.lit(None).cast("string"))
+
+    src = latest.alias("src")
+    tgt = routers.alias("tgt")
+    j = src.join(tgt, F.col("src.hash_id") == F.col("tgt.hash_id"), "full_outer")
+    has_src = F.col("src.hash_id").isNotNull()
+    has_tgt = F.col("tgt.hash_id").isNotNull()
+    matched = has_src & has_tgt
+    up = F.col("src.state") == "up"
+
+    unconditional = ("timestamp", "state", "bgp_id", "term_reason_code",
+                     "term_reason_text", "collector_hash_id", "geo_ip_start")
+    keep_unless_up = ("name", "description", "init_data")
+    cols = []
+    for f in routers.schema.fields:
+        c = f.name
+        if c == "conn_count":
+            old = F.coalesce(F.col("tgt.conn_count"), F.lit(0))
+            expr = F.when(has_src, F.greatest(F.lit(0), old + F.col("src.__delta"))) \
+                    .otherwise(old)
+        elif c in unconditional:
+            expr = F.when(has_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))
+        elif c in keep_unless_up:
+            expr = F.when(matched & up, F.col(f"src.{c}")) \
+                    .when(matched, F.col(f"tgt.{c}")) \
+                    .when(has_src, F.col(f"src.{c}")) \
+                    .otherwise(F.col(f"tgt.{c}"))
+        else:
+            expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
+        cols.append(expr.alias(c))
+    new_routers = j.select(*cols)
+
+    # peer-down cascade: first connection only (old conn_count <= 0)
+    cascade = j.filter(
+        has_src & F.col("src.__conn_ts").isNotNull()
+        & (F.coalesce(F.col("tgt.conn_count"), F.lit(0)) <= 0)
+    ).select(F.col("src.hash_id").alias("__rh"), F.col("src.__conn_ts").alias("__rts"))
+    new_peers = (
+        peers.join(F.broadcast(cascade), peers["router_hash_id"] == F.col("__rh"), "left")
+        .withColumn(
+            "state",
+            F.when(F.col("__rh").isNotNull() & (F.col("timestamp") < F.col("__rts")),
+                   F.lit("down")).otherwise(F.col("state")))
+        .drop("__rh", "__rts")
+    )
+    return new_routers, new_peers
+
+
+# ---------------------------------------------------------------------------
+# collector -> collectors (+ routers down-cascade)
+# ---------------------------------------------------------------------------
+
+def apply_collector(
+    collectors: DataFrame, routers: DataFrame, batch: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    state_col = F.when(F.lower(F.col("action")) == "stopped", "down").otherwise("up")
+    rows = batch.select(
+        F.col("hash").alias("hash_id"),
+        state_col.alias("state"),
+        "admin_id",
+        F.col("router_list").alias("routers"),
+        "router_count", "timestamp",
+        F.lower(F.col("action")).isin("started", "stopped").alias("__cascade"),
+    )
+    latest = dedup_latest(rows, ["hash_id"], [F.col("timestamp").desc()])
+
+    src = latest.drop("__cascade").alias("src")
+    tgt = collectors.alias("tgt")
+    j = src.join(tgt, F.col("src.hash_id") == F.col("tgt.hash_id"), "full_outer")
+    has_src = F.col("src.hash_id").isNotNull()
+    has_tgt = F.col("tgt.hash_id").isNotNull()
+    set_cols = ("state", "timestamp", "routers", "router_count")
+    cols = []
+    for f in collectors.schema.fields:
+        c = f.name
+        if c in set_cols:
+            expr = F.when(has_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))
+        else:
+            expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
+        cols.append(expr.alias(c))
+    new_collectors = j.select(*cols)
+
+    # started/stopped -> all of this collector's routers marked down
+    # (CollectorQuery.java:76-79, no timestamp guard)
+    cas = F.broadcast(rows.filter(F.col("__cascade"))
+                      .select(F.col("hash_id").alias("__ch")).distinct())
+    new_routers = (
+        routers.join(cas, routers["collector_hash_id"] == F.col("__ch"), "left")
+        .withColumn("state", F.when(F.col("__ch").isNotNull(), "down")
+                    .otherwise(F.col("state")))
+        .drop("__ch")
+    )
+    return new_collectors, new_routers
+
+
+# ---------------------------------------------------------------------------
+# bmp_stat -> stat_reports (append-only)
+# ---------------------------------------------------------------------------
+
+def prepare_bmp_stat(batch: DataFrame) -> DataFrame:
+    return batch.select(
+        F.col("peer_hash").alias("peer_hash_id"),
+        "timestamp",
+        F.col("rejected").alias("prefixes_rejected"),
+        F.col("known_dup_updates").alias("known_dup_prefixes"),
+        "known_dup_withdraws", "invalid_cluster_list", "invalid_as_path",
+        "invalid_originator", "invalid_as_confed", "routes_adj_rib_in",
+        "routes_loc_rib",
+    )

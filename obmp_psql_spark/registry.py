@@ -48,10 +48,11 @@ def register(name: str, oracle: str | None, survey_ref: str = "", doc: str = "")
 
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect modules that register queries
+    from . import queries_bmp  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_net  # noqa: F401
-    from . import queries_text  # noqa: F401
     from . import queries_stream  # noqa: F401
+    from . import queries_text  # noqa: F401
     return dict(_REGISTRY)
 
 
