@@ -290,6 +290,96 @@ def v_ls_prefixes(ls_prefixes: DataFrame, ls_nodes: DataFrame) -> DataFrame:
     )
 
 
+def v_l3vpn_routes(l3vpn_rib: DataFrame, peers: DataFrame,
+                   base_attrs: DataFrame, routers: DataFrame) -> DataFrame:
+    """10_l3vpn.sql:81-101 — the J1 shape plus rd/ext-communities
+    carried on the rib row rather than the attr row."""
+    r = l3vpn_rib.alias("r")
+    p = peers.alias("p")
+    attr = base_attrs.alias("attr")
+    rtr = routers.alias("rtr")
+    return (
+        r.join(F.broadcast(p), F.col("r.peer_hash_id") == F.col("p.hash_id"))
+        .join(attr, (F.col("attr.hash_id") == F.col("r.base_attr_hash_id"))
+              & (F.col("attr.peer_hash_id") == F.col("r.peer_hash_id")))
+        .join(F.broadcast(rtr), F.col("p.router_hash_id") == F.col("rtr.hash_id"))
+        .select(
+            _name_or_host(F.col("rtr.name"), F.col("rtr.ip_address")).alias("router_name"),
+            _name_or_host(F.col("p.name"), F.col("p.peer_addr")).alias("peer_name"),
+            F.col("r.rd").alias("rd"),
+            F.col("r.prefix").alias("prefix"),
+            F.col("r.prefix_len").alias("prefix_len"),
+            F.col("attr.origin").alias("origin"),
+            F.col("r.origin_as").alias("origin_as"),
+            F.col("attr.med").alias("med"),
+            F.col("attr.local_pref").alias("local_pref"),
+            F.col("attr.next_hop").alias("nh"),
+            F.col("attr.as_path").alias("as_path"),
+            F.col("attr.as_path_count").alias("as_path_count"),
+            F.col("attr.community_list").alias("communities"),
+            F.col("r.ext_community_list").alias("ext_communities"),
+            F.col("attr.large_community_list").alias("large_communities"),
+            F.col("attr.cluster_list").alias("cluster_list"),
+            F.col("attr.aggregator").alias("aggregator"),
+            F.col("p.peer_addr").alias("peer_address"),
+            F.col("p.peer_as").alias("peer_asn"),
+            F.col("r.is_ipv4").alias("is_ipv4"),
+            F.col("p.is_ipv4").alias("is_peer_ipv4"),
+            F.col("p.is_l3vpn_peer").alias("is_peer_vpn"),
+            F.col("r.timestamp").alias("last_modified"),
+            F.col("r.first_added_timestamp").alias("first_added_timestamp"),
+            F.col("r.path_id").alias("path_id"),
+            F.col("r.labels").alias("labels"),
+            F.col("r.hash_id").alias("rib_hash_id"),
+            F.col("r.base_attr_hash_id").alias("base_hash_id"),
+            F.col("r.peer_hash_id").alias("peer_hash_id"),
+            F.col("rtr.hash_id").alias("router_hash_id"),
+            F.col("r.is_withdrawn").alias("is_withdrawn"),
+            F.col("r.is_pre_policy").alias("is_pre_policy"),
+            F.col("r.is_adj_rib_in").alias("is_adj_rib_in"),
+        )
+    )
+
+
+def v_l3vpn_routes_history(l3vpn_rib_log: DataFrame, peers: DataFrame,
+                           base_attrs: DataFrame, routers: DataFrame) -> DataFrame:
+    """10_l3vpn.sql:103-122."""
+    r = l3vpn_rib_log.alias("r")
+    p = peers.alias("p")
+    attr = base_attrs.alias("attr")
+    rtr = routers.alias("rtr")
+    return (
+        r.join(F.broadcast(p), F.col("r.peer_hash_id") == F.col("p.hash_id"))
+        .join(attr, (F.col("attr.hash_id") == F.col("r.base_attr_hash_id"))
+              & (F.col("attr.peer_hash_id") == F.col("r.peer_hash_id")))
+        .join(F.broadcast(rtr), F.col("p.router_hash_id") == F.col("rtr.hash_id"))
+        .select(
+            _name_or_host(F.col("rtr.name"), F.col("rtr.ip_address")).alias("router_name"),
+            _name_or_host(F.col("p.name"), F.col("p.peer_addr")).alias("peer_name"),
+            F.col("r.rd").alias("rd"),
+            F.col("r.prefix").alias("prefix"),
+            F.col("r.prefix_len").alias("prefix_len"),
+            F.col("attr.origin").alias("origin"),
+            F.col("r.origin_as").alias("origin_as"),
+            F.col("attr.med").alias("med"),
+            F.col("attr.local_pref").alias("local_pref"),
+            F.col("attr.next_hop").alias("nh"),
+            F.col("attr.as_path").alias("as_path"),
+            F.col("attr.as_path_count").alias("as_path_count"),
+            F.col("attr.community_list").alias("communities"),
+            F.col("r.ext_community_list").alias("ext_communities"),
+            F.col("p.peer_addr").alias("peer_address"),
+            F.col("p.peer_as").alias("peer_asn"),
+            F.col("r.timestamp").alias("last_modified"),
+            F.when(F.col("r.is_withdrawn"), "Withdrawn")
+             .otherwise("Advertised").alias("event"),
+            F.col("r.base_attr_hash_id").alias("base_hash_id"),
+            F.col("r.peer_hash_id").alias("peer_hash_id"),
+            F.col("rtr.hash_id").alias("router_hash_id"),
+        )
+    )
+
+
 def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
     """Publish the view layer over a dict of state DataFrames (keys =
     reference table names)."""
@@ -311,3 +401,9 @@ def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
             .createOrReplaceTempView("v_ls_links")
         v_ls_prefixes(t["ls_prefixes"], t["ls_nodes"]) \
             .createOrReplaceTempView("v_ls_prefixes")
+    if "l3vpn_rib" in t:
+        v_l3vpn_routes(t["l3vpn_rib"], t["bgp_peers"], t["base_attrs"],
+                       t["routers"]).createOrReplaceTempView("v_l3vpn_routes")
+        v_l3vpn_routes_history(
+            t["l3vpn_rib_log"], t["bgp_peers"], t["base_attrs"],
+            t["routers"]).createOrReplaceTempView("v_l3vpn_routes_history")

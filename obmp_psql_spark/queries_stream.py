@@ -1,1 +1,60 @@
-"""Placeholder — populated in later milestones."""
+"""Structured Streaming demonstrations for the driver gate.
+
+q_stream_window runs a REAL streaming query (file source ->
+tumbling-window aggregation -> memory sink, availableNow trigger)
+to completion and returns the materialized result; the oracle is the
+equivalent batch SQL. This is T9 (tumbling windows) on the actual
+streaming engine, not a batch stand-in.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+_EVENTS_RAW = ("event_id bigint, ts bigint, user_id bigint, "
+               "event_type string, value double, props string")
+
+
+@register(
+    "q_stream_window",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2
+    """,
+    survey_ref="T9/A1 via Structured Streaming (2_aggregations.sql:91-130; S1 shape)",
+    doc="real streaming query: file source -> 5-min tumbling windows -> memory sink",
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    # the file source needs a directory; select just events.parquet
+    # from the shared sf dir via a glob filter
+    src = (spark.readStream.schema(_EVENTS_RAW)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+              .cast("double").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -80,7 +80,7 @@ MSG_L3VPN = T.StructType(
 )
 
 MSG_LS_NODE = _s(
-    ("action", STR), ("hash", STR), ("peer_hash", STR), ("base_attr_hash", STR),
+    ("hash", STR), ("peer_hash", STR), ("base_attr_hash", STR),
     ("sequence", LNG), ("peer_asn", LNG), ("ls_id", LNG),
     ("igp_router_id", STR), ("ospf_area_id", STR), ("protocol", STR),
     ("router_id", STR), ("isis_area_id", STR), ("flags", STR), ("name", STR),
@@ -89,7 +89,7 @@ MSG_LS_NODE = _s(
 )
 
 MSG_LS_LINK = _s(
-    ("action", STR), ("hash", STR), ("peer_hash", STR), ("base_attr_hash", STR),
+    ("hash", STR), ("peer_hash", STR), ("base_attr_hash", STR),
     ("sequence", LNG), ("mt_id", INT), ("interface_ip", STR),
     ("neighbor_ip", STR), ("protocol", STR), ("local_link_id", LNG),
     ("remote_link_id", LNG), ("local_node_hash", STR), ("remote_node_hash", STR),
@@ -104,7 +104,7 @@ MSG_LS_LINK = _s(
 )
 
 MSG_LS_PREFIX = _s(
-    ("action", STR), ("hash", STR), ("peer_hash", STR), ("base_attr_hash", STR),
+    ("hash", STR), ("peer_hash", STR), ("base_attr_hash", STR),
     ("sequence", LNG), ("local_node_hash", STR), ("mt_id", INT),
     ("protocol", STR), ("prefix", STR), ("prefix_len", SHORT),
     ("ospf_route_type", STR), ("igp_flags", STR), ("route_tag", LNG),
@@ -287,6 +287,10 @@ L3VPN_RIB_LOG = T.StructType(
     + [T.StructField("rd", STR)]
 )
 
+LS_NODES_LOG = LS_NODES
+LS_LINKS_LOG = LS_LINKS
+LS_PREFIXES_LOG = LS_PREFIXES
+
 TABLE_SCHEMAS: dict[str, T.StructType] = {
     "collectors": COLLECTORS,
     "routers": ROUTERS,
@@ -304,6 +308,9 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "ls_nodes": LS_NODES,
     "ls_links": LS_LINKS,
     "ls_prefixes": LS_PREFIXES,
+    "ls_nodes_log": LS_NODES_LOG,
+    "ls_links_log": LS_LINKS_LOG,
+    "ls_prefixes_log": LS_PREFIXES_LOG,
     "l3vpn_rib": L3VPN_RIB,
     "l3vpn_rib_log": L3VPN_RIB_LOG,
 }

@@ -1,0 +1,64 @@
+"""TSV message parsing (S2): raw Kafka payload -> typed message rows.
+
+The reference parses headers + positional TSV via fixed column lists
+with cell processors (ConsumerRunnable.java:379-556;
+processor/ParseNullAsEmpty.java, ParseLongEmptyAsZero.java,
+ParseTimestamp.java). Here the payload splits on tab and each field
+casts by position against the message StructType, with the same
+coercions: empty string -> NULL for strings? No — the reference maps
+null -> "" for strings and "" -> 0 for numerics; booleans arrive as
+0/1 or true/false; timestamps as 'yyyy-MM-dd HH:mm:ss[.SSSSSS]'.
+All column expressions — codegen-friendly, no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import MESSAGE_SCHEMAS
+
+
+def _coerce(raw: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, T.StringType):
+        return F.coalesce(raw, F.lit(""))  # ParseNullAsEmpty
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        empty_as_zero = F.when(F.length(F.trim(raw)) == 0, F.lit("0")) \
+                         .otherwise(raw)  # ParseLongEmptyAsZero
+        return empty_as_zero.cast(dtype)
+    if isinstance(dtype, T.BooleanType):
+        return (
+            F.when(F.lower(raw).isin("1", "true", "t"), F.lit(True))
+            .when(F.lower(raw).isin("0", "false", "f", ""), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    if isinstance(dtype, T.TimestampType):
+        return F.to_timestamp(raw)  # ParseTimestamp (UTC session)
+    return raw.cast(dtype)
+
+
+def parse_tsv(raw: DataFrame, msg_type: str, value_col: str = "value") -> DataFrame:
+    """Split tab-separated payload rows into the typed message schema
+    by position. ``raw`` is e.g. the Kafka value (bytes/string)."""
+    schema = MESSAGE_SCHEMAS[msg_type]
+    fields = F.split(F.col(value_col).cast("string"), "\t")
+    return raw.select(*[
+        _coerce(fields.getItem(i), f.dataType).alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ])
+
+
+def to_tsv(df: DataFrame, msg_type: str) -> DataFrame:
+    """Inverse (for tests/fixtures): typed rows -> one tab-joined
+    string column ``value``."""
+    schema = MESSAGE_SCHEMAS[msg_type]
+    cols = []
+    for f_ in schema.fields:
+        c = F.col(f_.name)
+        if isinstance(f_.dataType, T.TimestampType):
+            c = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif isinstance(f_.dataType, T.BooleanType):
+            c = F.when(c, "1").otherwise("0")
+        cols.append(F.coalesce(c.cast("string"), F.lit("")))
+    return df.select(F.concat_ws("\t", *cols).alias("value"))

@@ -1,0 +1,142 @@
+"""Source connectors: TSV message parse round-trip, geo CSV with
+range->CIDR expansion, RPKI JSON, IRR RPSL paragraphs, whois block
+parse, LS/L3VPN views over ingested state."""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from obmp_psql_spark.sources import lookups
+from obmp_psql_spark.sources.tsv import parse_tsv, to_tsv
+
+from .test_bmp_ingest import empty, msgs, ts, upx
+
+
+def test_tsv_roundtrip_unicast_prefix(spark):
+    orig = msgs(spark, "unicast_prefix", [
+        upx("add", "r1", "p1", "attrA", ts(0)),
+        upx("del", "r2", "p1", "", ts(1), labels="100 200"),
+    ])
+    raw = to_tsv(orig, "unicast_prefix")
+    assert raw.columns == ["value"]
+    parsed = parse_tsv(raw, "unicast_prefix")
+    a = sorted(orig.collect(), key=lambda r: r.hash)
+    b = sorted(parsed.collect(), key=lambda r: r.hash)
+    assert a == b
+
+
+def test_tsv_null_and_empty_coercions(spark):
+    raw = spark.createDataFrame(
+        [("add\th1\tp1\t\t1\t\t10.0.0.0\t24\t0\t\t\t1\t1\t2024-01-01 10:00:00.000000",)],
+        "value string")
+    row = parse_tsv(raw, "unicast_prefix").collect()[0]
+    assert row.base_attr_hash == ""        # ParseNullAsEmpty
+    assert row.origin_asn == 0             # ParseLongEmptyAsZero
+    assert row.is_ipv4 is True and row.is_withdrawn is False
+    assert row.timestamp == ts(0)
+
+
+def test_geo_csv_range_to_cidr(spark, tmp_path):
+    csv = tmp_path / "dbip.csv"
+    csv.write_text(
+        '1.0.0.0,1.0.0.255,OC,AU,Queensland,Brisbane,-27.4,153.0,Australia/Brisbane\n'
+        '1.0.1.0,1.0.2.255,AS,CN,Fujian,Fuzhou,26.0,119.3,Asia/Shanghai\n')
+    geo = lookups.load_geo_dbip_csv(spark, str(csv))
+    rows = {r.ip: r for r in geo.collect()}
+    # 1.0.0.0-1.0.0.255 == exactly /24; 1.0.1.0-1.0.2.255 == /24 + /24... no:
+    # 1.0.1.0/24 covers .1.0-.1.255; 1.0.2.0/24 covers .2.0-.2.255
+    assert "1.0.0.0/24" in rows and rows["1.0.0.0/24"].country == "AU"
+    assert "1.0.1.0/24" in rows and "1.0.2.0/24" in rows
+    assert rows["1.0.0.0/24"].prefix_start == 16777216
+    assert rows["1.0.0.0/24"].prefix_end == 16777471
+    # defaults (1_base.sql:62-64) union in with catch-all bounds
+    defaults = lookups.default_geo_rows(spark).collect()
+    v4 = [r for r in defaults if r.family == 4][0]
+    assert v4.prefix_start == 0 and v4.prefix_end == 4294967295
+
+
+def test_rpki_json(spark, tmp_path):
+    j = tmp_path / "export.json"
+    j.write_text(
+        '{"roas": [{"prefix": "10.0.0.0/8", "maxLength": 24, "asn": "AS65001"},'
+        '{"prefix": "192.0.2.0/24", "maxLength": 24, "asn": "AS65002"}]}')
+    roas = lookups.load_rpki_roas_json(spark, str(j), now=ts(0))
+    rows = {r.prefix: r for r in roas.collect()}
+    assert rows["10.0.0.0/8"].origin_as == 65001
+    assert rows["10.0.0.0/8"].prefix_len == 8
+    assert rows["10.0.0.0/8"].prefix_len_max == 24
+    assert rows["192.0.2.0/24"].prefix_start == 3221225984
+
+
+def test_irr_rpsl_paragraphs(spark, tmp_path):
+    f = tmp_path / "radb.db"
+    f.write_text(textwrap.dedent("""\
+        route: 10.1.0.0/16
+        descr: test network
+        origin: AS65001
+        source: RADB
+
+        route: 10.2.0.0/16
+        origin: AS3.1
+        source: RADB
+
+        % comment-only paragraph
+        mntner: SOMEONE
+        """))
+    out = lookups.load_irr_rpsl(spark, str(f), now=ts(0))
+    rows = {r.prefix: r for r in out.collect()}
+    assert set(rows) == {"10.1.0.0", "10.2.0.0"}
+    assert rows["10.1.0.0"].prefix_len == 16
+    assert rows["10.1.0.0"].origin_as == 65001
+    assert rows["10.2.0.0"].origin_as == 3 * 65536 + 1  # dot-notation F12
+    assert rows["10.1.0.0"].descr == "test network"
+
+
+def test_whois_parse_and_private_asn():
+    block = "ASName: EXAMPLE-AS\nOrgName: Example Org\nCountry: US\nSource: ARIN\n"
+    d = lookups.parse_whois_asn_block(block)
+    assert d["as_name"] == "EXAMPLE-AS" and d["org_name"] == "Example Org"
+    assert lookups.is_private_asn(23456) and lookups.is_private_asn(64500)
+    assert not lookups.is_private_asn(174)
+
+
+def test_l3vpn_views(spark):
+    from obmp_psql_spark.ingest import apply_base_attribute, apply_peer, apply_router
+    from obmp_psql_spark.ingest_ls import apply_l3vpn
+    from obmp_psql_spark.plans.views import register_views
+
+    vpn = dict(upx("add", "v1", "p1", "a1", ts(3)), rd="65001:100",
+               ext_community_list="rt:65001:100")
+    state, log = apply_l3vpn(empty(spark, "l3vpn_rib"),
+                             msgs(spark, "l3vpn", [vpn]))
+    routers, _ = apply_router(
+        empty(spark, "routers"), empty(spark, "bgp_peers"),
+        msgs(spark, "router", [dict(
+            action="init", hash="rt1", name="r", ip_address="198.51.100.1",
+            description="", term_code=0, term_reason="", term_data="",
+            init_data="", bgp_id="", collector_hash="c1", timestamp=ts(0))]))
+    from .test_bmp_ingest import peer_msg
+    peers, _, _ = apply_peer(empty(spark, "bgp_peers"), empty(spark, "ip_rib"),
+                             routers, msgs(spark, "peer",
+                                           [peer_msg("up", "p1", "rt1", ts(1))]))
+    attrs = apply_base_attribute(empty(spark, "base_attrs"), msgs(
+        spark, "base_attribute", [dict(
+            hash="a1", peer_hash="p1", origin="igp", as_path="65001",
+            as_path_len=1, origin_asn=65001, next_hop="10.0.0.1", med=0,
+            local_pref=100, is_atomic_agg=False, aggregator="",
+            community_list="", ext_community_list="", large_community_list="",
+            cluster_list="", originator_id="", nexthop_is_ipv4=True,
+            timestamp=ts(0))]))
+    register_views(spark, {
+        "ip_rib": empty(spark, "ip_rib"), "bgp_peers": peers,
+        "base_attrs": attrs, "routers": routers,
+        "ip_rib_log": empty(spark, "ip_rib_log"),
+        "info_asn": empty(spark, "info_asn"),
+        "l3vpn_rib": state, "l3vpn_rib_log": log,
+    })
+    r = spark.sql("SELECT rd, prefix, ext_communities FROM v_l3vpn_routes").collect()
+    assert len(r) == 1 and r[0].rd == "65001:100"
+    assert r[0].ext_communities == "rt:65001:100"
+    assert spark.sql("SELECT * FROM v_l3vpn_routes_history").count() == 0
