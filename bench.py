@@ -40,13 +40,21 @@ def main() -> None:
     total = round(time.perf_counter() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
+    # ip_rib; q_bmp_rib_merge pushes one synthesized message per
+    # events-row through the real two-batch merge pipeline
+    if "q_bmp_rib_merge" in timings and timings["q_bmp_rib_merge"] > 0:
+        n_msgs = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        out["ingest_rate_msgs_per_sec"] = round(
+            n_msgs / timings["q_bmp_rib_merge"])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -188,15 +188,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard pairs (inverted-index join)
 # ---------------------------------------------------------------------------
 
+_MAX_DF = 50
+
 _JACCARD_ORACLE = f"""
 WITH {_CORPUS_SQL},
 toks AS (
   SELECT doc_id, source, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS s
   FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
 ),
+keep AS (
+  SELECT source, s FROM sh0 GROUP BY source, s HAVING count(*) <= {_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (source, s)),
 sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
@@ -216,12 +222,13 @@ WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
     "q_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
     survey_ref="training-data dedup: n-gram Jaccard via inverted-index join",
-    doc="3-gram shingle Jaccard >= 0.8 within source blocks",
+    doc="3-gram shingle Jaccard >= 0.8 within source blocks, stop-shingle df<=50",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
     return ngram_jaccard_pairs(c, "doc_id", "text", shingle_n=_SHINGLE_N,
-                               threshold=0.8, block_col="source")
+                               threshold=0.8, block_col="source",
+                               max_doc_freq=_MAX_DF)
 
 
 # ---------------------------------------------------------------------------
