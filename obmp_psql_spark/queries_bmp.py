@@ -150,3 +150,39 @@ def q_bmp_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, log = _run_pipeline(spark, sf_dir)
     return log.select("is_withdrawn", "prefix", "base_attr_hash_id",
                       "peer_hash_id", "origin_as", "timestamp")
+
+
+# ---------------------------------------------------------------------------
+# A1 through the engine: rollup.chg_stats_bypeer over the pipeline's
+# own CDC log, oracled by the reference SQL shape re-derived in DuckDB
+# ---------------------------------------------------------------------------
+
+_CHG_ORACLE = f"""
+WITH log_rows AS ({_LOG_ORACLE})
+SELECT make_timestamp(CAST(floor(epoch(timestamp)/60)*60 AS BIGINT)*1000000) AS interval_time,
+       peer_hash_id,
+       CAST(count(CASE WHEN is_withdrawn THEN 1 END) AS BIGINT) AS withdraws,
+       CAST(count(CASE WHEN NOT is_withdrawn THEN 1 END) AS BIGINT) AS updates
+FROM log_rows
+WHERE timestamp >= TIMESTAMP '2020-01-01 00:00:00'
+  AND timestamp < TIMESTAMP '2030-01-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_bmp_chg_stats",
+    oracle=_CHG_ORACLE,
+    survey_ref="A1 end-to-end (2_aggregations.sql:91-102 update_chg_stats)",
+    doc="engine rollup over the pipeline's own CDC log vs reference SQL oracle",
+)
+def q_bmp_chg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from .operators.rollup import chg_stats_bypeer
+
+    _, log = _run_pipeline(spark, sf_dir)
+    # fixed deterministic window covering all synthetic timestamps
+    return chg_stats_bypeer(
+        log, now=dt.datetime(2030, 1, 1),
+        window=dt.timedelta(days=3653))

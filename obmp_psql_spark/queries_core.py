@@ -603,3 +603,85 @@ def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & ~F.col("p_name").like("%green%"))
         .select("p_partkey", "p_name", "p_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-threshold sessions via lag + running sum — the
+# standard OLAP pattern (guide: lag(ts) + cumsum on gap>threshold);
+# batch equivalent of streaming session_window(ts, gap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH {EV}, g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+    survey_ref="OLAP sessionization (running-frame window; batch session_window)",
+    doc="30-min-gap sessions: lag -> cumsum frame -> per-session agg",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+               1).otherwise(0))
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: orderstatus columns per priority (groupBy.pivot with a fixed
+# value list so the schema stays static)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_final,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_ref="OLAP pivot (guide: pivot/unpivot)",
+    doc="pivot with explicit value list -> static schema",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_final"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        )
+    )

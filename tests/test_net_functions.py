@@ -1,0 +1,71 @@
+"""Unit coverage for the IP toolkit pieces not exercised by the
+oracle queries (IPv6 two-long mapping, range->CIDR UDF, LPM bucket
+explosion for wide prefixes)."""
+
+from __future__ import annotations
+
+import ipaddress
+
+from pyspark.sql import functions as F
+
+from obmp_psql_spark.functions import net
+
+
+def test_ipv6_to_longs_roundtrip(spark):
+    ips = ["fe80::1", "2001:db8::ff00:42:8329", "::1",
+           "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", "not-an-ip"]
+    df = spark.createDataFrame([(s,) for s in ips], "ip string")
+    rows = df.select("ip", net.ipv6_to_longs(F.col("ip")).alias("v")).collect()
+    for r in rows:
+        if r.ip == "not-an-ip":
+            assert r.v.hi is None and r.v.lo is None
+            continue
+        n = int(ipaddress.IPv6Address(r.ip))
+        hi = (n >> 64) & 0xFFFFFFFFFFFFFFFF
+        lo = n & 0xFFFFFFFFFFFFFFFF
+        to_signed = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+        assert r.v.hi == to_signed(hi) and r.v.lo == to_signed(lo)
+
+
+def test_ipv6_ordering_via_u64_keys(spark):
+    ips = ["::1", "8000::", "fe80::1", "2001:db8::", "::ffff:1.2.3.4"]
+    df = spark.createDataFrame([(s,) for s in ips], "ip string") \
+        .select("ip", net.ipv6_to_longs(F.col("ip")).alias("v"))
+    got = [r.ip for r in
+           df.orderBy(net.u64_key(F.col("v.hi")), net.u64_key(F.col("v.lo"))).collect()]
+    want = sorted(ips, key=lambda s: int(ipaddress.IPv6Address(s)))
+    assert got == want
+
+
+def test_iprange_to_cidrs(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.0", "10.0.0.255"), ("10.0.0.1", "10.0.0.6"),
+         ("192.168.1.0", "192.168.2.255")],
+        "s string, e string")
+    rows = df.select("s", net.iprange_to_cidrs(F.col("s"), F.col("e")).alias("c")).collect()
+    got = {r.s: r.c for r in rows}
+    assert got["10.0.0.0"] == ["10.0.0.0/24"]
+    # non-aligned range splits into minimal covering set
+    assert got["10.0.0.1"] == ["10.0.0.1/32", "10.0.0.2/31", "10.0.0.4/31",
+                               "10.0.0.6/32"]
+    assert got["192.168.1.0"] == ["192.168.1.0/24", "192.168.2.0/24"]
+
+
+def test_lpm_wide_prefix_bucket_explosion(spark):
+    """A /8 prefix covers 256 /16 buckets; probes anywhere inside
+    must still match (explode_buckets correctness for wide ranges)."""
+    from obmp_psql_spark.operators.lpm import lpm_join
+
+    prefixes = spark.createDataFrame(
+        [(167772160, 184549375, 8, "10.0.0.0/8"),
+         (167837696, 167903231, 16, "10.1.0.0/16")],
+        "prefix_start long, prefix_end long, mask_len int, label string")
+    probes = spark.createDataFrame(
+        [(1, 167837697),   # 10.1.0.1 -> /16 wins
+         (2, 184549374),   # 10.255.255.254 -> only /8 covers
+         (3, 167772161)],  # 10.0.0.1 -> only /8
+        "probe_id long, addr long")
+    out = {r.probe_id: r.label for r in lpm_join(
+        probes, ["probe_id"], "addr", prefixes,
+        masklen_col="mask_len", broadcast=True).collect()}
+    assert out == {1: "10.1.0.0/16", 2: "10.0.0.0/8", 3: "10.0.0.0/8"}
