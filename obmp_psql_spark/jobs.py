@@ -1,0 +1,108 @@
+"""Scheduled maintenance/aggregation jobs — the cron layer
+(reference: psql cron calls to update_chg_stats, update_global_ip_rib
+& co., 2_aggregations.sql; retention policies 1_base.sql:367-377).
+
+Each job reads from / writes to the state store and keeps its own
+incremental watermark (the reference derives it from
+``SELECT max(timestamp) FROM global_ip_rib`` — 2_aggregations.sql:
+189-190; here it persists in a tiny json per job, the equivalent of
+a checkpoint). Orchestrate with any scheduler (cron/Airflow) or the
+Structured Streaming ``availableNow`` trigger.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from .operators import global_rib as G
+from .operators import rollup as R
+from .state import ParquetStateStore
+
+
+class JobRunner:
+    def __init__(self, store: ParquetStateStore):
+        self.store = store
+
+    # -- watermark bookkeeping (O2 / SURVEY §7 known-hard #4) ----------
+    def _wm_path(self, job: str) -> str:
+        return os.path.join(self.store.root, f"_watermark_{job}.json")
+
+    def get_watermark(self, job: str) -> dt.datetime | None:
+        p = self._wm_path(job)
+        if os.path.exists(p):
+            with open(p) as f:
+                return dt.datetime.fromisoformat(json.load(f)["ts"])
+        return None
+
+    def set_watermark(self, job: str, ts: dt.datetime) -> None:
+        with open(self._wm_path(job), "w") as f:
+            json.dump({"ts": ts.isoformat()}, f)
+
+    # -- jobs ----------------------------------------------------------
+    def run_chg_stats(self, now: dt.datetime | None = None,
+                      window: dt.timedelta = dt.timedelta(minutes=5)) -> None:
+        """update_chg_stats equivalent (2_aggregations.sql:87-133):
+        recompute the trailing window and merge-replace by bucket key."""
+        now = now or dt.datetime.utcnow()
+        log = self.store.read("ip_rib_log")
+        for table, fresh, keys in (
+            ("stats_chg_bypeer", R.chg_stats_bypeer(log, now, window),
+             ["interval_time", "peer_hash_id"]),
+            ("stats_chg_byasn", R.chg_stats_byasn(log, now, window),
+             ["interval_time", "peer_hash_id", "origin_as"]),
+            ("stats_chg_byprefix", R.chg_stats_byprefix(log, now, window),
+             ["interval_time", "peer_hash_id", "prefix"]),
+        ):
+            try:
+                cur = self.store.read(table, fresh.schema)
+            except KeyError:
+                cur = self.store.spark.createDataFrame([], fresh.schema)
+            self.store.overwrite(table, R.merge_replace(cur, fresh, keys))
+
+    def run_global_rib(self, now: dt.datetime | None = None,
+                       max_interval: dt.timedelta = dt.timedelta(hours=2)) -> None:
+        """update_global_ip_rib equivalent with persisted watermark
+        (2_aggregations.sql:181-275)."""
+        now = now or dt.datetime.utcnow()
+        out = G.update_global_ip_rib(
+            self.store.read("global_ip_rib"),
+            self.store.read("ip_rib"),
+            info_route=self.store.read("info_route"),
+            rpki=self.store.read("rpki_validator"),
+            now=now,
+            last_query_time=self.get_watermark("global_ip_rib"),
+            max_interval=max_interval,
+        )
+        self.store.overwrite("global_ip_rib", out)
+        self.set_watermark("global_ip_rib", now)
+
+    def run_peer_rib_counts(self, now: dt.datetime | None = None) -> None:
+        """update_peer_rib_counts (15-min snapshot, A7)."""
+        now = now or dt.datetime.utcnow()
+        fresh = R.peer_rib_counts(self.store.read("ip_rib"), now)
+        cur = self.store.spark.createDataFrame([], fresh.schema) \
+            if not os.path.exists(os.path.join(self.store.root, "stats_peer_rib")) \
+            else self.store.read("stats_peer_rib", fresh.schema)
+        self.store.overwrite(
+            "stats_peer_rib",
+            R.merge_replace(cur, fresh, ["interval_time", "peer_hash_id"]))
+
+    def run_retention(self, now: dt.datetime | None = None,
+                      log_retention: dt.timedelta = dt.timedelta(days=60),
+                      withdrawn_age: dt.timedelta = dt.timedelta(hours=4)) -> None:
+        """Retention purges (P10): log tables trim to the hypertable
+        retention window (1_base.sql:369); global_ip_rib drops stale
+        withdrawn rows (2_aggregations.sql:166-175)."""
+        now = now or dt.datetime.utcnow()
+        log = self.store.read("ip_rib_log")
+        self.store.overwrite(
+            "ip_rib_log",
+            log.filter(F.col("timestamp") >= F.lit(now - log_retention)))
+        self.store.overwrite(
+            "global_ip_rib",
+            G.purge_global_ip_rib(self.store.read("global_ip_rib"), now,
+                                  withdrawn_age))

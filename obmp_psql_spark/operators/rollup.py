@@ -129,3 +129,17 @@ def merge_replace(stats: DataFrame, fresh: DataFrame, keys: list[str]) -> DataFr
     """ON CONFLICT (keys) DO UPDATE SET <all non-keys> = excluded —
     i.e. replace rows for recomputed keys, keep the rest."""
     return stats.join(fresh.select(*keys), keys, "left_anti").unionByName(fresh)
+
+
+def l3vpn_chg_stats(log: DataFrame, now: dt.datetime, window: dt.timedelta,
+                    bucket_seconds: int, keys: list[str]) -> DataFrame:
+    """A4 (10_l3vpn.sql:238-284 update_l3vpn_chg_stats): the
+    parameterized time_bucket variants over l3vpn_rib_log — callers
+    pick the key set (peer / rd / prefix) and bucket width."""
+    return (
+        _window_slice(log, now, window, bucket_seconds)
+        .groupBy(bucket(F.col("timestamp"), bucket_seconds).alias("interval_time"),
+                 *keys)
+        .agg(F.count(F.when(F.col("is_withdrawn"), 1)).alias("withdraws"),
+             F.count(F.when(~F.col("is_withdrawn"), 1)).alias("updates"))
+    )

@@ -74,8 +74,7 @@ def _run_pipeline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 
 _EV = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 
-_MERGE_ORACLE = f"""
-WITH {_EV},
+_STATE_CTES = f"""{_EV},
 {_MSG_SQL},
 l1 AS (
   SELECT * FROM (
@@ -86,7 +85,9 @@ l2 AS (
   SELECT * FROM (
     SELECT m.*, row_number() OVER (PARTITION BY peer, h ORDER BY mts DESC) AS rn
     FROM m WHERE event_id % 2 = 1) WHERE rn = 1
-)
+)"""
+
+_STATE_SELECT = """
 SELECT coalesce(l2.peer, l1.peer) AS peer_hash_id,
        coalesce(l2.h, l1.h) AS hash_id,
        CASE WHEN l2.h IS NULL THEN l1.attr
@@ -101,6 +102,8 @@ SELECT coalesce(l2.peer, l1.peer) AS peer_hash_id,
        coalesce(l2.prefix, l1.prefix) AS prefix
 FROM l1 FULL OUTER JOIN l2 ON l1.peer = l2.peer AND l1.h = l2.h
 """
+
+_MERGE_ORACLE = f"WITH {_STATE_CTES}\n{_STATE_SELECT}"
 
 
 @register(
@@ -186,3 +189,48 @@ def q_bmp_chg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chg_stats_bypeer(
         log, now=dt.datetime(2030, 1, 1),
         window=dt.timedelta(days=3653))
+
+
+# ---------------------------------------------------------------------------
+# A5 through the engine: update_global_ip_rib over the pipeline state
+# ---------------------------------------------------------------------------
+
+_GLOBAL_ORACLE = f"""
+WITH {_STATE_CTES},
+state AS ({_STATE_SELECT})
+SELECT prefix,
+       CAST(16 AS SMALLINT) AS prefix_len,
+       origin_as AS recv_origin_as,
+       bool_and(is_withdrawn) AS is_withdrawn,
+       max(timestamp) AS timestamp,
+       min(first_added_timestamp) AS first_added_timestamp,
+       CAST(count(DISTINCT peer_hash_id) AS BIGINT) AS num_peers,
+       CAST(count(DISTINCT CASE WHEN NOT is_withdrawn THEN peer_hash_id END) AS BIGINT)
+         AS advertising_peers,
+       CAST(count(DISTINCT CASE WHEN is_withdrawn THEN peer_hash_id END) AS BIGINT)
+         AS withdrawn_peers
+FROM state
+WHERE origin_as <> 23456
+GROUP BY prefix, origin_as
+"""
+
+
+@register(
+    "q_bmp_global_rib",
+    oracle=_GLOBAL_ORACLE,
+    survey_ref="A5/A10/P2 end-to-end (2_aggregations.sql:181-275 update_global_ip_rib)",
+    doc="global RIB consolidation over the real pipeline state vs SQL oracle",
+)
+def q_bmp_global_rib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from .operators.global_rib import update_global_ip_rib
+
+    state, _ = _run_pipeline(spark, sf_dir)
+    out = update_global_ip_rib(
+        spark.createDataFrame([], TABLE_SCHEMAS["global_ip_rib"]), state,
+        now=dt.datetime(2030, 1, 1),
+        max_interval=dt.timedelta(days=36500))
+    return out.select("prefix", "prefix_len", "recv_origin_as", "is_withdrawn",
+                      "timestamp", "first_added_timestamp", "num_peers",
+                      "advertising_peers", "withdrawn_peers")

@@ -62,3 +62,10 @@ def to_tsv(df: DataFrame, msg_type: str) -> DataFrame:
             c = F.when(c, "1").otherwise("0")
         cols.append(F.coalesce(c.cast("string"), F.lit("")))
     return df.select(F.concat_ws("\t", *cols).alias("value"))
+
+
+def normalize_hash(c: Column) -> Column:
+    """UUID normalization (F15): strip dashes, lowercase — the
+    reference accepts both forms and canonicalizes with
+    replaceAll("-","") (ConsumerRunnable.java:604,622)."""
+    return F.lower(F.regexp_replace(c, "-", ""))

@@ -1,0 +1,108 @@
+"""Scheduled-job layer: watermark bookkeeping, stats merge-replace,
+retention purge, JDBC statement generation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from obmp_psql_spark.ingest import apply_unicast_prefix
+from obmp_psql_spark.jobs import JobRunner
+from obmp_psql_spark.sources.jdbc import upsert_statement
+from obmp_psql_spark.state import ParquetStateStore
+
+from .test_bmp_ingest import empty, msgs, ts, upx
+
+
+def _seed_store(spark, root):
+    store = ParquetStateStore(spark, str(root))
+    rib, log0 = apply_unicast_prefix(empty(spark, "ip_rib"), msgs(
+        spark, "unicast_prefix",
+        [upx("add", f"h{i}", f"p{i % 2}", f"a{i}", ts(0, i)) for i in range(20)]))
+    rib, log1 = apply_unicast_prefix(rib, msgs(
+        spark, "unicast_prefix",
+        [upx("del", f"h{i}", f"p{i % 2}", "", ts(2, i)) for i in range(0, 20, 2)]))
+    store.overwrite("ip_rib", rib)
+    store.append("ip_rib_log", log0.unionByName(log1))
+    store.overwrite("info_route", empty(spark, "info_route"))
+    store.overwrite("rpki_validator", empty(spark, "rpki_validator"))
+    return store
+
+
+def test_job_runner_end_to_end(spark, tmp_path):
+    store = _seed_store(spark, tmp_path)
+    jr = JobRunner(store)
+    now = ts(10)
+
+    jr.run_chg_stats(now=now, window=dt.timedelta(minutes=10))
+    bypeer = store.read("stats_chg_bypeer",
+                        store.spark.read.parquet(
+                            store._current("stats_chg_bypeer")).schema)
+    rows = {r.peer_hash_id: r for r in bypeer.collect()}
+    # the withdraw wave hits only even i -> all on p0 (adds are
+    # inserts, which never log)
+    assert set(rows) == {"p0"} and rows["p0"].withdraws == 10
+
+    # global rib with watermark persistence
+    assert jr.get_watermark("global_ip_rib") is None
+    jr.run_global_rib(now=now)
+    assert jr.get_watermark("global_ip_rib") == now
+    glob = store.read("global_ip_rib")
+    assert glob.count() == 1  # single (prefix, origin) across peers
+    g = glob.collect()[0]
+    assert g.num_peers == 2 and g.withdrawn_peers == 1
+    assert g.advertising_peers == 1 and g.is_withdrawn is False
+
+    # second run with the stored watermark is a no-op on unchanged data
+    jr.run_global_rib(now=now + dt.timedelta(minutes=5))
+    assert store.read("global_ip_rib").count() == 1
+
+    jr.run_peer_rib_counts(now=now)
+    prc = {r.peer_hash_id: r for r in store.read(
+        "stats_peer_rib",
+        store.spark.read.parquet(store._current("stats_peer_rib")).schema).collect()}
+    assert set(prc) == {"p1"}  # p0 fully withdrawn -> no active rows
+    assert prc["p1"].v4_prefixes == 10
+
+    # retention: everything older than the horizon drops from the log
+    before = store.read("ip_rib_log").count()
+    jr.run_retention(now=ts(3), log_retention=dt.timedelta(minutes=2))
+    after = store.read("ip_rib_log").count()
+    assert before == 10 and after == 10  # all within 2 min of ts(3)
+    jr.run_retention(now=ts(3) + dt.timedelta(days=1),
+                     log_retention=dt.timedelta(minutes=2))
+    assert store.read("ip_rib_log").count() == 0
+
+
+def test_l3vpn_chg_stats_buckets(spark):
+    import pyspark.sql.functions as F
+
+    from obmp_psql_spark.ingest_ls import apply_l3vpn
+    from obmp_psql_spark.operators.rollup import l3vpn_chg_stats
+
+    vpn = lambda a, h, attr, t, rd: dict(  # noqa: E731
+        upx(a, h, "p1", attr, t), rd=rd, ext_community_list="")
+    state, _ = apply_l3vpn(empty(spark, "l3vpn_rib"), msgs(spark, "l3vpn", [
+        vpn("add", "v1", "a1", ts(0), "65001:1"),
+        vpn("add", "v2", "a2", ts(0), "65001:2")]))
+    state, log = apply_l3vpn(state, msgs(spark, "l3vpn", [
+        vpn("del", "v1", "", ts(1), "65001:1"),
+        vpn("add", "v2", "a3", ts(3), "65001:2")]))
+    byrd = l3vpn_chg_stats(log, now=ts(10), window=dt.timedelta(minutes=10),
+                           bucket_seconds=120, keys=["rd"]).collect()
+    got = {(r.rd, r.interval_time.minute): (r.updates, r.withdraws) for r in byrd}
+    assert got == {("65001:1", 0): (0, 1), ("65001:2", 2): (1, 0)}
+
+
+def test_jdbc_upsert_statement(spark):
+    rows = spark.createDataFrame(
+        [("h1", "10.0.0.0", 8, True, None), ("h2", "it's", 16, False, 5)],
+        "hash_id string, prefix string, prefix_len int, is_withdrawn boolean, path_id int"
+    ).collect()
+    sql = upsert_statement("ip_rib",
+                           ["hash_id", "prefix", "prefix_len", "is_withdrawn", "path_id"],
+                           rows, key_columns=["hash_id"])
+    assert sql.startswith("INSERT INTO ip_rib (hash_id, prefix, prefix_len,")
+    assert "('h1', '10.0.0.0', 8, true, NULL)" in sql
+    assert "('h2', 'it''s', 16, false, 5)" in sql  # quote escaping
+    assert "ON CONFLICT (hash_id) DO UPDATE SET prefix=excluded.prefix" in sql
+    assert "hash_id=excluded.hash_id" not in sql  # keys not in SET

@@ -1,0 +1,92 @@
+"""Property-based differential test (SURVEY §5): random message
+interleavings through ``apply_unicast_prefix`` must match a
+sequential Python reference model of the Postgres semantics
+(ON CONFLICT CASE matrix + AFTER UPDATE trigger), and satisfy the
+structural invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from obmp_psql_spark.ingest import apply_unicast_prefix
+
+from .test_bmp_ingest import empty, msgs, upx
+
+PEERS = ["p0", "p1"]
+HASHES = ["h0", "h1", "h2"]
+ATTRS = ["a0", "a1", ""]
+
+msg_strategy = st.tuples(
+    st.sampled_from(PEERS),
+    st.sampled_from(HASHES),
+    st.sampled_from(ATTRS),
+    st.booleans(),  # withdraw
+)
+scenario = st.lists(
+    st.lists(msg_strategy, min_size=1, max_size=6),  # batches
+    min_size=1, max_size=3,
+)
+
+
+def model_apply(state: dict, log: list, batch: list) -> None:
+    """Sequential reference model: within-batch last-write-wins per
+    key, then per-row ON CONFLICT semantics + trigger."""
+    compressed = {}
+    for i, (peer, h, attr, wd) in enumerate(batch):
+        # ts strictly increasing by batch position -> last wins
+        compressed[(peer, h)] = (i, peer, h, attr or None, wd)
+    for (peer, h), (i, _, _, attr, wd) in compressed.items():
+        key = (peer, h)
+        if key not in state:
+            state[key] = {"attr": attr, "wd": wd, "ts": i}
+            continue  # INSERT: no trigger
+        old = state[key]
+        new_attr = old["attr"] if wd else attr
+        changed = (wd != old["wd"]) or (
+            not wd and attr is not None and old["attr"] is not None
+            and attr != old["attr"])
+        if changed:
+            log.append((peer, h, wd, old["attr"] if wd else attr))
+        state[key] = {"attr": new_attr, "wd": wd, "ts": i}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(scenario)
+def test_merge_matches_reference_model(spark_session_holder, batches):
+    spark = spark_session_holder
+    t0 = dt.datetime(2024, 1, 1)
+    rib = empty(spark, "ip_rib")
+    model_state: dict = {}
+    model_log: list = []
+    total_log = 0
+    for bi, batch in enumerate(batches):
+        rows = [
+            upx("del" if wd else "add", h, peer, attr,
+                t0 + dt.timedelta(minutes=bi, seconds=i))
+            for i, (peer, h, attr, wd) in enumerate(batch)
+        ]
+        rib, log = apply_unicast_prefix(rib, msgs(spark, "unicast_prefix", rows))
+        rib = rib.localCheckpoint()  # cut lineage between batches
+        total_log += log.count()
+        model_apply(model_state, model_log, batch)
+
+    got = {(r.peer_hash_id, r.hash_id): (r.base_attr_hash_id, r.is_withdrawn)
+           for r in rib.collect()}
+    want = {k: (v["attr"], v["wd"]) for k, v in model_state.items()}
+    assert got == want
+    assert total_log == len(model_log)
+    # invariant: one state row per distinct key ever seen
+    seen = {(p, h) for b in batches for (p, h, _, _) in b}
+    assert set(got) == seen
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    return spark
