@@ -162,6 +162,24 @@ class BmpStreamingIngest:
         "l3vpn": l3vpn_batch,
     }
 
+    def start_kafka_stream(self, msg_type: str, bootstrap_servers: str,
+                           checkpoint_dir: str, **kafka_opts):
+        """Production entry point: Kafka topic -> parse_tsv -> the
+        same foreachBatch handler as the file stream (S1 + S2 + T8).
+        Requires the spark-sql-kafka connector on the classpath."""
+        from ..sources.kafka import read_stream
+
+        handler = self.HANDLERS[msg_type].__get__(self)
+        typed = read_stream(self.spark, msg_type, bootstrap_servers,
+                            **kafka_opts).drop("kafka_key")
+        return (
+            typed.writeStream
+            .foreachBatch(handler)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
     def start_file_stream(self, msg_type: str, source_dir: str,
                           checkpoint_dir: str, available_now: bool = True):
         """Drive the pipeline from a parquet file stream (tests /
