@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from .functions import net
 from .operators.dedup import dedup_latest
 from .operators.lpm import lpm_join
-from .schemas import IP_RIB_LOG, PEER_EVENT_LOG
 
 
 def _nullif_empty(c: Column) -> Column:

@@ -16,9 +16,9 @@ LsPrefixQuery.java:39-48, L3VpnPrefixQuery.java:36-42; triggers
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ingest import _nullif_empty

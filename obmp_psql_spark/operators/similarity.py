@@ -138,3 +138,47 @@ def embedding_neardup_pairs(
                  / (F.col("a.__n") * F.col("b.__n"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def cosine_topk_arrow(
+    queries: DataFrame, items: DataFrame,
+    query_id: str = "vec_id", item_id: str = "vec_id",
+    query_vec: str = "embedding", item_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Arrow/numpy brute-force top-k: the wide-vector scale path.
+
+    The expression-based ``cosine_topk`` keeps bit-exact parity with
+    the SQL oracle but evaluates higher-order functions interpreted
+    (no codegen); this variant ships the query matrix to every
+    partition and runs one BLAS matmul per Arrow batch — 10-100x
+    faster at high dims/large k, with float summation order differing
+    in the last ulp (hence rows-only verification, not hash parity).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            iv = np.array(list(pdf[item_vec]), dtype=np.float64)
+            iv /= np.linalg.norm(iv, axis=1, keepdims=True)
+            sims = iv @ mat.T  # (batch, n_queries)
+            out = pd.DataFrame({
+                "query_id": np.repeat(ids, len(pdf)),
+                "neighbor_id": np.tile(pdf[item_id].values, len(ids)),
+                "cos": sims.T.ravel(),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = items.select(item_id, item_vec).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double")
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

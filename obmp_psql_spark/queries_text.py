@@ -492,3 +492,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select(F.col("doc_id").cast("long").alias("doc_id"),
                         F.encode(F.col("text"), "UTF-8").alias("payload"))
     return extract_image_meta(payloads)
+
+
+@register(
+    "q_ann_topk_arrow",
+    oracle=None,  # numpy matmul sum order differs in the last ulp ->
+                  # rows-only check; recall vs the exact path is
+                  # asserted in tests
+    survey_ref="training-data similarity: Arrow/BLAS brute-force top-k (scale path)",
+    doc="mapInPandas + numpy matmul kNN; rank-compatible with q_ann_topk",
+)
+def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_arrow(q, e, k=5) \
+        .select("query_id", "neighbor_id", "cos", "rank")

@@ -19,12 +19,10 @@ hash-identical:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-
-from .session import load_tables
 
 
 @dataclass

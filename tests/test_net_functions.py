@@ -69,3 +69,17 @@ def test_lpm_wide_prefix_bucket_explosion(spark):
         probes, ["probe_id"], "addr", prefixes,
         masklen_col="mask_len", broadcast=True).collect()}
     assert out == {1: "10.1.0.0/16", 2: "10.0.0.0/8", 3: "10.0.0.0/8"}
+
+
+def test_arrow_ann_matches_exact_ranks(spark):
+    """The numpy path must produce the same neighbor sets/ranks as
+    the bit-exact expression path (float noise < rank gaps here)."""
+    from obmp_psql_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in similarity.cosine_topk(q, e, k=5).collect()}
+    arrow = {(r.query_id, r.rank): r.neighbor_id
+             for r in similarity.cosine_topk_arrow(q, e, k=5).collect()}
+    assert exact == arrow
