@@ -91,6 +91,17 @@ class JobRunner:
             "stats_peer_rib",
             R.merge_replace(cur, fresh, ["interval_time", "peer_hash_id"]))
 
+    def run_origin_stats(self, now: dt.datetime | None = None) -> None:
+        """update_origin_stats (hourly, A6) over the global RIB."""
+        now = now or dt.datetime.utcnow()
+        fresh = R.origin_stats(self.store.read("global_ip_rib"), now)
+        cur = self.store.spark.createDataFrame([], fresh.schema) \
+            if not os.path.exists(os.path.join(self.store.root, "stats_ip_origins")) \
+            else self.store.read("stats_ip_origins", fresh.schema)
+        self.store.overwrite(
+            "stats_ip_origins",
+            R.merge_replace(cur, fresh, ["interval_time", "asn"]))
+
     def run_retention(self, now: dt.datetime | None = None,
                       log_retention: dt.timedelta = dt.timedelta(days=60),
                       withdrawn_age: dt.timedelta = dt.timedelta(hours=4)) -> None:

@@ -234,3 +234,103 @@ def q_bmp_global_rib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("prefix", "prefix_len", "recv_origin_as", "is_withdrawn",
                       "timestamp", "first_added_timestamp", "num_peers",
                       "advertising_peers", "withdrawn_peers")
+
+
+# ---------------------------------------------------------------------------
+# J1/P4 through the engine: v_ip_routes over real ingested state
+# (peers/routers/attrs synthesized alongside the prefix messages)
+# ---------------------------------------------------------------------------
+
+def _dimension_state(spark: SparkSession):
+    """Deterministic bgp_peers / routers / base_attrs built through
+    the REAL apply functions (backfill, merge, parse paths)."""
+    import datetime as dt
+
+    from .ingest import apply_base_attribute, apply_peer, apply_router
+    from .schemas import MESSAGE_SCHEMAS
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def as_msgs(mtype, rows):
+        s = MESSAGE_SCHEMAS[mtype]
+        return spark.createDataFrame(
+            [tuple(r.get(f.name) for f in s.fields) for r in rows], s)
+
+    routers, peers = apply_router(
+        spark.createDataFrame([], TABLE_SCHEMAS["routers"]),
+        spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"]),
+        as_msgs("router", [dict(
+            action="init", hash="rt0", name="",  # empty -> host() fallback
+            ip_address="198.51.100.1", description="", term_code=0,
+            term_reason="", term_data="", init_data="",
+            bgp_id="198.51.100.1", collector_hash="c0", timestamp=t0)]))
+    peers, _, _ = apply_peer(
+        peers, spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"]), routers,
+        as_msgs("peer", [dict(
+            action="up", hash=f"p{n}", router_hash="rt0", peer_rd="",
+            is_ipv4=True, peer_ip=f"192.0.2.{n}", name=f"peer-{n}",
+            peer_bgp_id=f"192.0.2.{n}", peer_asn=65000 + n, is_l3vpn=False,
+            is_pre_policy=False, local_ip="10.0.0.1", local_bgp_id="10.0.0.1",
+            local_port=179, local_holddown=90, local_asn=64999,
+            peer_port=4000 + n, peer_holddown=90, advertised_cap="",
+            received_cap="", bmp_down_reason=0, bgp_error_code=0,
+            bgp_error_subcode=0, bgp_error_text="", is_loc_rib=False,
+            is_loc_rib_filtered=False, table_name="", timestamp=t0)
+            for n in range(10)]))
+    attrs = apply_base_attribute(
+        spark.createDataFrame([], TABLE_SCHEMAS["base_attrs"]),
+        as_msgs("base_attribute", [dict(
+            hash=f"a{k}", peer_hash=f"p{n}", origin="igp",
+            as_path=f"{65000 + n} {100 + k}", as_path_len=2,
+            origin_asn=100 + k, next_hop="10.0.0.9", med=k, local_pref=100,
+            is_atomic_agg=False, aggregator="", community_list="",
+            ext_community_list="", large_community_list="", cluster_list="",
+            originator_id="", nexthop_is_ipv4=True, timestamp=t0)
+            for n in range(10) for k in range(20)]))
+    return peers, routers, attrs
+
+
+_VIEW_ORACLE = f"""
+WITH {_STATE_CTES},
+state AS ({_STATE_SELECT}),
+peers AS (
+  SELECT 'p' || CAST(n AS VARCHAR) AS hash_id, 'peer-' || CAST(n AS VARCHAR) AS name,
+         '192.0.2.' || CAST(n AS VARCHAR) AS peer_addr,
+         CAST(65000 + n AS BIGINT) AS peer_as
+  FROM UNNEST(generate_series(0, 9)) AS g(n)
+),
+attrs AS (
+  SELECT 'a' || CAST(k AS VARCHAR) AS hash_id, 'p' || CAST(n AS VARCHAR) AS peer_hash_id,
+         CAST(65000 + n AS VARCHAR) || ' ' || CAST(100 + k AS VARCHAR) AS as_path_str,
+         CAST(k AS BIGINT) AS med
+  FROM UNNEST(generate_series(0, 9)) AS g(n), UNNEST(generate_series(0, 19)) AS h(k)
+)
+SELECT '198.51.100.1' AS router_name,  -- empty router name -> host(ip)
+       p.name AS peer_name,
+       r.prefix, r.origin_as,
+       a.as_path_str, a.med,
+       r.is_withdrawn,
+       r.hash_id AS rib_hash_id
+FROM state r
+JOIN peers p ON r.peer_hash_id = p.hash_id
+JOIN attrs a ON a.hash_id = r.base_attr_hash_id AND a.peer_hash_id = r.peer_hash_id
+"""
+
+
+@register(
+    "q_bmp_view_routes",
+    oracle=_VIEW_ORACLE,
+    survey_ref="J1/P4/F2 end-to-end (8_views.sql:31-52 v_ip_routes)",
+    doc="v_ip_routes over real ingested state (dims via real apply fns) vs SQL oracle",
+)
+def q_bmp_view_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.views import v_ip_routes
+
+    state, _ = _run_pipeline(spark, sf_dir)
+    peers, routers, attrs = _dimension_state(spark)
+    view = v_ip_routes(state, peers, attrs, routers)
+    return view.select(
+        "router_name", "peer_name", "prefix", "origin_as",
+        F.array_join("as_path", " ").alias("as_path_str"),
+        "med", "is_withdrawn", "rib_hash_id",
+    )

@@ -44,10 +44,15 @@ class ParquetStateStore:
         return None
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        """Current state, or an empty typed DataFrame if never written."""
+        """Current state, or an empty typed DataFrame if never written
+        (including a version dir that holds no parquet files — an
+        empty partitioned append writes nothing)."""
         cur = self._current(table)
         if cur and os.path.exists(cur):
-            return self.spark.read.parquet(cur)
+            try:
+                return self.spark.read.parquet(cur)
+            except Exception:
+                pass  # no files in the version dir -> fall through
         schema = schema or TABLE_SCHEMAS[table]
         return self.spark.createDataFrame([], schema)
 
@@ -74,11 +79,24 @@ class ParquetStateStore:
         for name in sorted(n for n in os.listdir(d) if n.startswith("v_"))[:-2]:
             shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
-    def append(self, table: str, df: DataFrame) -> None:
-        """Append-only tables (logs): plain parquet append — identical
-        to the production append-mode sink."""
+    def append(self, table: str, df: DataFrame,
+               partition_by: str | None = None) -> None:
+        """Append-only tables (logs): parquet append, optionally
+        hive-partitioned (the hypertable-chunk equivalent,
+        1_base.sql:367 — hour partitions give time-predicate pruning
+        and cheap retention drops at 100 TB)."""
         cur = self._current(table)
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
         if cur is None:
-            self.overwrite(table, df)
+            d = self._dir(table)
+            os.makedirs(d, exist_ok=True)
+            version = "v_000000_init"
+            writer.parquet(os.path.join(d, version))
+            tmp = os.path.join(d, "_CURRENT.tmp")
+            with open(tmp, "w") as f:
+                f.write(version)
+            os.replace(tmp, os.path.join(d, "_CURRENT"))
             return
-        df.write.mode("append").parquet(cur)
+        writer.parquet(cur)

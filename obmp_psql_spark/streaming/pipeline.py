@@ -67,9 +67,14 @@ class BmpStreamingIngest:
     def unicast_prefix_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self._already_applied("unicast_prefix", batch_id):
             return
+        from pyspark.sql import functions as F
         state = self.store.read("ip_rib")
         new_state, log = ingest.apply_unicast_prefix(state, batch)
-        self.store.append("ip_rib_log", log)
+        # hour partitions: Timescale 1-hour chunks (1_base.sql:367)
+        self.store.append(
+            "ip_rib_log",
+            log.withColumn("log_hour", F.date_trunc("hour", "timestamp")),
+            partition_by="log_hour")
         self.store.overwrite("ip_rib", new_state)
         self._mark_applied("unicast_prefix", batch_id)
 
