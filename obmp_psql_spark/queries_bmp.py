@@ -350,3 +350,174 @@ def q_bmp_view_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("as_path", " ").alias("as_path_str"),
         "med", "is_withdrawn", "rib_hash_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Peer pipeline through the gate: merge SET-list semantics + LocRib
+# backfill + event log (PeerQuery.java:24-40; 9_triggers.sql:43-85)
+# ---------------------------------------------------------------------------
+
+def _peer_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One peer message per event: peer identity from user_id, state
+    flips on value, LocRib peers (user_id % 7 == 0) carry 0.0.0.0."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    locrib = F.col("user_id") % 7 == 0
+    return ev.select(
+        F.when(F.col("value") < 5, "down").otherwise("up").alias("action"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("hash"),
+        F.lit("rt0").alias("router_hash"),
+        F.lit("").alias("peer_rd"),
+        F.lit(True).alias("is_ipv4"),
+        F.when(locrib, "0.0.0.0")
+         .otherwise(F.concat(F.lit("192.0.2."), (F.col("user_id") % 200).cast("string")))
+         .alias("peer_ip"),
+        F.when(locrib, "").otherwise(
+            F.concat(F.lit("peer-"), F.col("user_id").cast("string"))).alias("name"),
+        F.when(locrib, "0.0.0.0")
+         .otherwise(F.concat(F.lit("192.0.2."), (F.col("user_id") % 200).cast("string")))
+         .alias("peer_bgp_id"),
+        (65000 + F.col("user_id")).cast("long").alias("peer_asn"),
+        F.lit(False).alias("is_l3vpn"), F.lit(False).alias("is_pre_policy"),
+        F.lit("10.0.0.1").alias("local_ip"), F.lit("10.0.0.1").alias("local_bgp_id"),
+        F.lit(179).cast("int").alias("local_port"),
+        F.lit(90).cast("int").alias("local_holddown"),
+        F.lit(64999).cast("long").alias("local_asn"),
+        (4000 + F.col("event_id") % 1000).cast("int").alias("peer_port"),
+        F.lit(90).cast("int").alias("peer_holddown"),
+        F.lit("MP").alias("advertised_cap"), F.lit("MP").alias("received_cap"),
+        (F.col("event_id") % 5).cast("int").alias("bmp_down_reason"),
+        F.lit(0).cast("int").alias("bgp_error_code"),
+        F.lit(0).cast("int").alias("bgp_error_subcode"),
+        F.lit("").alias("bgp_error_text"),
+        locrib.alias("is_loc_rib"), F.lit(False).alias("is_loc_rib_filtered"),
+        F.lit("").alias("table_name"),
+        F.timestamp_micros(F.unix_micros("ts") + F.col("event_id")).alias("timestamp"),
+        F.col("event_id"),
+    )
+
+
+def _run_peer_pipeline(spark: SparkSession, sf_dir: str):
+    from .ingest import apply_peer, apply_router
+    from .schemas import MESSAGE_SCHEMAS
+
+    key = ("peer", id(spark), sf_dir)
+    if key in _PIPELINE_CACHE:
+        try:
+            peers, log = _PIPELINE_CACHE[key]
+            peers.schema
+            return peers, log
+        except Exception:
+            _PIPELINE_CACHE.pop(key, None)
+    import datetime as dt
+    rschema = MESSAGE_SCHEMAS["router"]
+    routers, _ = apply_router(
+        spark.createDataFrame([], TABLE_SCHEMAS["routers"]),
+        spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"]),
+        spark.createDataFrame(
+            [("init", "rt0", "edge-rtr", "198.51.100.1", "", 0, "", "", "",
+              "198.51.100.1", "c0", dt.datetime(2024, 1, 1))], rschema))
+    msgs = _peer_messages(spark, sf_dir)
+    b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    empty_rib = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
+    peers = spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"])
+    peers, _, log1 = apply_peer(peers, empty_rib, routers, b1)
+    peers, _, log2 = apply_peer(peers, empty_rib, routers, b2)
+    peers, log = peers.localCheckpoint(), log1.unionByName(log2).localCheckpoint()
+    _PIPELINE_CACHE[key] = (peers, log)
+    return peers, log
+
+
+_PEER_MSG_SQL = """
+pm AS (
+  SELECT CASE WHEN value < 5 THEN 'down' ELSE 'up' END AS state,
+         'p' || CAST(user_id AS VARCHAR) AS h,
+         user_id % 7 = 0 AS locrib,
+         CASE WHEN user_id % 7 = 0 THEN ''
+              ELSE 'peer-' || CAST(user_id AS VARCHAR) END AS msg_name,
+         CASE WHEN user_id % 7 = 0 THEN '0.0.0.0'
+              ELSE '192.0.2.' || CAST(user_id % 200 AS VARCHAR) END AS addr,
+         CAST(4000 + event_id % 1000 AS INT) AS remote_port,
+         CAST(event_id % 5 AS INT) AS bmp_reason,
+         ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
+         event_id
+  FROM ev
+)
+"""
+
+_PEER_STATE_ORACLE = f"""
+WITH {_EV},
+{_PEER_MSG_SQL},
+b AS (  -- the backfill runs in prepare: LocRib peers take router identity
+  SELECT state, h,
+         CASE WHEN locrib THEN 'edge-rtr' ELSE msg_name END AS name,
+         addr,
+         CASE WHEN locrib THEN '198.51.100.1' ELSE addr END AS bgp_id,
+         remote_port, bmp_reason, mts, event_id
+  FROM pm
+),
+l1 AS (SELECT * FROM (
+  SELECT b.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM b WHERE event_id % 2 = 0) WHERE rn = 1),
+l2 AS (SELECT * FROM (
+  SELECT b.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM b WHERE event_id % 2 = 1) WHERE rn = 1)
+SELECT coalesce(l2.h, l1.h) AS hash_id,
+       -- SET list columns take the latest batch value
+       coalesce(l2.name, l1.name) AS name,
+       coalesce(l2.state, l1.state) AS state,
+       coalesce(l2.mts, l1.mts) AS timestamp,
+       coalesce(l2.remote_port, l1.remote_port) AS remote_port,
+       coalesce(l2.bmp_reason, l1.bmp_reason) AS bmp_reason,
+       -- insert-only columns keep the FIRST batch's value
+       CASE WHEN l1.h IS NOT NULL THEN l1.bgp_id ELSE l2.bgp_id END AS peer_bgp_id,
+       CASE WHEN l1.h IS NOT NULL THEN l1.addr ELSE l2.addr END AS peer_addr
+FROM l1 FULL OUTER JOIN l2 ON l1.h = l2.h
+"""
+
+
+@register(
+    "q_bmp_peer_state",
+    oracle=_PEER_STATE_ORACLE,
+    survey_ref="P8/G2 end-to-end (PeerQuery.java:24-40; 9_triggers.sql:46-49 backfill)",
+    doc="two-batch bgp_peers merge incl. LocRib backfill vs SQL oracle",
+)
+def q_bmp_peer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    peers, _ = _run_peer_pipeline(spark, sf_dir)
+    return peers.select("hash_id", "name", "state", "timestamp",
+                        "remote_port", "bmp_reason", "peer_bgp_id", "peer_addr")
+
+
+_PEER_LOG_ORACLE = f"""
+WITH {_EV},
+{_PEER_MSG_SQL},
+b AS (
+  SELECT state, h,
+         CASE WHEN locrib THEN 'edge-rtr' ELSE msg_name END AS name,
+         remote_port, bmp_reason, mts, event_id
+  FROM pm
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY h, event_id % 2
+                                   ORDER BY mts DESC) rn
+    FROM b) WHERE rn = 1
+)
+SELECT h AS peer_hash_id, state,
+       remote_port,
+       CASE WHEN state = 'down' THEN bmp_reason END AS bmp_reason,
+       mts AS timestamp
+FROM dedup
+"""
+
+
+@register(
+    "q_bmp_peer_events",
+    oracle=_PEER_LOG_ORACLE,
+    survey_ref="G2 end-to-end (9_triggers.sql:52-71 peer_event_log)",
+    doc="peer event log (up/down field variants) vs SQL oracle",
+)
+def q_bmp_peer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, log = _run_peer_pipeline(spark, sf_dir)
+    return log.select("peer_hash_id", "state", "remote_port",
+                      "bmp_reason", "timestamp")

@@ -5,7 +5,7 @@ the driver does."""
 
 from __future__ import annotations
 
-import math
+
 
 import duckdb
 
@@ -21,14 +21,6 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     con = duckdb_conn(sf_dir)
     odf = con.execute(oracle_sql).fetchdf()
@@ -40,8 +32,10 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     if len(sdf) != len(odf):
         return False, f"row counts differ: spark={len(sdf)} oracle={len(odf)}"
 
-    srows = sorted([tuple(_norm(v) for v in r) for r in sdf[cols].itertuples(index=False)])
-    orows = sorted([tuple(_norm(v) for v in r) for r in odf[cols].itertuples(index=False)])
+    # repr-based row sort (like the driver): robust to NaN/None mixes
+    # that break tuple ordering on nullable numeric columns
+    srows = sorted(repr(tuple(r)) for r in sdf[cols].itertuples(index=False, name=None))
+    orows = sorted(repr(tuple(r)) for r in odf[cols].itertuples(index=False, name=None))
     for i, (a, b) in enumerate(zip(srows, orows)):
         if a != b:
             return False, f"first value mismatch at sorted row {i}:\n  spark ={a}\n  oracle={b}"
