@@ -102,6 +102,15 @@ class JobRunner:
             "stats_ip_origins",
             R.merge_replace(cur, fresh, ["interval_time", "asn"]))
 
+    def run_compaction(self, table: str = "ip_rib_log",
+                       target_partitions: int = 8) -> None:
+        """Small-file compaction for append-heavy logs (every
+        micro-batch appends a few files; Delta OPTIMIZE equivalent).
+        Rewrites the current version coalesced; the versioned swap
+        keeps readers safe."""
+        df = self.store.read(table)
+        self.store.overwrite(table, df.coalesce(target_partitions))
+
     def run_retention(self, now: dt.datetime | None = None,
                       log_retention: dt.timedelta = dt.timedelta(days=60),
                       withdrawn_age: dt.timedelta = dt.timedelta(hours=4)) -> None:

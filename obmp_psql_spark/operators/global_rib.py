@@ -24,9 +24,18 @@ from .lpm import containment_join
 from .rollup import floor_ts
 
 
-def consolidate(ip_rib: DataFrame, start_time: dt.datetime | None) -> DataFrame:
+def consolidate(ip_rib: DataFrame, start_time: dt.datetime | None,
+                approx_distinct: bool = False) -> DataFrame:
     """A5 (2_aggregations.sql:210-233): GROUP BY (prefix, origin_as)
-    over rows changed since start_time, excluding AS_TRANS."""
+    over rows changed since start_time, excluding AS_TRANS.
+
+    ``approx_distinct`` swaps exact countDistinct for HyperLogLog++
+    (default rsd 5%) — SURVEY §7 known-hard #4: at 100 TB the exact
+    distinct peers per prefix needs an expand+two-phase shuffle; the
+    sketch aggregates in one pass with fixed memory per key. Keep
+    exact for the oracle gate; flip on for extreme peer cardinality
+    with the deviation documented."""
+    cd = F.approx_count_distinct if approx_distinct else F.countDistinct
     rib = ip_rib.filter(F.col("origin_as") != 23456)  # P2
     if start_time is not None:
         rib = rib.filter((F.col("timestamp") >= F.lit(start_time))
@@ -39,10 +48,10 @@ def consolidate(ip_rib: DataFrame, start_time: dt.datetime | None) -> DataFrame:
              .alias("is_withdrawn"),  # bool_and
             F.max("timestamp").alias("timestamp"),
             F.min("first_added_timestamp").alias("first_added_timestamp"),
-            F.countDistinct("peer_hash_id").alias("num_peers"),
-            F.countDistinct(F.when(~F.col("is_withdrawn"), F.col("peer_hash_id")))
+            cd("peer_hash_id").alias("num_peers"),
+            cd(F.when(~F.col("is_withdrawn"), F.col("peer_hash_id")))
              .alias("advertising_peers"),
-            F.countDistinct(F.when(F.col("is_withdrawn"), F.col("peer_hash_id")))
+            cd(F.when(F.col("is_withdrawn"), F.col("peer_hash_id")))
              .alias("withdrawn_peers"),
             F.max("prefix_start").alias("prefix_start"),
             F.max("prefix_end").alias("prefix_end"),

@@ -106,3 +106,31 @@ def test_jdbc_upsert_statement(spark):
     assert "('h2', 'it''s', 16, false, 5)" in sql  # quote escaping
     assert "ON CONFLICT (hash_id) DO UPDATE SET prefix=excluded.prefix" in sql
     assert "hash_id=excluded.hash_id" not in sql  # keys not in SET
+
+
+def test_approx_consolidation_and_compaction(spark, tmp_path):
+    import glob
+
+    from obmp_psql_spark.operators.global_rib import consolidate
+
+    store = _seed_store(spark, tmp_path)
+    exact = {(r.prefix, r.recv_origin_as): r.num_peers
+             for r in consolidate(store.read("ip_rib"), None).collect()}
+    approx = {(r.prefix, r.recv_origin_as): r.num_peers
+              for r in consolidate(store.read("ip_rib"), None,
+                                   approx_distinct=True).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:  # HLL++ at rsd 5% is exact for tiny cardinalities
+        assert abs(approx[k] - exact[k]) <= max(1, int(0.1 * exact[k]))
+
+    # compaction: fragment the log with several small appends, then
+    # compact to a bounded file count without losing rows
+    log = store.read("ip_rib_log")
+    for _ in range(4):
+        store.append("ip_rib_log", log.limit(2))
+    before_rows = store.read("ip_rib_log").count()
+    jr = JobRunner(store)
+    jr.run_compaction("ip_rib_log", target_partitions=2)
+    after_files = len(glob.glob(store._current("ip_rib_log") + "/*.parquet"))
+    assert store.read("ip_rib_log").count() == before_rows
+    assert after_files <= 2
