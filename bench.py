@@ -33,6 +33,12 @@ def main() -> None:
     t_all = time.perf_counter()
     for name in selected:
         spec = specs[name]
+        if name == "q_bmp_rib_merge":
+            # the gate queries memoize their shared pipeline; clear it
+            # so this timing measures the real merge cost (it feeds
+            # the ingest-rate headline below)
+            from obmp_psql_spark import queries_bmp
+            queries_bmp._PIPELINE_CACHE.clear()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
