@@ -521,3 +521,188 @@ def q_bmp_peer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, log = _run_peer_pipeline(spark, sf_dir)
     return log.select("peer_hash_id", "state", "remote_port",
                       "bmp_reason", "timestamp")
+
+
+# ---------------------------------------------------------------------------
+# LS family through the gate: ls_node + ls_link policy merges joined
+# via the v_ls_links double self-join (G4; 8_views.sql:126-143)
+# ---------------------------------------------------------------------------
+
+def _ls_messages(spark: SparkSession, sf_dir: str):
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    mts = F.timestamp_micros(F.unix_micros("ts") + F.col("event_id"))
+    wd = F.col("value") < 5
+    node_of = lambda c: F.concat(F.lit("n"), (c % 50).cast("string"))  # noqa: E731
+    nodes = ev.select(
+        node_of(F.col("user_id")).alias("hash"),
+        F.lit("p1").alias("peer_hash"),
+        F.when(wd, F.lit("")).otherwise(
+            F.concat(F.lit("a"), (F.col("event_id") % 20).cast("string"))
+        ).alias("base_attr_hash"),
+        F.col("event_id").alias("sequence"),
+        F.lit(65001).cast("long").alias("peer_asn"),
+        F.lit(0).cast("long").alias("ls_id"),
+        F.concat(F.lit("0100.0a0b.0c"), (F.col("user_id") % 50).cast("string")).alias("igp_router_id"),
+        F.lit("").alias("ospf_area_id"),
+        F.lit("IS-IS_L2").alias("protocol"),
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 50).cast("string")).alias("router_id"),
+        F.lit("49.0001").alias("isis_area_id"),
+        F.lit("").alias("flags"),
+        F.concat(F.lit("node-"), (F.col("user_id") % 50).cast("string")).alias("name"),
+        F.lit("0 2").alias("mt_ids"),
+        F.lit("").alias("sr_capabilities"),
+        wd.alias("is_withdrawn"),
+        mts.alias("timestamp"),
+        F.col("event_id"),
+    )
+    links = ev.select(
+        F.concat(F.lit("l"), (F.col("event_id") % 500).cast("string")).alias("hash"),
+        F.lit("p1").alias("peer_hash"),
+        F.when(wd, F.lit("")).otherwise(
+            F.concat(F.lit("a"), (F.col("event_id") % 20).cast("string"))
+        ).alias("base_attr_hash"),
+        F.col("event_id").alias("sequence"),
+        F.lit(0).cast("int").alias("mt_id"),
+        F.lit("10.1.0.1").alias("interface_ip"),
+        F.lit("10.1.0.2").alias("neighbor_ip"),
+        F.lit("IS-IS_L2").alias("protocol"),
+        F.lit(1).cast("long").alias("local_link_id"),
+        F.lit(2).cast("long").alias("remote_link_id"),
+        node_of(F.col("user_id")).alias("local_node_hash"),
+        node_of(F.col("user_id") + 1).alias("remote_node_hash"),
+        F.lit(0).cast("long").alias("admin_group"),
+        F.lit(10000).cast("long").alias("max_link_bw"),
+        F.lit(8000).cast("long").alias("max_resv_bw"),
+        F.lit("8000").alias("unreserved_bw"),
+        F.lit(10).cast("long").alias("te_default_metric"),
+        F.lit("").alias("link_protection"),
+        F.lit("LDP").alias("mpls_proto_mask"),
+        (F.col("event_id") % 100).cast("long").alias("igp_metric"),
+        F.lit("").alias("srlg"),
+        F.concat(F.lit("link-"), (F.col("event_id") % 500).cast("string")).alias("link_name"),
+        F.lit("x").alias("igp_router_id"),
+        F.lit("10.0.0.1").alias("router_id"),
+        F.lit("y").alias("remote_igp_router_id"),
+        F.lit("10.0.0.2").alias("remote_router_id"),
+        F.lit(65001).cast("long").alias("local_node_asn"),
+        F.lit(65001).cast("long").alias("remote_node_asn"),
+        F.lit("").alias("epe_peer_node_sid"),
+        F.lit("").alias("adjacency_segment_id"),
+        wd.alias("is_withdrawn"),
+        mts.alias("timestamp"),
+        F.col("event_id"),
+    )
+    return nodes, links
+
+
+def _run_ls_pipeline(spark: SparkSession, sf_dir: str):
+    from .ingest_ls import apply_ls_link, apply_ls_node
+
+    key = ("ls", id(spark), sf_dir)
+    if key in _PIPELINE_CACHE:
+        try:
+            nodes, lnks = _PIPELINE_CACHE[key]
+            nodes.schema
+            return nodes, lnks
+        except Exception:
+            _PIPELINE_CACHE.pop(key, None)
+    node_msgs, link_msgs = _ls_messages(spark, sf_dir)
+    nodes = spark.createDataFrame([], TABLE_SCHEMAS["ls_nodes"])
+    lnks = spark.createDataFrame([], TABLE_SCHEMAS["ls_links"])
+    for parity in (0, 1):
+        nb = node_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
+        lb = link_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
+        nodes, _ = apply_ls_node(nodes, nb)
+        lnks, _ = apply_ls_link(lnks, lb)
+    nodes, lnks = nodes.localCheckpoint(), lnks.localCheckpoint()
+    _PIPELINE_CACHE[key] = (nodes, lnks)
+    return nodes, lnks
+
+
+# generic two-batch policy-merge CTE generator for the oracle: the
+# merged value of a column under each policy class
+def _merged(col: str, policy: str) -> str:
+    if policy == "always":
+        return f"coalesce(l2.{col}, l1.{col})"
+    if policy == "kow":  # keep_on_withdraw
+        return (f"CASE WHEN l2.h IS NULL THEN l1.{col} "
+                f"WHEN l1.h IS NULL THEN l2.{col} "
+                f"WHEN l2.wd THEN l1.{col} ELSE l2.{col} END")
+    return f"CASE WHEN l1.h IS NOT NULL THEN l1.{col} ELSE l2.{col} END"  # insert-only
+
+
+_LS_ORACLE = f"""
+WITH {_EV},
+nm AS (
+  SELECT 'n' || CAST(user_id % 50 AS VARCHAR) AS h,
+         value < 5 AS wd,
+         'node-' || CAST(user_id % 50 AS VARCHAR) AS name,
+         event_id AS seq,
+         ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
+         event_id
+  FROM ev
+),
+nl1 AS (SELECT * FROM (
+  SELECT nm.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM nm WHERE event_id % 2 = 0) WHERE rn = 1),
+nl2 AS (SELECT * FROM (
+  SELECT nm.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM nm WHERE event_id % 2 = 1) WHERE rn = 1),
+node_state AS (
+  SELECT coalesce(l2.h, l1.h) AS h,
+         {_merged('name', 'insert')} AS name
+  FROM nl1 l1 FULL OUTER JOIN nl2 l2 ON l1.h = l2.h
+),
+lm AS (
+  SELECT 'l' || CAST(event_id % 500 AS VARCHAR) AS h,
+         value < 5 AS wd,
+         CAST(event_id % 100 AS BIGINT) AS igp_metric,
+         event_id AS seq,
+         'n' || CAST(user_id % 50 AS VARCHAR) AS local_n,
+         'n' || CAST((user_id + 1) % 50 AS VARCHAR) AS remote_n,
+         ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
+         event_id
+  FROM ev
+),
+ll1 AS (SELECT * FROM (
+  SELECT lm.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM lm WHERE event_id % 2 = 0) WHERE rn = 1),
+ll2 AS (SELECT * FROM (
+  SELECT lm.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM lm WHERE event_id % 2 = 1) WHERE rn = 1),
+link_state AS (
+  SELECT coalesce(l2.h, l1.h) AS h,
+         {_merged('wd', 'always')} AS wd,
+         {_merged('seq', 'always')} AS seq,
+         {_merged('igp_metric', 'kow')} AS igp_metric,
+         {_merged('local_n', 'insert')} AS local_n,
+         {_merged('remote_n', 'insert')} AS remote_n
+  FROM ll1 l1 FULL OUTER JOIN ll2 l2 ON l1.h = l2.h
+)
+SELECT ln.h AS hash_id,
+       lo.name AS local_router_name,
+       re.name AS remote_router_name,
+       ln.igp_metric,
+       CASE WHEN ln.wd THEN 'WITHDRAWN' ELSE 'ACTIVE' END AS state
+FROM link_state ln
+JOIN node_state lo ON ln.local_n = lo.h
+JOIN node_state re ON ln.remote_n = re.h
+"""
+
+
+@register(
+    "q_bmp_ls_links",
+    oracle=_LS_ORACLE,
+    survey_ref="G4/J3 end-to-end (LsNodeQuery/LsLinkQuery merges; 8_views.sql:126-143)",
+    doc="ls_node+ls_link policy merges joined via v_ls_links vs SQL oracle",
+)
+def q_bmp_ls_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.views import v_ls_links
+
+    nodes, lnks = _run_ls_pipeline(spark, sf_dir)
+    view = v_ls_links(lnks, nodes)
+    # the view (faithful to 8_views.sql) exposes the NODE's seq and no
+    # link hash; the link name encodes the id ('link-K'), recover it
+    return view.select(
+        F.regexp_replace(F.col("name"), "^link-", "l").alias("hash_id"),
+        "local_router_name", "remote_router_name", "igp_metric", "state")
