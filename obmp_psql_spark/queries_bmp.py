@@ -65,27 +65,32 @@ def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_CACHE: dict = {}
 
 
-def _run_pipeline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    # six gate queries share this pipeline; materialize once per
-    # (session, sf) so the driver's per-query runs don't recompute the
-    # two-stage merge five times over
-    key = (id(spark), sf_dir)
+def _cached_pipeline(tag: str, spark: SparkSession, sf_dir: str, build):
+    """Gate queries share expensive pipelines; materialize once per
+    (tag, session, sf). The .schema probe detects a dead session."""
+    key = (tag, id(spark), sf_dir)
     if key in _PIPELINE_CACHE:
         try:
-            state, log = _PIPELINE_CACHE[key]
-            state.schema  # probe the session is still alive
-            return state, log
+            dfs = _PIPELINE_CACHE[key]
+            dfs[0].schema
+            return dfs
         except Exception:
             _PIPELINE_CACHE.pop(key, None)
-    msgs = _messages(spark, sf_dir)
-    b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
-    b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
-    empty = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
-    state1, _ = apply_unicast_prefix(empty, b1)
-    state2, log = apply_unicast_prefix(state1, b2)
-    state2, log = state2.localCheckpoint(), log.localCheckpoint()
-    _PIPELINE_CACHE[key] = (state2, log)
-    return state2, log
+    dfs = tuple(df.localCheckpoint() for df in build())
+    _PIPELINE_CACHE[key] = dfs
+    return dfs
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    def build():
+        msgs = _messages(spark, sf_dir)
+        b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        empty = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
+        state1, _ = apply_unicast_prefix(empty, b1)
+        state2, log = apply_unicast_prefix(state1, b2)
+        return state2, log
+    return _cached_pipeline("rib", spark, sf_dir, build)
 
 
 _EV = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
@@ -400,32 +405,24 @@ def _run_peer_pipeline(spark: SparkSession, sf_dir: str):
     from .ingest import apply_peer, apply_router
     from .schemas import MESSAGE_SCHEMAS
 
-    key = ("peer", id(spark), sf_dir)
-    if key in _PIPELINE_CACHE:
-        try:
-            peers, log = _PIPELINE_CACHE[key]
-            peers.schema
-            return peers, log
-        except Exception:
-            _PIPELINE_CACHE.pop(key, None)
-    import datetime as dt
-    rschema = MESSAGE_SCHEMAS["router"]
-    routers, _ = apply_router(
-        spark.createDataFrame([], TABLE_SCHEMAS["routers"]),
-        spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"]),
-        spark.createDataFrame(
-            [("init", "rt0", "edge-rtr", "198.51.100.1", "", 0, "", "", "",
-              "198.51.100.1", "c0", dt.datetime(2024, 1, 1))], rschema))
-    msgs = _peer_messages(spark, sf_dir)
-    b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
-    b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
-    empty_rib = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
-    peers = spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"])
-    peers, _, log1 = apply_peer(peers, empty_rib, routers, b1)
-    peers, _, log2 = apply_peer(peers, empty_rib, routers, b2)
-    peers, log = peers.localCheckpoint(), log1.unionByName(log2).localCheckpoint()
-    _PIPELINE_CACHE[key] = (peers, log)
-    return peers, log
+    def build():
+        import datetime as dt
+        rschema = MESSAGE_SCHEMAS["router"]
+        routers, _ = apply_router(
+            spark.createDataFrame([], TABLE_SCHEMAS["routers"]),
+            spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"]),
+            spark.createDataFrame(
+                [("init", "rt0", "edge-rtr", "198.51.100.1", "", 0, "", "", "",
+                  "198.51.100.1", "c0", dt.datetime(2024, 1, 1))], rschema))
+        msgs = _peer_messages(spark, sf_dir)
+        b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        empty_rib = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
+        peers = spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"])
+        peers, _, log1 = apply_peer(peers, empty_rib, routers, b1)
+        peers, _, log2 = apply_peer(peers, empty_rib, routers, b2)
+        return peers, log1.unionByName(log2)
+    return _cached_pipeline("peer", spark, sf_dir, build)
 
 
 _PEER_MSG_SQL = """
@@ -548,7 +545,10 @@ def _ls_messages(spark: SparkSession, sf_dir: str):
         F.concat(F.lit("10.0.0."), (F.col("user_id") % 50).cast("string")).alias("router_id"),
         F.lit("49.0001").alias("isis_area_id"),
         F.lit("").alias("flags"),
-        F.concat(F.lit("node-"), (F.col("user_id") % 50).cast("string")).alias("name"),
+        # name varies per message: insert-only policy is observable
+        # (constant-per-hash name made any policy pass the gate)
+        F.concat(F.lit("node-"), (F.col("user_id") % 50).cast("string"),
+                 F.lit("-"), (F.col("event_id") % 3).cast("string")).alias("name"),
         F.lit("0 2").alias("mt_ids"),
         F.lit("").alias("sr_capabilities"),
         wd.alias("is_withdrawn"),
@@ -556,7 +556,11 @@ def _ls_messages(spark: SparkSession, sf_dir: str):
         F.col("event_id"),
     )
     links = ev.select(
-        F.concat(F.lit("l"), (F.col("event_id") % 500).cast("string")).alias("hash"),
+        # 499 is coprime to the %2 batch split, so every link hash
+        # receives messages in BOTH batches and the cross-batch merge
+        # branch actually executes (review finding: %500 shares the
+        # factor 2 and never merged)
+        F.concat(F.lit("l"), (F.col("event_id") % 499).cast("string")).alias("hash"),
         F.lit("p1").alias("peer_hash"),
         F.when(wd, F.lit("")).otherwise(
             F.concat(F.lit("a"), (F.col("event_id") % 20).cast("string"))
@@ -577,9 +581,11 @@ def _ls_messages(spark: SparkSession, sf_dir: str):
         F.lit(10).cast("long").alias("te_default_metric"),
         F.lit("").alias("link_protection"),
         F.lit("LDP").alias("mpls_proto_mask"),
-        (F.col("event_id") % 100).cast("long").alias("igp_metric"),
+        # 97 coprime to 499: the metric VARIES across a link hash's
+        # messages, so keep-on-withdraw is distinguishable from always
+        (F.col("event_id") % 97).cast("long").alias("igp_metric"),
         F.lit("").alias("srlg"),
-        F.concat(F.lit("link-"), (F.col("event_id") % 500).cast("string")).alias("link_name"),
+        F.concat(F.lit("link-"), (F.col("event_id") % 499).cast("string")).alias("link_name"),
         F.lit("x").alias("igp_router_id"),
         F.lit("10.0.0.1").alias("router_id"),
         F.lit("y").alias("remote_igp_router_id"),
@@ -598,25 +604,17 @@ def _ls_messages(spark: SparkSession, sf_dir: str):
 def _run_ls_pipeline(spark: SparkSession, sf_dir: str):
     from .ingest_ls import apply_ls_link, apply_ls_node
 
-    key = ("ls", id(spark), sf_dir)
-    if key in _PIPELINE_CACHE:
-        try:
-            nodes, lnks = _PIPELINE_CACHE[key]
-            nodes.schema
-            return nodes, lnks
-        except Exception:
-            _PIPELINE_CACHE.pop(key, None)
-    node_msgs, link_msgs = _ls_messages(spark, sf_dir)
-    nodes = spark.createDataFrame([], TABLE_SCHEMAS["ls_nodes"])
-    lnks = spark.createDataFrame([], TABLE_SCHEMAS["ls_links"])
-    for parity in (0, 1):
-        nb = node_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
-        lb = link_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
-        nodes, _ = apply_ls_node(nodes, nb)
-        lnks, _ = apply_ls_link(lnks, lb)
-    nodes, lnks = nodes.localCheckpoint(), lnks.localCheckpoint()
-    _PIPELINE_CACHE[key] = (nodes, lnks)
-    return nodes, lnks
+    def build():
+        node_msgs, link_msgs = _ls_messages(spark, sf_dir)
+        nodes = spark.createDataFrame([], TABLE_SCHEMAS["ls_nodes"])
+        lnks = spark.createDataFrame([], TABLE_SCHEMAS["ls_links"])
+        for parity in (0, 1):
+            nb = node_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
+            lb = link_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
+            nodes, _ = apply_ls_node(nodes, nb)
+            lnks, _ = apply_ls_link(lnks, lb)
+        return nodes, lnks
+    return _cached_pipeline("ls", spark, sf_dir, build)
 
 
 # generic two-batch policy-merge CTE generator for the oracle: the
@@ -636,7 +634,8 @@ WITH {_EV},
 nm AS (
   SELECT 'n' || CAST(user_id % 50 AS VARCHAR) AS h,
          value < 5 AS wd,
-         'node-' || CAST(user_id % 50 AS VARCHAR) AS name,
+         'node-' || CAST(user_id % 50 AS VARCHAR) || '-' ||
+           CAST(event_id % 3 AS VARCHAR) AS name,
          event_id AS seq,
          ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
          event_id
@@ -650,14 +649,14 @@ nl2 AS (SELECT * FROM (
   FROM nm WHERE event_id % 2 = 1) WHERE rn = 1),
 node_state AS (
   SELECT coalesce(l2.h, l1.h) AS h,
-         {_merged('name', 'insert')} AS name
+         {_merged('name', 'insert')} AS name,
+         CAST({_merged('seq', 'always')} AS BIGINT) AS seq
   FROM nl1 l1 FULL OUTER JOIN nl2 l2 ON l1.h = l2.h
 ),
 lm AS (
-  SELECT 'l' || CAST(event_id % 500 AS VARCHAR) AS h,
+  SELECT 'l' || CAST(event_id % 499 AS VARCHAR) AS h,
          value < 5 AS wd,
-         CAST(event_id % 100 AS BIGINT) AS igp_metric,
-         event_id AS seq,
+         CAST(event_id % 97 AS BIGINT) AS igp_metric,
          'n' || CAST(user_id % 50 AS VARCHAR) AS local_n,
          'n' || CAST((user_id + 1) % 50 AS VARCHAR) AS remote_n,
          ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
@@ -673,7 +672,6 @@ ll2 AS (SELECT * FROM (
 link_state AS (
   SELECT coalesce(l2.h, l1.h) AS h,
          {_merged('wd', 'always')} AS wd,
-         {_merged('seq', 'always')} AS seq,
          {_merged('igp_metric', 'kow')} AS igp_metric,
          {_merged('local_n', 'insert')} AS local_n,
          {_merged('remote_n', 'insert')} AS remote_n
@@ -682,6 +680,7 @@ link_state AS (
 SELECT ln.h AS hash_id,
        lo.name AS local_router_name,
        re.name AS remote_router_name,
+       lo.seq AS local_node_seq,
        ln.igp_metric,
        CASE WHEN ln.wd THEN 'WITHDRAWN' ELSE 'ACTIVE' END AS state
 FROM link_state ln
@@ -705,4 +704,6 @@ def q_bmp_ls_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # link hash; the link name encodes the id ('link-K'), recover it
     return view.select(
         F.regexp_replace(F.col("name"), "^link-", "l").alias("hash_id"),
-        "local_router_name", "remote_router_name", "igp_metric", "state")
+        "local_router_name", "remote_router_name",
+        F.col("seq").cast("long").alias("local_node_seq"),
+        "igp_metric", "state")
