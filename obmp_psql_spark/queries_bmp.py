@@ -378,9 +378,11 @@ def _peer_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("peer_ip"),
         F.when(locrib, "").otherwise(
             F.concat(F.lit("peer-"), F.col("user_id").cast("string"))).alias("name"),
+        # varies per message (97 coprime to the %2 split): a
+        # misclassified insert-only policy becomes observable
         F.when(locrib, "0.0.0.0")
-         .otherwise(F.concat(F.lit("192.0.2."), (F.col("user_id") % 200).cast("string")))
-         .alias("peer_bgp_id"),
+         .otherwise(F.concat(F.lit("10."), (F.col("event_id") % 97).cast("string"),
+                             F.lit(".0.1"))).alias("peer_bgp_id"),
         (65000 + F.col("user_id")).cast("long").alias("peer_asn"),
         F.lit(False).alias("is_l3vpn"), F.lit(False).alias("is_pre_policy"),
         F.lit("10.0.0.1").alias("local_ip"), F.lit("10.0.0.1").alias("local_bgp_id"),
@@ -434,6 +436,8 @@ pm AS (
               ELSE 'peer-' || CAST(user_id AS VARCHAR) END AS msg_name,
          CASE WHEN user_id % 7 = 0 THEN '0.0.0.0'
               ELSE '192.0.2.' || CAST(user_id % 200 AS VARCHAR) END AS addr,
+         CASE WHEN user_id % 7 = 0 THEN '0.0.0.0'
+              ELSE '10.' || CAST(event_id % 97 AS VARCHAR) || '.0.1' END AS raw_bgp_id,
          CAST(4000 + event_id % 1000 AS INT) AS remote_port,
          CAST(event_id % 5 AS INT) AS bmp_reason,
          ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
@@ -449,7 +453,7 @@ b AS (  -- the backfill runs in prepare: LocRib peers take router identity
   SELECT state, h,
          CASE WHEN locrib THEN 'edge-rtr' ELSE msg_name END AS name,
          addr,
-         CASE WHEN locrib THEN '198.51.100.1' ELSE addr END AS bgp_id,
+         CASE WHEN locrib THEN '198.51.100.1' ELSE raw_bgp_id END AS bgp_id,
          remote_port, bmp_reason, mts, event_id
   FROM pm
 ),
