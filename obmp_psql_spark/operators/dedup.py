@@ -213,6 +213,11 @@ def ngram_jaccard_pairs(
         keep = (ex.groupBy(*freq_keys).agg(F.count(F.lit(1)).alias("__df"))
                 .filter(F.col("__df") <= max_doc_freq).drop("__df"))
         ex = ex.join(keep, freq_keys, "left_semi")
+    # the inverted index feeds three consumers (sizes + both join
+    # sides); materialize it once — shingling re-runs the regex split
+    # per consumer otherwise, and at scale the index is a build-once
+    # artifact anyway
+    ex = ex.persist()
     sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id"))

@@ -210,7 +210,11 @@ def ivf_topk(
         .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
                 F.col("__n").alias("__cn")))
 
-    # nprobe nearest centroids per vector (broadcast join + window)
+    # nprobe nearest centroids per vector (broadcast join + window).
+    # The assignment table is the IVF index: built ONCE and persisted
+    # (at production scale it is written out as the index artifact) —
+    # without this, both sides of the list join would re-run the
+    # centroid crossJoin + window from scratch.
     scored_c = base.crossJoin(cents).select(
         "__id", "__v", "__n", "__cid",
         (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
@@ -218,22 +222,25 @@ def ivf_topk(
     wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
     assigned = (scored_c.withColumn("__cr", F.row_number().over(wc))
                 .filter(F.col("__cr") <= nprobe)
-                .select("__id", "__v", "__n", "__cid"))
+                .select("__id", "__v", "__n", "__cid", "__cr")
+                .persist())
 
     a = assigned.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv"),
                         F.col("__n").alias("__qn"), "__cid")
-    # inverted lists: members assigned to a centroid by their TOP-1
-    b = (scored_c.withColumn("__cr", F.row_number().over(wc))
-         .filter(F.col("__cr") == 1)
+    # inverted lists: members assigned to a centroid by their TOP-1 —
+    # a subset of the probe assignment, so no second window pass
+    b = (assigned.filter(F.col("__cr") == 1)
          .select(F.col("__id").alias("neighbor_id"), F.col("__v").alias("__iv"),
                  F.col("__n").alias("__in"), "__cid"))
+    # each neighbor lives in exactly one top-1 list and a query's
+    # probed cids are distinct, so (query_id, neighbor_id) pairs are
+    # already unique — no dedup shuffle needed
     pairs = (
         a.join(b, "__cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 (dot(F.col("__qv"), F.col("__iv"))
                  / (F.col("__qn") * F.col("__in"))).alias("cos"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
