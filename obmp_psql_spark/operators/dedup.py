@@ -137,6 +137,10 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
+    # the band table feeds both sides of the self-join; materialize it
+    # once or the full explode + 16-way min-md5 signature aggregation
+    # runs twice (at scale the signature table is a build-once artifact)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

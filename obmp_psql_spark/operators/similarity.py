@@ -99,6 +99,9 @@ def lsh_topk(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), dims, n_planes))      .withColumn("__n", l2norm(F.col("__v")))
+    # bucketed table feeds both join sides; materialize once so the
+    # n_planes interpreted dot products don't evaluate twice per row
+    base = base.persist()
     a = base.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv"),
                     F.col("__n").alias("__qn"), F.col("__bucket").alias("__b"))
     b = base.select(F.col("__id").alias("neighbor_id"), F.col("__v").alias("__iv"),
@@ -126,6 +129,8 @@ def embedding_neardup_pairs(
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", l2norm(F.col("__v")))
+    # normalized-vector table feeds both join sides; build it once
+    base = base.persist()
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
