@@ -64,3 +64,35 @@ def test_salted_agg_matches_direct(spark):
                   "lo": ("v", "min"), "hi": ("v", "max")}, n_salt=16).collect()}
     assert direct == salted
     assert direct["HOT"][1] == 16000
+
+
+def test_build_once_indexes_are_materialized(spark):
+    """The IVF assignment, minhash band table, and ngram inverted
+    index feed multiple plan branches; each must appear as an
+    InMemoryTableScan (persisted build-once artifact), not be
+    re-derived per branch. Guards the PLANS.md materialization
+    claims against an accidentally dropped persist."""
+    import pandas as pd
+
+    from obmp_psql_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    from obmp_psql_spark.operators.similarity import ivf_topk
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"the quick brown fox {i} jumps over {i % 7}" for i in range(40)],
+    }))
+    vecs = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(40),
+        "embedding": [[float((i * 7 + d) % 13) for d in range(8)] for i in range(40)],
+    }))
+
+    plans = {
+        "ivf": ivf_topk(vecs, n_centroids=4, nprobe=2, k=3),
+        "minhash": minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=2),
+        "ngram": ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1),
+    }
+    for name, df in plans.items():
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in physical, \
+            f"{name}: build-once index not materialized\n{physical[:2000]}"
