@@ -29,6 +29,11 @@ def main() -> None:
     names = os.environ.get("BENCH_QUERIES")
     selected = names.split(",") if names else sorted(specs)
 
+    # warm the JVM/codegen/scan path once so the alphabetically-first
+    # query doesn't absorb ~4s of session startup in its own number
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .limit(1000).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in selected:
