@@ -65,6 +65,12 @@ def main() -> None:
         n_msgs = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         out["ingest_rate_msgs_per_sec"] = round(
             n_msgs / timings["q_bmp_rib_merge"])
+        # durable variant: same messages through the transactional
+        # store (staged parquet + atomic commit per batch + replayed
+        # -batch guard) — the honest end-to-end sink number
+        if timings.get("q_bmp_txn_store", 0) > 0:
+            out["ingest_rate_durable_msgs_per_sec"] = round(
+                n_msgs / timings["q_bmp_txn_store"])
     print(json.dumps(out))
 
 

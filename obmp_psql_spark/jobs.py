@@ -5,16 +5,16 @@
 Each job reads from / writes to the state store and keeps its own
 incremental watermark (the reference derives it from
 ``SELECT max(timestamp) FROM global_ip_rib`` — 2_aggregations.sql:
-189-190; here it persists in a tiny json per job, the equivalent of
-a checkpoint). Orchestrate with any scheduler (cron/Airflow) or the
+189-190; here it rides in the commit record's metadata, so the
+watermark becomes visible atomically WITH the data it describes —
+the same guarantee Postgres gives the reference's transactional cron
+functions). Orchestrate with any scheduler (cron/Airflow) or the
 Structured Streaming ``availableNow`` trigger.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import json
-import os
 
 from pyspark.sql import functions as F
 
@@ -28,19 +28,9 @@ class JobRunner:
         self.store = store
 
     # -- watermark bookkeeping (O2 / SURVEY §7 known-hard #4) ----------
-    def _wm_path(self, job: str) -> str:
-        return os.path.join(self.store.root, f"_watermark_{job}.json")
-
     def get_watermark(self, job: str) -> dt.datetime | None:
-        p = self._wm_path(job)
-        if os.path.exists(p):
-            with open(p) as f:
-                return dt.datetime.fromisoformat(json.load(f)["ts"])
-        return None
-
-    def set_watermark(self, job: str, ts: dt.datetime) -> None:
-        with open(self._wm_path(job), "w") as f:
-            json.dump({"ts": ts.isoformat()}, f)
+        v = self.store.get_meta(f"watermark_{job}")
+        return dt.datetime.fromisoformat(v) if v else None
 
     # -- jobs ----------------------------------------------------------
     def run_chg_stats(self, now: dt.datetime | None = None,
@@ -49,19 +39,20 @@ class JobRunner:
         recompute the trailing window and merge-replace by bucket key."""
         now = now or dt.datetime.utcnow()
         log = self.store.read("ip_rib_log")
-        for table, fresh, keys in (
-            ("stats_chg_bypeer", R.chg_stats_bypeer(log, now, window),
-             ["interval_time", "peer_hash_id"]),
-            ("stats_chg_byasn", R.chg_stats_byasn(log, now, window),
-             ["interval_time", "peer_hash_id", "origin_as"]),
-            ("stats_chg_byprefix", R.chg_stats_byprefix(log, now, window),
-             ["interval_time", "peer_hash_id", "prefix"]),
-        ):
-            try:
+        # one transaction for all three stats tables: a crash cannot
+        # leave bypeer updated but byasn stale (the reference's
+        # update_chg_stats is likewise one plpgsql transaction)
+        with self.store.transaction() as txn:
+            for table, fresh, keys in (
+                ("stats_chg_bypeer", R.chg_stats_bypeer(log, now, window),
+                 ["interval_time", "peer_hash_id"]),
+                ("stats_chg_byasn", R.chg_stats_byasn(log, now, window),
+                 ["interval_time", "peer_hash_id", "origin_as"]),
+                ("stats_chg_byprefix", R.chg_stats_byprefix(log, now, window),
+                 ["interval_time", "peer_hash_id", "prefix"]),
+            ):
                 cur = self.store.read(table, fresh.schema)
-            except KeyError:
-                cur = self.store.spark.createDataFrame([], fresh.schema)
-            self.store.overwrite(table, R.merge_replace(cur, fresh, keys))
+                txn.replace(table, R.merge_replace(cur, fresh, keys))
 
     def run_global_rib(self, now: dt.datetime | None = None,
                        max_interval: dt.timedelta = dt.timedelta(hours=2)) -> None:
@@ -77,16 +68,16 @@ class JobRunner:
             last_query_time=self.get_watermark("global_ip_rib"),
             max_interval=max_interval,
         )
-        self.store.overwrite("global_ip_rib", out)
-        self.set_watermark("global_ip_rib", now)
+        with self.store.transaction() as txn:
+            txn.replace("global_ip_rib", out)
+            # watermark commits atomically with the data it describes
+            txn.set_meta("watermark_global_ip_rib", now.isoformat())
 
     def run_peer_rib_counts(self, now: dt.datetime | None = None) -> None:
         """update_peer_rib_counts (15-min snapshot, A7)."""
         now = now or dt.datetime.utcnow()
         fresh = R.peer_rib_counts(self.store.read("ip_rib"), now)
-        cur = self.store.spark.createDataFrame([], fresh.schema) \
-            if not os.path.exists(os.path.join(self.store.root, "stats_peer_rib")) \
-            else self.store.read("stats_peer_rib", fresh.schema)
+        cur = self.store.read("stats_peer_rib", fresh.schema)
         self.store.overwrite(
             "stats_peer_rib",
             R.merge_replace(cur, fresh, ["interval_time", "peer_hash_id"]))
@@ -95,9 +86,7 @@ class JobRunner:
         """update_origin_stats (hourly, A6) over the global RIB."""
         now = now or dt.datetime.utcnow()
         fresh = R.origin_stats(self.store.read("global_ip_rib"), now)
-        cur = self.store.spark.createDataFrame([], fresh.schema) \
-            if not os.path.exists(os.path.join(self.store.root, "stats_ip_origins")) \
-            else self.store.read("stats_ip_origins", fresh.schema)
+        cur = self.store.read("stats_ip_origins", fresh.schema)
         self.store.overwrite(
             "stats_ip_origins",
             R.merge_replace(cur, fresh, ["interval_time", "asn"]))
@@ -110,6 +99,9 @@ class JobRunner:
         keeps readers safe."""
         df = self.store.read(table)
         self.store.overwrite(table, df.coalesce(target_partitions))
+        # fold the commit-log prefix into a checkpoint record so log
+        # replay stays O(recent) under continuous micro-batching
+        self.store.checkpoint_log()
 
     def run_retention(self, now: dt.datetime | None = None,
                       log_retention: dt.timedelta = dt.timedelta(days=60),
@@ -119,10 +111,11 @@ class JobRunner:
         withdrawn rows (2_aggregations.sql:166-175)."""
         now = now or dt.datetime.utcnow()
         log = self.store.read("ip_rib_log")
-        self.store.overwrite(
-            "ip_rib_log",
-            log.filter(F.col("timestamp") >= F.lit(now - log_retention)))
-        self.store.overwrite(
-            "global_ip_rib",
-            G.purge_global_ip_rib(self.store.read("global_ip_rib"), now,
-                                  withdrawn_age))
+        with self.store.transaction() as txn:
+            txn.replace(
+                "ip_rib_log",
+                log.filter(F.col("timestamp") >= F.lit(now - log_retention)))
+            txn.replace(
+                "global_ip_rib",
+                G.purge_global_ip_rib(self.store.read("global_ip_rib"), now,
+                                      withdrawn_age))

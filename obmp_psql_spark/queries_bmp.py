@@ -140,6 +140,41 @@ def q_bmp_rib_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "first_added_timestamp", "prefix")
 
 
+@register(
+    "q_bmp_txn_store",
+    oracle=_MERGE_ORACLE,
+    survey_ref="S3/T5/T8 end-to-end (WriterRunnable.java:77-176 txn sink; state.py)",
+    doc="two-batch merge driven through the transactional store "
+        "(staged commits, txn batch actions, committed read-back) vs SQL oracle",
+)
+def q_bmp_txn_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_bmp_rib_merge, but the batches flow through
+    the REAL sink: each micro-batch is one atomic store commit (log
+    append + state replace + batch txn action), and the result is the
+    committed snapshot read back from disk — gating the commit
+    protocol itself, not just the DataFrame algebra. A duplicate
+    delivery of batch 1 exercises the exactly-once txn guard."""
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+        from .streaming.pipeline import BmpStreamingIngest
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="txnstore_"))
+        ing = BmpStreamingIngest(spark, store)
+        msgs = _messages(spark, sf_dir)
+        b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        ing.unicast_prefix_batch(b1, 0)
+        ing.unicast_prefix_batch(b2, 1)
+        ing.unicast_prefix_batch(b1, 0)  # replayed batch: must be a no-op
+        return (store.read("ip_rib"),)
+    (state,) = _cached_pipeline("txnstore", spark, sf_dir, build)
+    return state.select("peer_hash_id", "hash_id", "base_attr_hash_id",
+                        "origin_as", "is_withdrawn", "timestamp",
+                        "first_added_timestamp", "prefix")
+
+
 _LOG_ORACLE = f"""
 WITH {_EV},
 {_MSG_SQL},

@@ -1,23 +1,49 @@
-"""Parquet-backed state store emulating lakehouse MERGE targets.
+"""Transactional parquet state store — the MERGE sink for mutable
+tables, with a Delta-protocol-style commit log.
 
 The reference maintains mutable Postgres tables (UPSERTs at 3k
-rows/300ms, WriterRunnable.java:77-176). The Spark-native equivalent
-is Delta/Iceberg ``MERGE INTO``; this container has no lakehouse
-jars, so state lives in parquet directories with atomic
-versioned-directory swap. The operator layer is pure (DataFrame in ->
-DataFrame out), so swapping this store for Delta changes one class.
+rows/300ms, WriterRunnable.java:77-176) where each bulk statement is
+one ACID transaction and the AFTER-UPDATE triggers (9_triggers.sql)
+append change-log rows *inside that same transaction*. The Spark
+-native equivalent is Delta/Iceberg ``MERGE INTO``; this container
+has no lakehouse jars, so this module implements the same commit
+protocol directly on parquet + a JSON transaction log:
 
-Scale notes: at 100 TB the state tables are partitioned (ip_rib by
-peer_hash_id bucket; logs by hour) and MERGE touches only matched
-files (Delta data skipping on hash_id). The overwrite-swap here is
-the local-mode stand-in; the operator outputs and the pipeline
-orchestration are unchanged.
+* data files are STAGED first (written to fresh directories no reader
+  resolves), then a single commit record in ``_txn_log/`` makes every
+  action in the transaction visible atomically — crash before the
+  commit record leaves the store at the previous snapshot, with only
+  orphaned staging dirs (reclaimed by ``vacuum``);
+* a commit may carry a ``txn`` action ``{app, version}`` — exactly
+  Delta's idempotent-writer action — so a replayed ``foreachBatch``
+  (same batch_id) is a no-op even if the previous attempt crashed
+  after data was staged;
+* commit visibility uses ``os.link`` (create-exclusive): two racing
+  committers cannot both claim the same log version — the loser
+  retries against the new snapshot (optimistic concurrency, the
+  Delta protocol's conflict rule with the trivial resolution that
+  our pipelines write disjoint tables per stream);
+* commit records can carry ``meta`` key/values (job watermarks), so
+  "data + the watermark describing it" commit together — the
+  reference gets this for free from Postgres transactional cron
+  functions (2_aggregations.sql:189-201).
+
+Scale notes: at 100 TB the commit log stays tiny (one small JSON per
+micro-batch; checkpoint/compact periodically like Delta does), state
+tables are partitioned (ip_rib by peer_hash_id bucket; logs by hour)
+and a real lakehouse MERGE touches only matched files. The staging
+-then-commit discipline here is storage-layout-compatible with that:
+the operator layer is pure (DataFrame in -> DataFrame out) and the
+pipeline calls one ``transaction()`` per micro-batch, so swapping
+this store for Delta changes one class.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,78 +51,369 @@ from pyspark.sql import types as T
 
 from .schemas import TABLE_SCHEMAS
 
+_LOG_DIR = "_txn_log"
+_PAD = 20  # zero-padded commit numbers sort lexicographically
 
-class ParquetStateStore:
-    def __init__(self, spark: SparkSession, root: str):
-        self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
 
-    def _dir(self, table: str) -> str:
-        return os.path.join(self.root, table)
+def _has_parquet(path: str) -> bool:
+    for _, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
-    def _current(self, table: str) -> str | None:
-        d = self._dir(table)
-        link = os.path.join(d, "_CURRENT")
-        if os.path.exists(link):
-            with open(link) as f:
-                return os.path.join(d, f.read().strip())
-        return None
 
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        """Current state, or an empty typed DataFrame if never written
-        (including a version dir that holds no parquet files — an
-        empty partitioned append writes nothing)."""
-        cur = self._current(table)
-        if cur and os.path.exists(cur):
-            try:
-                return self.spark.read.parquet(cur)
-            except Exception:
-                pass  # no files in the version dir -> fall through
-        schema = schema or TABLE_SCHEMAS[table]
-        return self.spark.createDataFrame([], schema)
+class _Snapshot:
+    """Materialized view of the commit log at one version."""
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
-        """Write a new version directory, then atomically repoint
-        _CURRENT (the stand-in for a Delta commit).
+    __slots__ = ("version", "tables", "txns", "meta")
 
-        GC keeps the two most recent versions: Spark plans are lazy,
-        so a DataFrame derived from the previous version (e.g. a log
-        append computed from the pre-merge state) may execute AFTER
-        this overwrite — deleting its input files mid-plan is the
-        classic lazy-read hazard (Delta solves this with snapshot
-        retention + VACUUM; same policy here, window of 2)."""
-        d = self._dir(table)
-        os.makedirs(d, exist_ok=True)
-        existing = sorted(n for n in os.listdir(d) if n.startswith("v_"))
-        seq = int(existing[-1][2:8]) + 1 if existing else 0
-        version = f"v_{seq:06d}_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(d, version))
-        tmp = os.path.join(d, "_CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, os.path.join(d, "_CURRENT"))
-        for name in sorted(n for n in os.listdir(d) if n.startswith("v_"))[:-2]:
-            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+    def __init__(self) -> None:
+        self.version = -1
+        # table -> {"replace": dir|None, "appends": [dir, ...],
+        #           "history": [superseded replace dirs, newest last]}
+        self.tables: dict[str, dict] = {}
+        self.txns: dict[str, int] = {}   # app -> highest committed version
+        self.meta: dict[str, str] = {}
+
+    def apply(self, version: int, commit: dict) -> None:
+        self.version = version
+        for act in commit.get("actions", []):
+            tab = self.tables.setdefault(
+                act["table"], {"replace": None, "appends": [], "history": []})
+            if act["kind"] == "replace":
+                if tab["replace"] is not None:
+                    tab["history"].append(tab["replace"])
+                # appends before a replace are superseded (the replace
+                # result was computed FROM them); keep for lazy readers
+                tab["history"].extend(tab["appends"])
+                tab["appends"] = []
+                tab["replace"] = act["dir"] if act.get("has_files") else None
+            elif act["kind"] == "append":
+                if act.get("has_files"):
+                    tab["appends"].append(act["dir"])
+        txn = commit.get("txn")
+        if txn:
+            prev = self.txns.get(txn["app"], -1)
+            self.txns[txn["app"]] = max(prev, int(txn["version"]))
+        for app, v in commit.get("txns", {}).items():  # checkpoint record
+            self.txns[app] = max(self.txns.get(app, -1), int(v))
+        self.meta.update(commit.get("meta", {}))
+
+
+class Transaction:
+    """Collects staged actions; committed atomically by the store.
+
+    Writes happen eagerly (data must be durable before the commit
+    record), visibility happens at commit. Use via
+    ``with store.transaction(...) as txn:``.
+    """
+
+    def __init__(self, store: "TxnStateStore", app: str | None,
+                 version: int | None):
+        self.store = store
+        self.app = app
+        self.version = version
+        self.actions: list[dict] = []
+        self.meta: dict[str, str] = {}
+        self._staged_dirs: list[str] = []
+
+    def replace(self, table: str, df: DataFrame) -> None:
+        """Stage a full new snapshot of ``table`` (the result of a
+        MERGE computed by the operator layer)."""
+        d = self.store._stage_dir(table, "v")
+        df.write.mode("overwrite").parquet(d)
+        self._staged_dirs.append(d)
+        self.actions.append({"table": table, "kind": "replace",
+                             "dir": self.store._rel(d),
+                             "has_files": _has_parquet(d)})
 
     def append(self, table: str, df: DataFrame,
                partition_by: str | None = None) -> None:
-        """Append-only tables (logs): parquet append, optionally
-        hive-partitioned (the hypertable-chunk equivalent,
-        1_base.sql:367 — hour partitions give time-predicate pruning
-        and cheap retention drops at 100 TB)."""
-        cur = self._current(table)
-        writer = df.write.mode("append")
+        """Stage an append (change logs). Optionally hive-partitioned
+        — the hypertable-chunk equivalent (1_base.sql:367): hour
+        partitions give time-predicate pruning and cheap retention."""
+        d = self.store._stage_dir(table, "a")
+        w = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(partition_by)
-        if cur is None:
-            d = self._dir(table)
-            os.makedirs(d, exist_ok=True)
-            version = "v_000000_init"
-            writer.parquet(os.path.join(d, version))
-            tmp = os.path.join(d, "_CURRENT.tmp")
-            with open(tmp, "w") as f:
-                f.write(version)
-            os.replace(tmp, os.path.join(d, "_CURRENT"))
+            w = w.partitionBy(partition_by)
+        w.parquet(d)
+        self._staged_dirs.append(d)
+        self.actions.append({"table": table, "kind": "append",
+                             "dir": self.store._rel(d),
+                             "has_files": _has_parquet(d)})
+
+    def set_meta(self, key: str, value: str) -> None:
+        """Commit-scoped metadata (e.g. a job watermark) — becomes
+        visible atomically with the data actions."""
+        self.meta[key] = value
+
+    def abort(self) -> None:
+        for d in self._staged_dirs:
+            shutil.rmtree(os.path.join(self.store.root, d)
+                          if not os.path.isabs(d) else d, ignore_errors=True)
+        self.actions = []
+
+
+class TxnStateStore:
+    """Multi-table parquet store with an atomic commit log."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        self._snap = _Snapshot()
+        self._replayed = 0  # commits consumed by self._snap
+
+    # -- paths ---------------------------------------------------------
+    def _rel(self, path: str) -> str:
+        return os.path.relpath(path, self.root)
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def _stage_dir(self, table: str, prefix: str) -> str:
+        d = os.path.join(self.root, table,
+                         f"{prefix}_{uuid.uuid4().hex[:12]}")
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        return d
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:0{_PAD}d}.json")
+
+    # -- snapshot resolution -------------------------------------------
+    def _commit_files(self) -> list[str]:
+        d = os.path.join(self.root, _LOG_DIR)
+        return sorted(n for n in os.listdir(d)
+                      if n.endswith(".json") and not n.startswith("."))
+
+    def snapshot(self) -> _Snapshot:
+        """Replay any commits newer than the cached snapshot.
+        Tmp/partial files are invisible by construction (visibility =
+        the os.link'ed final name), so a crashed committer leaves
+        nothing here to skip."""
+        files = self._commit_files()
+        for name in files[self._replayed:]:
+            with open(os.path.join(self.root, _LOG_DIR, name)) as f:
+                commit = json.load(f)
+            self._snap.apply(int(name[:-5]), commit)
+        self._replayed = len(files)
+        return self._snap
+
+    # -- read ----------------------------------------------------------
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        """Current committed state: last replace dir + later appends,
+        or an empty typed DataFrame if never written."""
+        tab = self.snapshot().tables.get(table)
+        paths = []
+        if tab:
+            if tab["replace"]:
+                paths.append(self._abs(tab["replace"]))
+            paths.extend(self._abs(p) for p in tab["appends"])
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        if paths:
+            # each committed dir is read as its own root and unioned:
+            # a compacted replace (flat files) can coexist with
+            # hive-partitioned appends without tripping Spark's
+            # multi-root partition discovery; the partition column
+            # resurfaces as a normal column either way
+            dfs = [self.spark.read.parquet(p) for p in paths]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        schema = schema or TABLE_SCHEMAS[table]
+        return self.spark.createDataFrame([], schema)
+
+    def current_paths(self, table: str) -> list[str]:
+        """Committed data dirs for ``table`` (replace dir + later
+        appends), absolute. Empty if never written."""
+        tab = self.snapshot().tables.get(table)
+        if not tab:
+            return []
+        out = [self._abs(tab["replace"])] if tab["replace"] else []
+        out.extend(self._abs(p) for p in tab["appends"])
+        return out
+
+    def get_meta(self, key: str, default: str | None = None) -> str | None:
+        return self.snapshot().meta.get(key, default)
+
+    def last_txn_version(self, app: str) -> int:
+        """Highest batch version committed under ``app`` (-1 if none)
+        — the idempotent-replay check for foreachBatch handlers."""
+        return self.snapshot().txns.get(app, -1)
+
+    # -- write ---------------------------------------------------------
+    def transaction(self, app: str | None = None,
+                    version: int | None = None) -> "_TxnContext":
+        """Open a transaction. If (app, version) is given and that
+        version is already committed, the body is SKIPPED entirely
+        (exactly-once under foreachBatch retry, Delta txn action)."""
+        return _TxnContext(self, app, version)
+
+    def _commit(self, txn: Transaction) -> bool:
+        if txn.app is not None and txn.version is not None \
+                and self.last_txn_version(txn.app) >= txn.version:
+            txn.abort()  # lost an idempotency race: drop staged data
+            return False
+        record = {"actions": txn.actions, "meta": txn.meta,
+                  "ts": time.time()}
+        if txn.app is not None and txn.version is not None:
+            record["txn"] = {"app": txn.app, "version": txn.version}
+        tmp = os.path.join(self.root, _LOG_DIR,
+                           f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            while True:
+                target = self._log_path(self.snapshot().version + 1)
+                try:
+                    os.link(tmp, target)  # atomic + create-exclusive
+                    break
+                except FileExistsError:
+                    # another committer won this version: re-resolve
+                    # the snapshot (and re-check idempotency) and retry
+                    if txn.app is not None and txn.version is not None \
+                            and self.last_txn_version(txn.app) >= txn.version:
+                        txn.abort()
+                        return False
+        finally:
+            os.unlink(tmp)
+        self.snapshot()
+        self._gc(txn.actions)
+        return True
+
+    def _gc(self, actions: list[dict]) -> None:
+        """Eager GC after a replace: keep the last 2 generations per
+        table (Spark plans are lazy — a DataFrame derived from the
+        previous snapshot may execute after this commit; Delta solves
+        this with snapshot retention + VACUUM, same policy here)."""
+        snap = self._snap
+        for act in actions:
+            if act["kind"] != "replace":
+                continue
+            tab = snap.tables.get(act["table"])
+            if not tab:
+                continue
+            keep_tail = 1  # previous generation stays readable
+            dead, tab["history"] = \
+                tab["history"][:-keep_tail], tab["history"][-keep_tail:]
+            for rel in dead:
+                shutil.rmtree(self._abs(rel), ignore_errors=True)
+
+    # -- convenience single-action transactions (back-compat API) ------
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        with self.transaction() as txn:
+            txn.replace(table, df)
+
+    def append(self, table: str, df: DataFrame,
+               partition_by: str | None = None) -> None:
+        with self.transaction() as txn:
+            txn.append(table, df, partition_by=partition_by)
+
+    # -- maintenance ---------------------------------------------------
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Remove data dirs not referenced by the current snapshot:
+        crash-orphaned staging dirs and GC'd history. Age-gated so an
+        in-flight (staged, uncommitted) transaction isn't destroyed —
+        same contract as Delta VACUUM's retention check. Returns the
+        removed dirs."""
+        snap = self.snapshot()
+        live: set[str] = set()
+        for tab in snap.tables.values():
+            if tab["replace"]:
+                live.add(tab["replace"])
+            live.update(tab["appends"])
+            live.update(tab["history"])
+        removed = []
+        now = time.time()
+        for table in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, table)
+            if table == _LOG_DIR or not os.path.isdir(tdir):
+                continue
+            for sub in sorted(os.listdir(tdir)):
+                rel = os.path.join(table, sub)
+                full = os.path.join(tdir, sub)
+                if rel in live or not os.path.isdir(full):
+                    continue
+                if now - os.path.getmtime(full) >= min_age_seconds:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(rel)
+        return removed
+
+    def checkpoint_log(self, keep: int = 10) -> None:
+        """Compact the commit log: fold everything older than the
+        last ``keep`` commits into one snapshot record (Delta's
+        checkpoint files). Keeps log replay O(recent) forever."""
+        files = self._commit_files()
+        if len(files) <= keep:
             return
-        writer.parquet(cur)
+        base = _Snapshot()
+        cut = len(files) - keep
+        for name in files[:cut]:
+            with open(os.path.join(self.root, _LOG_DIR, name)) as f:
+                base.apply(int(name[:-5]), json.load(f))
+        actions = []
+        for table, tab in base.tables.items():
+            if tab["replace"]:
+                actions.append({"table": table, "kind": "replace",
+                                "dir": tab["replace"], "has_files": True})
+            for d in tab["appends"]:
+                actions.append({"table": table, "kind": "append",
+                                "dir": d, "has_files": True})
+        record = {"actions": actions, "meta": base.meta, "ts": time.time(),
+                  "checkpoint_of": base.version,
+                  "txns": base.txns}
+        # rewrite the oldest kept slot's predecessor as the checkpoint
+        ckpt_path = os.path.join(self.root, _LOG_DIR, files[cut - 1])
+        tmp = ckpt_path + ".ck"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, ckpt_path)
+        for name in files[:cut - 1]:
+            os.unlink(os.path.join(self.root, _LOG_DIR, name))
+        # force full replay on next access (the folded prefix is gone)
+        self._snap = _Snapshot()
+        self._replayed = 0
+
+
+class _TxnContext:
+    def __init__(self, store: TxnStateStore, app: str | None,
+                 version: int | None):
+        self.store = store
+        self.app = app
+        self.version = version
+        self.txn: Transaction | None = None
+
+    @property
+    def skipped(self) -> bool:
+        return self.txn is None
+
+    def __enter__(self) -> Transaction:
+        if self.app is not None and self.version is not None \
+                and self.store.last_txn_version(self.app) >= self.version:
+            # already applied: hand back an inert transaction whose
+            # writes are aborted at exit (nothing commits)
+            self.txn = None
+            inert = Transaction(self.store, self.app, self.version)
+            self._inert = inert
+            return inert
+        self.txn = Transaction(self.store, self.app, self.version)
+        return self.txn
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if self.txn is None:
+            self._inert.abort()
+            return False
+        if exc_type is not None:
+            self.txn.abort()
+            return False  # propagate; nothing became visible
+        self.store._commit(self.txn)
+        return False
+
+
+# Back-compat name: earlier rounds used a versioned-directory-swap
+# store under this name; the API (read/overwrite/append) is unchanged.
+ParquetStateStore = TxnStateStore

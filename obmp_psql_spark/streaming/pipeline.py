@@ -25,9 +25,6 @@ matches the reference's cross-thread behavior.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import ingest, ingest_ls
@@ -38,9 +35,14 @@ from ..state import ParquetStateStore
 class BmpStreamingIngest:
     """foreachBatch glue: message batch -> apply -> state store.
 
-    Appends (logs) are written BEFORE the state overwrite so their
-    lazy plans read the pre-merge state version; the store retains
-    two versions as a safety net (see state.py)."""
+    Each micro-batch is ONE store transaction: the change-log append,
+    the state replace, and the (msg_type, batch_id) txn action commit
+    atomically — mirroring the reference, where the bulk upsert and
+    its trigger-emitted log rows share one Postgres transaction
+    (WriterRunnable.java:155-176 + 9_triggers.sql). A crash anywhere
+    before the commit record leaves the previous snapshot intact and
+    the replayed batch re-applies cleanly; a replay after the commit
+    is skipped by the txn action (T5/T8 exactly-once)."""
 
     def __init__(self, spark: SparkSession, store: ParquetStateStore,
                  geo_ip: DataFrame | None = None):
@@ -48,111 +50,92 @@ class BmpStreamingIngest:
         self.store = store
         self.geo_ip = geo_ip
 
-    # -- batch-id guard: exactly-once effect under foreachBatch retry --
-    def _guard_path(self, name: str) -> str:
-        return os.path.join(self.store.root, f"_applied_{name}.json")
-
-    def _already_applied(self, name: str, batch_id: int) -> bool:
-        p = self._guard_path(name)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)["batch_id"] >= batch_id
-        return False
-
-    def _mark_applied(self, name: str, batch_id: int) -> None:
-        with open(self._guard_path(name), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
+    def _applied(self, name: str, batch_id: int) -> bool:
+        return self.store.last_txn_version(name) >= batch_id
 
     # -- per-type batch handlers ---------------------------------------
     def unicast_prefix_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("unicast_prefix", batch_id):
+        if self._applied("unicast_prefix", batch_id):
             return
         from pyspark.sql import functions as F
         state = self.store.read("ip_rib")
         new_state, log = ingest.apply_unicast_prefix(state, batch)
-        # hour partitions: Timescale 1-hour chunks (1_base.sql:367)
-        self.store.append(
-            "ip_rib_log",
-            log.withColumn("log_hour", F.date_trunc("hour", "timestamp")),
-            partition_by="log_hour")
-        self.store.overwrite("ip_rib", new_state)
-        self._mark_applied("unicast_prefix", batch_id)
+        with self.store.transaction("unicast_prefix", batch_id) as txn:
+            # hour partitions: Timescale 1-hour chunks (1_base.sql:367)
+            txn.append(
+                "ip_rib_log",
+                log.withColumn("log_hour", F.date_trunc("hour", "timestamp")),
+                partition_by="log_hour")
+            txn.replace("ip_rib", new_state)
 
     def base_attribute_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("base_attribute", batch_id):
+        if self._applied("base_attribute", batch_id):
             return
-        self.store.overwrite(
-            "base_attrs",
-            ingest.apply_base_attribute(self.store.read("base_attrs"), batch))
-        self._mark_applied("base_attribute", batch_id)
+        merged = ingest.apply_base_attribute(
+            self.store.read("base_attrs"), batch)
+        with self.store.transaction("base_attribute", batch_id) as txn:
+            txn.replace("base_attrs", merged)
 
     def peer_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("peer", batch_id):
+        if self._applied("peer", batch_id):
             return
         peers, rib, log = ingest.apply_peer(
             self.store.read("bgp_peers"), self.store.read("ip_rib"),
             self.store.read("routers"), batch, self.geo_ip)
-        self.store.append("peer_event_log", log)
-        self.store.overwrite("bgp_peers", peers)
-        self.store.overwrite("ip_rib", rib)
-        self._mark_applied("peer", batch_id)
+        with self.store.transaction("peer", batch_id) as txn:
+            txn.append("peer_event_log", log)
+            txn.replace("bgp_peers", peers)
+            txn.replace("ip_rib", rib)
 
     def router_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("router", batch_id):
+        if self._applied("router", batch_id):
             return
         routers, peers = ingest.apply_router(
             self.store.read("routers"), self.store.read("bgp_peers"),
             batch, self.geo_ip)
-        self.store.overwrite("routers", routers)
-        self.store.overwrite("bgp_peers", peers)
-        self._mark_applied("router", batch_id)
+        with self.store.transaction("router", batch_id) as txn:
+            txn.replace("routers", routers)
+            txn.replace("bgp_peers", peers)
 
     def collector_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("collector", batch_id):
+        if self._applied("collector", batch_id):
             return
         collectors, routers = ingest.apply_collector(
             self.store.read("collectors"), self.store.read("routers"), batch)
-        self.store.overwrite("collectors", collectors)
-        self.store.overwrite("routers", routers)
-        self._mark_applied("collector", batch_id)
+        with self.store.transaction("collector", batch_id) as txn:
+            txn.replace("collectors", collectors)
+            txn.replace("routers", routers)
 
     def bmp_stat_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("bmp_stat", batch_id):
+        if self._applied("bmp_stat", batch_id):
             return
-        self.store.append("stat_reports", ingest.prepare_bmp_stat(batch))
-        self._mark_applied("bmp_stat", batch_id)
+        with self.store.transaction("bmp_stat", batch_id) as txn:
+            txn.append("stat_reports", ingest.prepare_bmp_stat(batch))
+
+    def _rib_family_batch(self, name: str, table: str, log_table: str,
+                          apply_fn, batch: DataFrame, batch_id: int) -> None:
+        if self._applied(name, batch_id):
+            return
+        state, log = apply_fn(self.store.read(table), batch)
+        with self.store.transaction(name, batch_id) as txn:
+            txn.append(log_table, log)
+            txn.replace(table, state)
 
     def ls_node_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("ls_node", batch_id):
-            return
-        state, log = ingest_ls.apply_ls_node(self.store.read("ls_nodes"), batch)
-        self.store.append("ls_nodes_log", log)
-        self.store.overwrite("ls_nodes", state)
-        self._mark_applied("ls_node", batch_id)
+        self._rib_family_batch("ls_node", "ls_nodes", "ls_nodes_log",
+                               ingest_ls.apply_ls_node, batch, batch_id)
 
     def ls_link_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("ls_link", batch_id):
-            return
-        state, log = ingest_ls.apply_ls_link(self.store.read("ls_links"), batch)
-        self.store.append("ls_links_log", log)
-        self.store.overwrite("ls_links", state)
-        self._mark_applied("ls_link", batch_id)
+        self._rib_family_batch("ls_link", "ls_links", "ls_links_log",
+                               ingest_ls.apply_ls_link, batch, batch_id)
 
     def ls_prefix_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("ls_prefix", batch_id):
-            return
-        state, log = ingest_ls.apply_ls_prefix(self.store.read("ls_prefixes"), batch)
-        self.store.append("ls_prefixes_log", log)
-        self.store.overwrite("ls_prefixes", state)
-        self._mark_applied("ls_prefix", batch_id)
+        self._rib_family_batch("ls_prefix", "ls_prefixes", "ls_prefixes_log",
+                               ingest_ls.apply_ls_prefix, batch, batch_id)
 
     def l3vpn_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self._already_applied("l3vpn", batch_id):
-            return
-        state, log = ingest_ls.apply_l3vpn(self.store.read("l3vpn_rib"), batch)
-        self.store.append("l3vpn_rib_log", log)
-        self.store.overwrite("l3vpn_rib", state)
-        self._mark_applied("l3vpn", batch_id)
+        self._rib_family_batch("l3vpn", "l3vpn_rib", "l3vpn_rib_log",
+                               ingest_ls.apply_l3vpn, batch, batch_id)
 
     HANDLERS = {
         "unicast_prefix": unicast_prefix_batch,

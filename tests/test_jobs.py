@@ -34,9 +34,7 @@ def test_job_runner_end_to_end(spark, tmp_path):
     now = ts(10)
 
     jr.run_chg_stats(now=now, window=dt.timedelta(minutes=10))
-    bypeer = store.read("stats_chg_bypeer",
-                        store.spark.read.parquet(
-                            store._current("stats_chg_bypeer")).schema)
+    bypeer = store.read("stats_chg_bypeer")
     rows = {r.peer_hash_id: r for r in bypeer.collect()}
     # the withdraw wave hits only even i -> all on p0 (adds are
     # inserts, which never log)
@@ -57,9 +55,7 @@ def test_job_runner_end_to_end(spark, tmp_path):
     assert store.read("global_ip_rib").count() == 1
 
     jr.run_peer_rib_counts(now=now)
-    prc = {r.peer_hash_id: r for r in store.read(
-        "stats_peer_rib",
-        store.spark.read.parquet(store._current("stats_peer_rib")).schema).collect()}
+    prc = {r.peer_hash_id: r for r in store.read("stats_peer_rib").collect()}
     assert set(prc) == {"p1"}  # p0 fully withdrawn -> no active rows
     assert prc["p1"].v4_prefixes == 10
 
@@ -131,6 +127,7 @@ def test_approx_consolidation_and_compaction(spark, tmp_path):
     before_rows = store.read("ip_rib_log").count()
     jr = JobRunner(store)
     jr.run_compaction("ip_rib_log", target_partitions=2)
-    after_files = len(glob.glob(store._current("ip_rib_log") + "/*.parquet"))
+    [compacted] = store.current_paths("ip_rib_log")
+    after_files = len(glob.glob(compacted + "/*.parquet"))
     assert store.read("ip_rib_log").count() == before_rows
     assert after_files <= 2

@@ -1,0 +1,216 @@
+"""Crash-recovery and atomicity tests for the transactional state
+store (state.py) — the MERGE-sink commit protocol.
+
+Models the failure points of the reference's writer path
+(WriterRunnable.java:155-176 retries around one ACID upsert +
+trigger-log transaction): crash after data staged but before commit,
+crash between two tables of one logical write, replayed micro-batch
+after a successful commit, and torn commit files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from obmp_psql_spark.state import _LOG_DIR, Transaction, TxnStateStore
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def as_dict(store, table):
+    return {r.k: r.v for r in store.read(table, df(store.spark, []).schema).collect()}
+
+
+def test_commit_makes_all_actions_visible_atomically(spark, tmp_path):
+    store = TxnStateStore(spark, str(tmp_path))
+    with store.transaction() as txn:
+        txn.replace("t1", df(spark, [("a", 1)]))
+        txn.append("t2", df(spark, [("b", 2)]))
+    assert as_dict(store, "t1") == {"a": 1}
+    assert as_dict(store, "t2") == {"b": 2}
+
+
+def test_crash_before_commit_leaves_previous_snapshot(spark, tmp_path):
+    store = TxnStateStore(spark, str(tmp_path))
+    store.overwrite("t1", df(spark, [("a", 1)]))
+    store.append("t2", df(spark, [("b", 1)]))
+
+    # crash mid-transaction: t1 staged, exception before t2/commit
+    with pytest.raises(RuntimeError):
+        with store.transaction() as txn:
+            txn.replace("t1", df(spark, [("a", 99)]))
+            raise RuntimeError("process died")
+
+    # nothing of the failed transaction is visible
+    assert as_dict(store, "t1") == {"a": 1}
+    assert as_dict(store, "t2") == {"b": 1}
+    # a brand-new store instance (restart) sees the same state
+    store2 = TxnStateStore(spark, str(tmp_path))
+    assert as_dict(store2, "t1") == {"a": 1}
+
+
+def test_hard_crash_orphans_are_invisible_and_vacuumable(spark, tmp_path):
+    """Simulate a kill -9 after staging (no abort ran): stage data
+    via the internal API without ever committing."""
+    store = TxnStateStore(spark, str(tmp_path))
+    store.overwrite("t1", df(spark, [("a", 1)]))
+
+    txn = Transaction(store, "app", 7)
+    txn.replace("t1", df(spark, [("a", 666)]))
+    txn.append("t2", df(spark, [("x", 1)]))
+    # no commit, no abort — the process "died" here
+
+    assert as_dict(store, "t1") == {"a": 1}          # reader unaffected
+    store2 = TxnStateStore(spark, str(tmp_path))     # restart
+    assert as_dict(store2, "t1") == {"a": 1}
+    assert as_dict(store2, "t2") == {}
+    assert store2.last_txn_version("app") == -1      # batch NOT applied
+
+    # orphaned staging dirs exist on disk until vacuum reclaims them
+    removed = store2.vacuum(min_age_seconds=0.0)
+    assert len(removed) == 2
+    # live data survives vacuum
+    assert as_dict(store2, "t1") == {"a": 1}
+    assert store2.vacuum(min_age_seconds=0.0) == []
+
+
+def test_replayed_batch_is_skipped_after_commit(spark, tmp_path):
+    """foreachBatch retry AFTER a successful commit must be a no-op
+    (exactly-once): the txn action records (app, batch version)."""
+    store = TxnStateStore(spark, str(tmp_path))
+    with store.transaction("unicast_prefix", 3) as txn:
+        txn.append("log", df(spark, [("row1", 1)]))
+    assert store.last_txn_version("unicast_prefix") == 3
+
+    # replay of batch 3: the context manager skips the commit even if
+    # the handler stages writes again
+    with store.transaction("unicast_prefix", 3) as txn:
+        txn.append("log", df(spark, [("row1", 1)]))
+    assert as_dict(store, "log") == {"row1": 1}  # no duplicate rows
+
+    # an older batch replays as no-op too; a newer batch applies
+    with store.transaction("unicast_prefix", 2) as txn:
+        txn.append("log", df(spark, [("stale", 9)]))
+    assert as_dict(store, "log") == {"row1": 1}
+    with store.transaction("unicast_prefix", 4) as txn:
+        txn.append("log", df(spark, [("row2", 2)]))
+    assert as_dict(store, "log") == {"row1": 1, "row2": 2}
+
+
+def test_torn_commit_file_is_invisible(spark, tmp_path):
+    """A half-written commit never becomes visible: visibility is the
+    os.link of a fully-fsynced temp file, and readers ignore temp
+    names."""
+    store = TxnStateStore(spark, str(tmp_path))
+    store.overwrite("t1", df(spark, [("a", 1)]))
+    # a crashed committer's leftover temp file (torn JSON)
+    with open(os.path.join(str(tmp_path), _LOG_DIR, ".tmp_dead.json"), "w") as f:
+        f.write('{"actions": [{"table": "t1", "ki')
+    store2 = TxnStateStore(spark, str(tmp_path))
+    assert as_dict(store2, "t1") == {"a": 1}
+
+
+def test_version_collision_retries_onto_next_slot(spark, tmp_path):
+    """Two committers racing for the same log version: os.link is
+    create-exclusive, the loser re-resolves and takes the next slot."""
+    s1 = TxnStateStore(spark, str(tmp_path))
+    s2 = TxnStateStore(spark, str(tmp_path))  # independent cached snapshots
+    s1.overwrite("t1", df(spark, [("a", 1)]))
+    # s2's cache still thinks version 0 is next — its commit must not
+    # clobber s1's, and must land after it
+    s2.overwrite("t2", df(spark, [("b", 2)]))
+    s3 = TxnStateStore(spark, str(tmp_path))
+    assert as_dict(s3, "t1") == {"a": 1}
+    assert as_dict(s3, "t2") == {"b": 2}
+    assert len(s3._commit_files()) == 2
+
+
+def test_watermark_meta_commits_with_data(spark, tmp_path):
+    store = TxnStateStore(spark, str(tmp_path))
+    with store.transaction() as txn:
+        txn.replace("t1", df(spark, [("a", 1)]))
+        txn.set_meta("watermark_job", "2026-01-01T00:00:00")
+    assert store.get_meta("watermark_job") == "2026-01-01T00:00:00"
+
+    # failed follow-up: neither data nor watermark advances
+    with pytest.raises(RuntimeError):
+        with store.transaction() as txn:
+            txn.replace("t1", df(spark, [("a", 2)]))
+            txn.set_meta("watermark_job", "2026-02-02T00:00:00")
+            raise RuntimeError("died before commit")
+    assert as_dict(store, "t1") == {"a": 1}
+    assert store.get_meta("watermark_job") == "2026-01-01T00:00:00"
+
+
+def test_gc_keeps_previous_generation_readable(spark, tmp_path):
+    """Lazy-plan hazard: a DataFrame captured from snapshot N must
+    still execute after snapshot N+1 commits (GC keeps one previous
+    generation, like Delta snapshot retention)."""
+    store = TxnStateStore(spark, str(tmp_path))
+    store.overwrite("t1", df(spark, [("a", 1)]))
+    old = store.read("t1", df(spark, []).schema)  # lazy, not collected
+    store.overwrite("t1", df(spark, [("a", 2)]))
+    assert {r.k: r.v for r in old.collect()} == {"a": 1}  # still readable
+    assert as_dict(store, "t1") == {"a": 2}
+
+
+def test_append_then_replace_supersedes_appends(spark, tmp_path):
+    store = TxnStateStore(spark, str(tmp_path))
+    store.append("log", df(spark, [("a", 1)]))
+    store.append("log", df(spark, [("b", 2)]))
+    assert as_dict(store, "log") == {"a": 1, "b": 2}
+    # compaction rewrite: replace folds the appends
+    store.overwrite("log", store.read("log", df(spark, []).schema))
+    assert as_dict(store, "log") == {"a": 1, "b": 2}
+    store.append("log", df(spark, [("c", 3)]))
+    assert as_dict(store, "log") == {"a": 1, "b": 2, "c": 3}
+
+
+def test_empty_writes_resolve_to_typed_empty(spark, tmp_path):
+    store = TxnStateStore(spark, str(tmp_path))
+    schema = df(spark, []).schema
+    store.overwrite("t1", spark.createDataFrame([], schema))
+    got = store.read("t1", schema)
+    assert got.count() == 0 and got.schema == schema
+    store.append("log", spark.createDataFrame([], schema))
+    assert store.read("log", schema).count() == 0
+
+
+def test_log_checkpoint_compaction_preserves_state(spark, tmp_path):
+    store = TxnStateStore(spark, str(tmp_path))
+    for i in range(12):
+        with store.transaction("app", i) as txn:
+            txn.replace("t1", df(spark, [("a", i)]))
+            txn.append("log", df(spark, [(f"r{i}", i)]))
+    store.checkpoint_log(keep=3)
+    files = store._commit_files()
+    assert len(files) <= 4  # checkpoint + kept tail
+
+    # fresh instance replays checkpoint + tail to identical state
+    store2 = TxnStateStore(spark, str(tmp_path))
+    assert as_dict(store2, "t1") == {"a": 11}
+    assert as_dict(store2, "log") == {f"r{i}": i for i in range(12)}
+    assert store2.last_txn_version("app") == 11
+    # and the idempotency guard still holds across the checkpoint
+    with store2.transaction("app", 5) as txn:
+        txn.append("log", df(spark, [("dup", 5)]))
+    assert "dup" not in as_dict(store2, "log")
+
+
+def test_commit_log_is_valid_json_with_relative_paths(spark, tmp_path):
+    """The log must be relocatable (relative dirs) and inspectable."""
+    store = TxnStateStore(spark, str(tmp_path))
+    with store.transaction("app", 1) as txn:
+        txn.replace("t1", df(spark, [("a", 1)]))
+    name = store._commit_files()[-1]
+    with open(os.path.join(str(tmp_path), _LOG_DIR, name)) as f:
+        rec = json.load(f)
+    assert rec["txn"] == {"app": "app", "version": 1}
+    for act in rec["actions"]:
+        assert not os.path.isabs(act["dir"])
+        assert act["dir"].startswith("t1")
