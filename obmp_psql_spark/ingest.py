@@ -84,7 +84,8 @@ def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
                         [F.col("timestamp").desc()])
 
 
-def apply_unicast_prefix(state: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
+                         materialize=None) -> tuple[DataFrame, DataFrame]:
     """Returns (new ip_rib state, ip_rib_log appends).
 
     Merge semantics (UnicastPrefixQuery.java:35-40): withdraw keeps
@@ -94,8 +95,16 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame) -> tuple[DataFrame,
     Log semantics (9_triggers.sql:121-126): AFTER UPDATE only (no
     insert trigger), WHEN state flipped OR (advertise AND attr
     changed, SQL null semantics); withdraw logs OLD attr/origin.
+
+    ``materialize`` (e.g. ``lambda df: df.localCheckpoint()``) caches
+    the prepared batch so the log and state outputs — two separate
+    write jobs in the sink — don't each re-run the parse+dedup
+    stage. Delta MERGE gets this for free (one job, two outputs).
     """
-    src = prepare_unicast_prefix(batch).alias("src")
+    src = prepare_unicast_prefix(batch)
+    if materialize is not None:
+        src = materialize(src)
+    src = src.alias("src")
     tgt = state.alias("tgt")
     j = src.join(
         tgt,

@@ -95,10 +95,18 @@ class JobRunner:
                        target_partitions: int = 8) -> None:
         """Small-file compaction for append-heavy logs (every
         micro-batch appends a few files; Delta OPTIMIZE equivalent).
-        Rewrites the current version coalesced; the versioned swap
-        keeps readers safe."""
+        Rewrites the current version coalesced; the commit swap keeps
+        readers safe. Bucketed state tables are rewritten through
+        ``replace_bucketed`` with their committed key/bucket spec so
+        compaction never silently de-buckets a table."""
         df = self.store.read(table)
-        self.store.overwrite(table, df.coalesce(target_partitions))
+        spec = self.store.bucket_spec(table)
+        with self.store.transaction() as txn:
+            if spec:
+                key_cols, n = spec
+                txn.replace_bucketed(table, df, key_cols, n)
+            else:
+                txn.replace(table, df.coalesce(target_partitions))
         # fold the commit-log prefix into a checkpoint record so log
         # replay stays O(recent) under continuous micro-batching
         self.store.checkpoint_log()
@@ -108,13 +116,38 @@ class JobRunner:
                       withdrawn_age: dt.timedelta = dt.timedelta(hours=4)) -> None:
         """Retention purges (P10): log tables trim to the hypertable
         retention window (1_base.sql:369); global_ip_rib drops stale
-        withdrawn rows (2_aggregations.sql:166-175)."""
+        withdrawn rows (2_aggregations.sql:166-175).
+
+        When the log consists purely of hour-partitioned append dirs
+        (the streaming layout), retention is a METADATA drop of the
+        wholly-expired dirs — Timescale drop_chunks: O(1) per chunk,
+        no data read, boundary chunks survive until fully expired
+        (exactly the reference's chunk-granularity semantics).
+        Otherwise (compacted base present / unpartitioned appends) it
+        falls back to an exact filter rewrite."""
         now = now or dt.datetime.utcnow()
-        log = self.store.read("ip_rib_log")
+        horizon = now - log_retention
+        layout = self.store.table_layout("ip_rib_log")
+        parts = self.store.append_partitions("ip_rib_log")
         with self.store.transaction() as txn:
-            txn.replace(
-                "ip_rib_log",
-                log.filter(F.col("timestamp") >= F.lit(now - log_retention)))
+            def hour_expired(v: str) -> bool:
+                try:
+                    return dt.datetime.fromisoformat(v) \
+                        + dt.timedelta(hours=1) <= horizon
+                except ValueError:  # hive null partition etc.
+                    return False
+
+            if layout["replace"] is None and layout["all_partitioned"]:
+                expired = [
+                    d for d in layout["appends"]
+                    if parts[d] and all(hour_expired(v) for v in parts[d])
+                ]
+                if expired:
+                    txn.drop_appends("ip_rib_log", expired)
+            else:
+                log = self.store.read("ip_rib_log")
+                txn.replace("ip_rib_log",
+                            log.filter(F.col("timestamp") >= F.lit(horizon)))
             txn.replace(
                 "global_ip_rib",
                 G.purge_global_ip_rib(self.store.read("global_ip_rib"), now,

@@ -182,6 +182,52 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS rolling-hash scheme): hash every k-gram of
+    the normalized text, slide a ``window`` of consecutive positions,
+    keep the minimum hash of each window, emit the distinct selected
+    hashes per document. Guarantees any shared substring of length
+    >= k + window - 1 produces at least one shared fingerprint.
+
+    Spark shape: the k-gram hashes are built INSIDE the array domain
+    (``transform(sequence(..), p -> substr(md5(substr(txt,p,k)),1,12))``)
+    and only then ``posexplode``d, so exploded rows carry a 12-char
+    hash instead of dragging the full document text through the
+    shuffle (~100x less exchange volume on KB-sized docs). Hex-string
+    min works identically in the DuckDB oracle. The rolling min is a
+    ranking-free window frame ``rowsBetween(0, window-1)`` partitioned
+    by document — one shuffle on the doc id, all JVM-side; the final
+    distinct reuses that partitioning (doc_id is a prefix of the
+    dedup key), so no second exchange. Output: (id_col, fp: string)
+    exploded fingerprint sets.
+    """
+    from pyspark.sql import Window as W
+
+    # project the normalization to a concrete column FIRST: an
+    # expression referenced inside the transform lambda would re-run
+    # the regexp once per array element, not once per document
+    ndf = df.select(
+        F.col(id_col),
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("__txt"))
+    npos = F.length("__txt") - F.lit(k - 1)
+    grams = F.transform(
+        F.when(npos >= 1, F.sequence(F.lit(1), npos))
+         .otherwise(F.array().cast("array<int>")),
+        lambda p: F.substring(
+            F.md5(F.col("__txt").substr(p, F.lit(k))), 1, 12),
+    )
+    pos = ndf.select(F.col(id_col), F.posexplode(grams).alias("__p", "__h"))
+    win = W.partitionBy(id_col).orderBy("__p").rowsBetween(0, window - 1)
+    return (
+        pos.select(F.col(id_col), F.min("__h").over(win).alias("fp"))
+        .dropDuplicates([id_col, "fp"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -175,6 +175,39 @@ def q_bmp_txn_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "first_added_timestamp", "prefix")
 
 
+@register(
+    "q_bmp_txn_bucketed",
+    oracle=_MERGE_ORACLE,
+    survey_ref="S3 partial merge (Delta matched-file rewrite equivalent; state.py merge_buckets)",
+    doc="two-batch merge through the hash-bucketed partial-merge sink "
+        "(only touched buckets rewritten per batch) vs SQL oracle",
+)
+def q_bmp_txn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bmp_txn_store with ``rib_buckets``: state is hash-bucketed
+    on the merge key and each batch commits ONLY the buckets its keys
+    touch — the O(batch) merge path that survives a 100 TB state
+    table. Verified against the identical oracle as the monolithic
+    sink."""
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+        from .streaming.pipeline import BmpStreamingIngest
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="txnbkt_"))
+        ing = BmpStreamingIngest(spark, store, rib_buckets=32)
+        msgs = _messages(spark, sf_dir)
+        b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        ing.unicast_prefix_batch(b1, 0)
+        ing.unicast_prefix_batch(b2, 1)
+        return (store.read("ip_rib"),)
+    (state,) = _cached_pipeline("txnbkt", spark, sf_dir, build)
+    return state.select("peer_hash_id", "hash_id", "base_attr_hash_id",
+                        "origin_as", "is_withdrawn", "timestamp",
+                        "first_added_timestamp", "prefix")
+
+
 _LOG_ORACLE = f"""
 WITH {_EV},
 {_MSG_SQL},

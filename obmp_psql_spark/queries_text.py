@@ -44,6 +44,9 @@ corpus AS (
 
 # normalized lowercase text (Spark: normalize_ws + lower)
 _NORM = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+# winnowing variant: whitespace-collapse without trim, matching
+# operators.dedup.winnow_fingerprints
+_NORM_NOTRIM = "lower(regexp_replace({col}, '\\s+', ' ', 'g'))"
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +92,51 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").cast("long").alias("survivor_id"),
              F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash) document fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+_WINNOW_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_NOTRIM.format(col='text')} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t, g.p
+  FROM norm, UNNEST(generate_series(1, len(t) - {_WINNOW_K - 1})) AS g(p)
+),
+hashes AS (
+  SELECT doc_id, p,
+         substr(md5(substr(t, p, {_WINNOW_K})), 1, 12) AS h
+  FROM pos
+),
+winnowed AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM hashes
+)
+SELECT DISTINCT doc_id, fp FROM winnowed
+"""
+
+
+@register(
+    "q_doc_winnow",
+    oracle=_WINNOW_ORACLE,
+    survey_ref="training-data text analysis: document fingerprinting "
+               "(rolling hash, winnowing / Schleimer et al. SIGMOD'03)",
+    doc="winnowed k-gram fingerprint sets per document (rolling min-hash window)",
+)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_fingerprints
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return winnow_fingerprints(d.select("doc_id", "text"),
+                               "doc_id", "text",
+                               k=_WINNOW_K, window=_WINNOW_W)
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,26 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+def bucket_of(key_cols: list[str], n_buckets: int):
+    """Stable bucket id for a merge key: Murmur3 (Spark's own hash
+    partitioner function, identical across sessions) mod N. Used for
+    both routing batch rows and pruning state buckets, so the two
+    sides always agree."""
+    from pyspark.sql import functions as F
+    return F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+
+
+def _present_buckets(staged_dir: str) -> list[int]:
+    """Bucket ids that actually received files in a staged bucketed
+    write (empty buckets write no directory)."""
+    out = []
+    for name in os.listdir(staged_dir):
+        if name.startswith("_bucket=") and _has_parquet(
+                os.path.join(staged_dir, name)):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
 class _Snapshot:
     """Materialized view of the commit log at one version."""
 
@@ -70,27 +90,77 @@ class _Snapshot:
     def __init__(self) -> None:
         self.version = -1
         # table -> {"replace": dir|None, "appends": [dir, ...],
-        #           "history": [superseded replace dirs, newest last]}
+        #           "history": [superseded dirs, newest last],
+        #           "n_buckets": int|None, "buckets": {bucket: dir}}
         self.tables: dict[str, dict] = {}
         self.txns: dict[str, int] = {}   # app -> highest committed version
         self.meta: dict[str, str] = {}
 
+    @staticmethod
+    def _new_tab() -> dict:
+        return {"replace": None, "appends": [], "history": [],
+                "n_buckets": None, "buckets": {}, "key_cols": None,
+                "append_parts": {}}  # append dir -> partition values
+
     def apply(self, version: int, commit: dict) -> None:
         self.version = version
         for act in commit.get("actions", []):
-            tab = self.tables.setdefault(
-                act["table"], {"replace": None, "appends": [], "history": []})
+            tab = self.tables.setdefault(act["table"], self._new_tab())
             if act["kind"] == "replace":
                 if tab["replace"] is not None:
                     tab["history"].append(tab["replace"])
                 # appends before a replace are superseded (the replace
                 # result was computed FROM them); keep for lazy readers
                 tab["history"].extend(tab["appends"])
+                tab["history"].extend(sorted(set(tab["buckets"].values())))
                 tab["appends"] = []
+                tab["buckets"] = {}
+                tab["n_buckets"] = None
                 tab["replace"] = act["dir"] if act.get("has_files") else None
+            elif act["kind"] == "replace_bucketed":
+                tab["history"].extend(tab["appends"])
+                tab["history"].extend(sorted(set(tab["buckets"].values())))
+                if tab["replace"] is not None:
+                    tab["history"].append(tab["replace"])
+                tab["appends"] = []
+                tab["replace"] = None
+                tab["n_buckets"] = int(act["n_buckets"])
+                tab["key_cols"] = act.get("key_cols")
+                tab["buckets"] = {int(k): act["dir"] for k in act["present"]}
+            elif act["kind"] == "merge_buckets":
+                tab["n_buckets"] = int(act["n_buckets"])
+                tab["key_cols"] = act.get("key_cols") or tab["key_cols"]
+                present = {int(k) for k in act["present"]}
+                before = set(tab["buckets"].values())
+                for k in (int(k) for k in act["touched"]):
+                    if k in present:
+                        tab["buckets"][k] = act["dir"]
+                    else:
+                        tab["buckets"].pop(k, None)  # bucket emptied
+                # dirs that no longer serve any bucket are superseded
+                after = set(tab["buckets"].values())
+                tab["history"].extend(sorted(before - after))
+            elif act["kind"] == "checkpoint_buckets":
+                # emitted only by checkpoint_log: verbatim bucket map
+                tab["n_buckets"] = int(act["n_buckets"])
+                tab["key_cols"] = act.get("key_cols")
+                tab["buckets"] = {int(k): d
+                                  for k, d in act["buckets"].items()}
             elif act["kind"] == "append":
                 if act.get("has_files"):
                     tab["appends"].append(act["dir"])
+                    if act.get("partitions"):
+                        tab["append_parts"][act["dir"]] = act["partitions"]
+            elif act["kind"] == "drop_appends":
+                # retention metadata-drop: whole expired append dirs
+                # leave the snapshot without any data rewrite (the
+                # hypertable drop_chunks equivalent, 1_base.sql:369)
+                dropped = set(act["dirs"])
+                tab["appends"] = [a for a in tab["appends"]
+                                  if a not in dropped]
+                for a in dropped:
+                    tab["append_parts"].pop(a, None)
+                tab["history"].extend(sorted(dropped))
         txn = commit.get("txn")
         if txn:
             prev = self.txns.get(txn["app"], -1)
@@ -131,16 +201,73 @@ class Transaction:
                partition_by: str | None = None) -> None:
         """Stage an append (change logs). Optionally hive-partitioned
         — the hypertable-chunk equivalent (1_base.sql:367): hour
-        partitions give time-predicate pruning and cheap retention."""
+        partitions give time-predicate pruning, and the partition
+        values recorded in the commit let retention drop whole
+        expired dirs without reading them."""
         d = self.store._stage_dir(table, "a")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(d)
         self._staged_dirs.append(d)
-        self.actions.append({"table": table, "kind": "append",
-                             "dir": self.store._rel(d),
-                             "has_files": _has_parquet(d)})
+        act = {"table": table, "kind": "append",
+               "dir": self.store._rel(d), "has_files": _has_parquet(d)}
+        if partition_by:
+            from urllib.parse import unquote  # hive dirs escape ':' etc.
+            act["partitions"] = sorted(
+                unquote(n.split("=", 1)[1]) for n in os.listdir(d)
+                if n.startswith(f"{partition_by}="))
+        self.actions.append(act)
+
+    def drop_appends(self, table: str, dirs: list[str]) -> None:
+        """Metadata-only retention: remove whole committed append
+        dirs from the snapshot (files reclaimed by GC/vacuum). The
+        Timescale drop_chunks equivalent — O(1) per expired chunk."""
+        self.actions.append({"table": table, "kind": "drop_appends",
+                             "dirs": sorted(dirs)})
+
+    def replace_bucketed(self, table: str, df: DataFrame,
+                         key_cols: list[str], n_buckets: int) -> None:
+        """Stage a full snapshot hash-bucketed on the merge key.
+        Subsequent ``merge_buckets`` commits rewrite only touched
+        buckets — the file-level pruning a lakehouse MERGE does
+        (Delta matched-file rewrite), O(batch) not O(table)."""
+        d = self.store._stage_dir(table, "b")
+        # cluster rows by bucket before the partitioned write: one
+        # file per bucket instead of (tasks x buckets) small files
+        # (at real scale, size n_buckets so a bucket is ~1 GB)
+        df.withColumn("_bucket", bucket_of(key_cols, n_buckets)) \
+            .repartition(n_buckets, "_bucket") \
+            .write.partitionBy("_bucket").mode("overwrite").parquet(d)
+        self._staged_dirs.append(d)
+        self.actions.append({
+            "table": table, "kind": "replace_bucketed",
+            "dir": self.store._rel(d), "n_buckets": n_buckets,
+            "key_cols": list(key_cols), "present": _present_buckets(d)})
+
+    def merge_buckets(self, table: str, df: DataFrame,
+                      key_cols: list[str], n_buckets: int,
+                      touched: list[int]) -> None:
+        """Stage the merged state of ONLY the touched buckets; all
+        other buckets keep their current files. ``df`` must contain
+        exclusively rows whose keys hash into ``touched`` (guaranteed
+        when it was merged from ``read_buckets(table, touched)`` plus
+        a batch whose keys selected ``touched``)."""
+        cur_n = self.store.snapshot().tables.get(table, {}).get("n_buckets")
+        if cur_n is not None and cur_n != n_buckets:
+            raise ValueError(
+                f"{table}: bucket count {n_buckets} != committed {cur_n}")
+        d = self.store._stage_dir(table, "m")
+        df.withColumn("_bucket", bucket_of(key_cols, n_buckets)) \
+            .repartition(max(len(touched), 1), "_bucket") \
+            .write.partitionBy("_bucket").mode("overwrite").parquet(d)
+        self._staged_dirs.append(d)
+        self.actions.append({
+            "table": table, "kind": "merge_buckets",
+            "dir": self.store._rel(d), "n_buckets": n_buckets,
+            "key_cols": list(key_cols),
+            "touched": sorted(int(b) for b in touched),
+            "present": _present_buckets(d)})
 
     def set_meta(self, key: str, value: str) -> None:
         """Commit-scoped metadata (e.g. a job watermark) — becomes
@@ -208,6 +335,12 @@ class TxnStateStore:
         if tab:
             if tab["replace"]:
                 paths.append(self._abs(tab["replace"]))
+            # bucketed tables: one subdir per live bucket (the
+            # _bucket partition column is routing metadata, not part
+            # of the table schema — reading the subdir drops it)
+            paths.extend(
+                os.path.join(self._abs(d), f"_bucket={k}")
+                for k, d in sorted(tab["buckets"].items()))
             paths.extend(self._abs(p) for p in tab["appends"])
         if len(paths) == 1:
             return self.spark.read.parquet(paths[0])
@@ -225,13 +358,60 @@ class TxnStateStore:
         schema = schema or TABLE_SCHEMAS[table]
         return self.spark.createDataFrame([], schema)
 
+    def read_buckets(self, table: str, buckets: list[int],
+                     schema: T.StructType | None = None) -> DataFrame:
+        """State of ONLY the given buckets — the pruned read side of
+        a partial merge (every other bucket's files are untouched, so
+        the merge never scans them)."""
+        tab = self.snapshot().tables.get(table)
+        paths = []
+        if tab:
+            paths = [os.path.join(self._abs(tab["buckets"][k]), f"_bucket={k}")
+                     for k in buckets if k in tab["buckets"]]
+        if paths:
+            return self.spark.read.parquet(*paths)
+        schema = schema or TABLE_SCHEMAS[table]
+        return self.spark.createDataFrame([], schema)
+
+    def bucket_map(self, table: str) -> dict[int, str]:
+        """bucket id -> committed dir (relative); for tests/ops."""
+        tab = self.snapshot().tables.get(table)
+        return dict(tab["buckets"]) if tab else {}
+
+    def bucket_spec(self, table: str) -> tuple[list[str], int] | None:
+        """(key_cols, n_buckets) of a bucketed table, else None —
+        lets maintenance jobs rewrite without de-bucketing."""
+        tab = self.snapshot().tables.get(table)
+        if tab and tab["buckets"] and tab["key_cols"]:
+            return list(tab["key_cols"]), tab["n_buckets"]
+        return None
+
+    def append_partitions(self, table: str) -> dict[str, list[str]]:
+        """Committed append dir (relative) -> its recorded partition
+        values; dirs written without partition_by are absent."""
+        tab = self.snapshot().tables.get(table)
+        return {d: list(v) for d, v in tab["append_parts"].items()} \
+            if tab else {}
+
+    def table_layout(self, table: str) -> dict:
+        """Introspection for jobs: replace dir, append dirs,
+        partitioned-append coverage."""
+        tab = self.snapshot().tables.get(table)
+        if not tab:
+            return {"replace": None, "appends": [], "all_partitioned": True}
+        return {"replace": tab["replace"], "appends": list(tab["appends"]),
+                "all_partitioned": all(a in tab["append_parts"]
+                                       for a in tab["appends"])}
+
     def current_paths(self, table: str) -> list[str]:
-        """Committed data dirs for ``table`` (replace dir + later
-        appends), absolute. Empty if never written."""
+        """Committed data dirs for ``table`` (replace dir or bucket
+        subdirs, + later appends), absolute. Empty if never written."""
         tab = self.snapshot().tables.get(table)
         if not tab:
             return []
         out = [self._abs(tab["replace"])] if tab["replace"] else []
+        out.extend(os.path.join(self._abs(d), f"_bucket={k}")
+                   for k, d in sorted(tab["buckets"].items()))
         out.extend(self._abs(p) for p in tab["appends"])
         return out
 
@@ -292,7 +472,8 @@ class TxnStateStore:
         this with snapshot retention + VACUUM, same policy here)."""
         snap = self._snap
         for act in actions:
-            if act["kind"] != "replace":
+            if act["kind"] not in ("replace", "replace_bucketed",
+                                   "merge_buckets"):
                 continue
             tab = snap.tables.get(act["table"])
             if not tab:
@@ -325,6 +506,7 @@ class TxnStateStore:
         for tab in snap.tables.values():
             if tab["replace"]:
                 live.add(tab["replace"])
+            live.update(tab["buckets"].values())
             live.update(tab["appends"])
             live.update(tab["history"])
         removed = []
@@ -360,9 +542,18 @@ class TxnStateStore:
             if tab["replace"]:
                 actions.append({"table": table, "kind": "replace",
                                 "dir": tab["replace"], "has_files": True})
+            if tab["buckets"]:
+                actions.append({"table": table, "kind": "checkpoint_buckets",
+                                "n_buckets": tab["n_buckets"],
+                                "key_cols": tab["key_cols"],
+                                "buckets": {str(k): d for k, d
+                                            in tab["buckets"].items()}})
             for d in tab["appends"]:
-                actions.append({"table": table, "kind": "append",
-                                "dir": d, "has_files": True})
+                act = {"table": table, "kind": "append",
+                       "dir": d, "has_files": True}
+                if d in tab["append_parts"]:
+                    act["partitions"] = tab["append_parts"][d]
+                actions.append(act)
         record = {"actions": actions, "meta": base.meta, "ts": time.time(),
                   "checkpoint_of": base.version,
                   "txns": base.txns}

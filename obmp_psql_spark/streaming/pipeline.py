@@ -44,11 +44,24 @@ class BmpStreamingIngest:
     the replayed batch re-applies cleanly; a replay after the commit
     is skipped by the txn action (T5/T8 exactly-once)."""
 
+    RIB_KEY = ["peer_hash_id", "hash_id"]
+
     def __init__(self, spark: SparkSession, store: ParquetStateStore,
-                 geo_ip: DataFrame | None = None):
+                 geo_ip: DataFrame | None = None,
+                 rib_buckets: int | None = None,
+                 family_buckets: int | None = None):
+        """``rib_buckets``: hash-bucket the ip_rib state on its merge
+        key so each micro-batch rewrites ONLY the buckets its keys
+        touch (lakehouse matched-file rewrite, O(batch) not O(table)
+        — at 100 TB this is the difference between a merge that works
+        and one that rewrites the world). None = monolithic replace.
+        ``family_buckets``: same for the LS/L3VPN state tables
+        (l3vpn_rib is the other table that reaches RIB scale)."""
         self.spark = spark
         self.store = store
         self.geo_ip = geo_ip
+        self.rib_buckets = rib_buckets
+        self.family_buckets = family_buckets
 
     def _applied(self, name: str, batch_id: int) -> bool:
         return self.store.last_txn_version(name) >= batch_id
@@ -58,15 +71,32 @@ class BmpStreamingIngest:
         if self._applied("unicast_prefix", batch_id):
             return
         from pyspark.sql import functions as F
-        state = self.store.read("ip_rib")
-        new_state, log = ingest.apply_unicast_prefix(state, batch)
+
+        from ..state import bucket_of
+
+        if self.rib_buckets:
+            # bucket pruning: one cheap distinct over the batch keys
+            # tells us which state buckets the merge can touch (the
+            # lakehouse MERGE file-pruning step)
+            touched = [r[0] for r in batch.select(
+                bucket_of([F.col("peer_hash"), F.col("hash")],
+                          self.rib_buckets).alias("b")).distinct().collect()]
+            state = self.store.read_buckets("ip_rib", touched)
+        else:
+            state = self.store.read("ip_rib")
+        new_state, log = ingest.apply_unicast_prefix(
+            state, batch, materialize=lambda df: df.localCheckpoint())
         with self.store.transaction("unicast_prefix", batch_id) as txn:
             # hour partitions: Timescale 1-hour chunks (1_base.sql:367)
             txn.append(
                 "ip_rib_log",
                 log.withColumn("log_hour", F.date_trunc("hour", "timestamp")),
                 partition_by="log_hour")
-            txn.replace("ip_rib", new_state)
+            if self.rib_buckets:
+                txn.merge_buckets("ip_rib", new_state, self.RIB_KEY,
+                                  self.rib_buckets, touched)
+            else:
+                txn.replace("ip_rib", new_state)
 
     def base_attribute_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self._applied("base_attribute", batch_id):
@@ -85,7 +115,14 @@ class BmpStreamingIngest:
         with self.store.transaction("peer", batch_id) as txn:
             txn.append("peer_event_log", log)
             txn.replace("bgp_peers", peers)
-            txn.replace("ip_rib", rib)
+            # the peer-up flush (P9) deletes rows across arbitrary
+            # buckets, so this is a full rewrite either way; keep the
+            # bucketed layout so later merges stay partial
+            if self.rib_buckets:
+                txn.replace_bucketed("ip_rib", rib, self.RIB_KEY,
+                                     self.rib_buckets)
+            else:
+                txn.replace("ip_rib", rib)
 
     def router_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self._applied("router", batch_id):
@@ -116,10 +153,28 @@ class BmpStreamingIngest:
                           apply_fn, batch: DataFrame, batch_id: int) -> None:
         if self._applied(name, batch_id):
             return
-        state, log = apply_fn(self.store.read(table), batch)
+        from pyspark.sql import functions as F
+
+        from ..state import bucket_of
+
+        n = self.family_buckets
+        if n:
+            # bucket key order must mirror the state-side key order
+            # exactly (Murmur3 is order-sensitive)
+            touched = [r[0] for r in batch.select(
+                bucket_of([F.col("hash"), F.col("peer_hash")], n)
+                .alias("b")).distinct().collect()]
+            state = self.store.read_buckets(table, touched)
+        else:
+            state = self.store.read(table)
+        state, log = apply_fn(state, batch)
         with self.store.transaction(name, batch_id) as txn:
             txn.append(log_table, log)
-            txn.replace(table, state)
+            if n:
+                txn.merge_buckets(table, state,
+                                  ["hash_id", "peer_hash_id"], n, touched)
+            else:
+                txn.replace(table, state)
 
     def ls_node_batch(self, batch: DataFrame, batch_id: int) -> None:
         self._rib_family_batch("ls_node", "ls_nodes", "ls_nodes_log",

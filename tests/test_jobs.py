@@ -69,6 +69,78 @@ def test_job_runner_end_to_end(spark, tmp_path):
     assert store.read("ip_rib_log").count() == 0
 
 
+def test_retention_drops_whole_expired_chunks(spark, tmp_path):
+    """Hour-partitioned log appends expire via metadata-only chunk
+    drops (no data rewrite), with chunk-granularity boundaries —
+    the Timescale drop_chunks semantics (1_base.sql:369)."""
+    import pyspark.sql.functions as F
+
+    store = ParquetStateStore(spark, str(tmp_path))
+    rib, log0 = apply_unicast_prefix(empty(spark, "ip_rib"), msgs(
+        spark, "unicast_prefix",
+        [upx("add", f"h{i}", "p0", f"a{i}", ts(0, i)) for i in range(4)]))
+    # two waves of withdraws an hour apart -> two log_hour chunks
+    rib2, logA = apply_unicast_prefix(rib.cache(), msgs(
+        spark, "unicast_prefix",
+        [upx("del", f"h{i}", "p0", "", ts(1, i)) for i in range(4)]))
+    rib3, logB = apply_unicast_prefix(rib2.cache(), msgs(
+        spark, "unicast_prefix",
+        [upx("add", f"h{i}", "p0", f"b{i}", ts(1, i) + dt.timedelta(hours=1))
+         for i in range(4)]))
+    hourcol = F.date_trunc("hour", "timestamp")
+    store.append("ip_rib_log", logA.withColumn("log_hour", hourcol),
+                 partition_by="log_hour")
+    store.append("ip_rib_log", logB.withColumn("log_hour", hourcol),
+                 partition_by="log_hour")
+    store.overwrite("global_ip_rib", empty(spark, "global_ip_rib"))
+    assert store.read("ip_rib_log").count() == 8
+    assert len(store.append_partitions("ip_rib_log")) == 2
+
+    jr = JobRunner(store)
+    # horizon inside the second chunk: only the first chunk is wholly
+    # expired; the boundary chunk keeps ALL its rows (chunk semantics)
+    jr.run_retention(now=ts(1) + dt.timedelta(hours=2, minutes=30),
+                     log_retention=dt.timedelta(hours=1, minutes=25))
+    assert store.read("ip_rib_log").count() == 4
+    remaining = store.append_partitions("ip_rib_log")
+    assert len(remaining) == 1
+    # the surviving chunk is the newer hour
+    assert all("11:" in v for vals in remaining.values() for v in vals)
+
+    # much later, the second chunk expires too
+    jr.run_retention(now=ts(1) + dt.timedelta(days=2),
+                     log_retention=dt.timedelta(hours=1))
+    assert store.read("ip_rib_log").count() == 0
+
+
+def test_compaction_preserves_bucketed_layout(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path))
+    rows = spark.createDataFrame(
+        [(f"k{i}", f"p{i % 2}", i) for i in range(20)],
+        "hash_id string, peer_hash_id string, v long")
+    with store.transaction() as txn:
+        txn.replace_bucketed("t", rows, ["hash_id", "peer_hash_id"], 8)
+    assert store.bucket_spec("t") == (["hash_id", "peer_hash_id"], 8)
+
+    jr = JobRunner(store)
+    jr.run_compaction("t")
+    assert store.bucket_spec("t") == (["hash_id", "peer_hash_id"], 8)
+    assert store.read("t").count() == 20
+    # a partial merge still works after compaction (spec survived)
+    from obmp_psql_spark.state import bucket_of
+    import pyspark.sql.functions as F
+    one = rows.filter("hash_id = 'k5'").withColumn("v", F.lit(99).cast("long"))
+    [b] = [r[0] for r in one.select(
+        bucket_of([F.col("hash_id"), F.col("peer_hash_id")], 8)).collect()]
+    merged = store.read_buckets("t", [b], rows.schema) \
+        .withColumn("v", F.when(F.col("hash_id") == "k5", 99)
+                    .otherwise(F.col("v")).cast("long"))
+    with store.transaction() as txn:
+        txn.merge_buckets("t", merged, ["hash_id", "peer_hash_id"], 8, [b])
+    got = {r.hash_id: r.v for r in store.read("t").collect()}
+    assert got["k5"] == 99 and len(got) == 20
+
+
 def test_l3vpn_chg_stats_buckets(spark):
     import pyspark.sql.functions as F
 
