@@ -54,23 +54,99 @@ class JobRunner:
                 cur = self.store.read(table, fresh.schema)
                 txn.replace(table, R.merge_replace(cur, fresh, keys))
 
+    def _replace_keep_layout(self, txn, table: str, df) -> None:
+        """Replace a table without silently de-bucketing it."""
+        spec = self.store.bucket_spec(table)
+        if spec:
+            txn.replace_bucketed(table, df, *spec)
+        else:
+            txn.replace(table, df)
+
+    GLOBAL_KEY = ["prefix", "recv_origin_as"]
+
     def run_global_rib(self, now: dt.datetime | None = None,
-                       max_interval: dt.timedelta = dt.timedelta(hours=2)) -> None:
+                       max_interval: dt.timedelta = dt.timedelta(hours=2),
+                       buckets: int | None = None,
+                       full_sync: bool = False) -> None:
         """update_global_ip_rib equivalent with persisted watermark
-        (2_aggregations.sql:181-275)."""
+        (2_aggregations.sql:181-275).
+
+        ``buckets`` (or an already-bucketed table): incremental merge
+        path — consolidate only the watermark slice, read only the
+        state buckets its keys touch, re-enrich that subset, commit a
+        partial bucket merge. The reference's UPDATE ... WHERE
+        timestamp >= start does exactly this row-pruned work inside
+        Postgres; at 100 TB the bucketed merge keeps the job O(churn)
+        instead of O(global table)."""
         now = now or dt.datetime.utcnow()
-        out = G.update_global_ip_rib(
-            self.store.read("global_ip_rib"),
-            self.store.read("ip_rib"),
-            info_route=self.store.read("info_route"),
-            rpki=self.store.read("rpki_validator"),
-            now=now,
-            last_query_time=self.get_watermark("global_ip_rib"),
-            max_interval=max_interval,
-        )
+        spec = self.store.bucket_spec("global_ip_rib")
+        n = buckets or (spec[1] if spec else None)
+        if full_sync:
+            # sync_global_ip_rib (2_aggregations.sql:280-353): rebuild
+            # from the whole RIB, ignoring the watermark; layout kept
+            out = G.update_global_ip_rib(
+                self.store.spark.createDataFrame(
+                    [], self.store.read("global_ip_rib").schema),
+                self.store.read("ip_rib"),
+                info_route=self.store.read("info_route"),
+                rpki=self.store.read("rpki_validator"),
+                now=now, last_query_time=None,
+                max_interval=dt.timedelta(days=365 * 100))
+            with self.store.transaction() as txn:
+                if n:
+                    txn.replace_bucketed("global_ip_rib", out,
+                                         self.GLOBAL_KEY, n)
+                else:
+                    txn.replace("global_ip_rib", out)
+                txn.set_meta("watermark_global_ip_rib", now.isoformat())
+            return
+        if n is None:
+            out = G.update_global_ip_rib(
+                self.store.read("global_ip_rib"),
+                self.store.read("ip_rib"),
+                info_route=self.store.read("info_route"),
+                rpki=self.store.read("rpki_validator"),
+                now=now,
+                last_query_time=self.get_watermark("global_ip_rib"),
+                max_interval=max_interval,
+            )
+            with self.store.transaction() as txn:
+                txn.replace("global_ip_rib", out)
+                # watermark commits atomically with its data
+                txn.set_meta("watermark_global_ip_rib", now.isoformat())
+            return
+
+        from .state import bucket_of
+        if self.store.table_layout("global_ip_rib")["replace"] is not None:
+            # one-time migration: fold the monolithic snapshot into
+            # the bucketed layout with a full (but final) rewrite
+            out = G.update_global_ip_rib(
+                self.store.read("global_ip_rib"), self.store.read("ip_rib"),
+                info_route=self.store.read("info_route"),
+                rpki=self.store.read("rpki_validator"), now=now,
+                last_query_time=self.get_watermark("global_ip_rib"),
+                max_interval=max_interval)
+            with self.store.transaction() as txn:
+                txn.replace_bucketed("global_ip_rib", out,
+                                     self.GLOBAL_KEY, n)
+                txn.set_meta("watermark_global_ip_rib", now.isoformat())
+            return
+        start = G.select_start_time(
+            now, self.get_watermark("global_ip_rib"), max_interval)
+        # the incremental slice is small (churn since watermark):
+        # materialize it once — it feeds bucket pruning, the merge,
+        # and the enrichment passes
+        fresh = G.consolidate(self.store.read("ip_rib"), start) \
+            .localCheckpoint()
+        touched = [r[0] for r in fresh.select(
+            bucket_of(self.GLOBAL_KEY, n).alias("b")).distinct().collect()]
+        cur = self.store.read_buckets("global_ip_rib", touched)
+        out = G.merge_global(cur, fresh)
+        out = G.enrich_irr(out, self.store.read("info_route"), start)
+        out = G.enrich_rpki(out, self.store.read("rpki_validator"), start)
         with self.store.transaction() as txn:
-            txn.replace("global_ip_rib", out)
-            # watermark commits atomically with the data it describes
+            txn.merge_buckets("global_ip_rib", out, self.GLOBAL_KEY,
+                              n, touched)
             txn.set_meta("watermark_global_ip_rib", now.isoformat())
 
     def run_peer_rib_counts(self, now: dt.datetime | None = None) -> None:
@@ -148,7 +224,7 @@ class JobRunner:
                 log = self.store.read("ip_rib_log")
                 txn.replace("ip_rib_log",
                             log.filter(F.col("timestamp") >= F.lit(horizon)))
-            txn.replace(
-                "global_ip_rib",
+            self._replace_keep_layout(
+                txn, "global_ip_rib",
                 G.purge_global_ip_rib(self.store.read("global_ip_rib"), now,
                                       withdrawn_age))

@@ -139,6 +139,19 @@ def enrich_rpki(global_rib: DataFrame, rpki: DataFrame,
     )
 
 
+def select_start_time(now: dt.datetime,
+                      last_query_time: dt.datetime | None,
+                      max_interval: dt.timedelta) -> dt.datetime:
+    """Incremental-window selection (2_aggregations.sql:184-201):
+    trust the stored watermark within max_interval, clamp otherwise."""
+    start_time = last_query_time
+    if start_time is None or start_time < now - max_interval:
+        start_time = floor_ts(now - max_interval, 300)
+    elif start_time > now:
+        start_time = floor_ts(now - dt.timedelta(minutes=15), 300)
+    return start_time
+
+
 def update_global_ip_rib(
     global_rib: DataFrame,
     ip_rib: DataFrame,
@@ -151,11 +164,7 @@ def update_global_ip_rib(
     """Full job (2_aggregations.sql:181-275): watermark selection,
     incremental consolidation merge, IRR + RPKI enrichment."""
     now = now or dt.datetime.utcnow()
-    start_time = last_query_time
-    if start_time is None or start_time < now - max_interval:
-        start_time = floor_ts(now - max_interval, 300)
-    elif start_time > now:
-        start_time = floor_ts(now - dt.timedelta(minutes=15), 300)
+    start_time = select_start_time(now, last_query_time, max_interval)
 
     fresh = consolidate(ip_rib, start_time)
     out = merge_global(global_rib, fresh)

@@ -416,7 +416,8 @@ def q_bmp_view_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.views import v_ip_routes
 
     state, _ = _run_pipeline(spark, sf_dir)
-    peers, routers, attrs = _dimension_state(spark)
+    peers, routers, attrs = _cached_pipeline(
+        "dims", spark, sf_dir, lambda: _dimension_state(spark))
     view = v_ip_routes(state, peers, attrs, routers)
     return view.select(
         "router_name", "peer_name", "prefix", "origin_as",

@@ -253,10 +253,16 @@ class Transaction:
         exclusively rows whose keys hash into ``touched`` (guaranteed
         when it was merged from ``read_buckets(table, touched)`` plus
         a batch whose keys selected ``touched``)."""
-        cur_n = self.store.snapshot().tables.get(table, {}).get("n_buckets")
+        tab = self.store.snapshot().tables.get(table, {})
+        cur_n = tab.get("n_buckets")
         if cur_n is not None and cur_n != n_buckets:
             raise ValueError(
                 f"{table}: bucket count {n_buckets} != committed {cur_n}")
+        if tab.get("replace") is not None:
+            raise ValueError(
+                f"{table}: has a monolithic snapshot; migrate with "
+                "replace_bucketed before partial merges (a bucket "
+                "overlay on top of it would double-count rows)")
         d = self.store._stage_dir(table, "m")
         df.withColumn("_bucket", bucket_of(key_cols, n_buckets)) \
             .repartition(max(len(touched), 1), "_bucket") \

@@ -69,6 +69,66 @@ def test_job_runner_end_to_end(spark, tmp_path):
     assert store.read("ip_rib_log").count() == 0
 
 
+def test_global_rib_bucketed_incremental_matches_monolithic(spark, tmp_path):
+    """run_global_rib(buckets=N) — migrate, then partial bucket
+    merges per watermark slice — must equal the monolithic job after
+    every run, and later runs must leave untouched buckets' files
+    alone."""
+    def seed(root):
+        store = _seed_store(spark, root)
+        return store, JobRunner(store)
+
+    s_mono, j_mono = seed(tmp_path / "mono")
+    s_bkt, j_bkt = seed(tmp_path / "bkt")
+
+    def snap(store):
+        return {(r.prefix, r.recv_origin_as):
+                (r.num_peers, r.advertising_peers, r.withdrawn_peers,
+                 r.is_withdrawn, r.timestamp)
+                for r in store.read("global_ip_rib").collect()}
+
+    # run 1: bucketed path migrates (empty monolithic seed -> layout)
+    j_mono.run_global_rib(now=ts(10))
+    j_bkt.run_global_rib(now=ts(10), buckets=8)
+    assert snap(s_mono) == snap(s_bkt)
+    assert s_bkt.bucket_spec("global_ip_rib") == \
+        (["prefix", "recv_origin_as"], 8)
+
+    # new churn lands in ip_rib: one prefix flips on one peer
+    for store in (s_mono, s_bkt):
+        upd, _ = apply_unicast_prefix(store.read("ip_rib"), msgs(
+            spark, "unicast_prefix",
+            [upx("add", "h1", "p1", "aNEW", ts(20))]))
+        store.overwrite("ip_rib", upd)
+
+    before_map = s_bkt.bucket_map("global_ip_rib")
+    j_mono.run_global_rib(now=ts(25))
+    j_bkt.run_global_rib(now=ts(25))  # spec remembered, partial merge
+    assert snap(s_mono) == snap(s_bkt)
+    after_map = s_bkt.bucket_map("global_ip_rib")
+    changed = {b for b in after_map
+               if after_map[b] != before_map.get(b)}
+    # the single-key churn touches exactly one bucket
+    assert len(changed) == 1
+    # retention keeps the bucketed layout
+    j_bkt.run_retention(now=ts(30))
+    assert s_bkt.bucket_spec("global_ip_rib") == \
+        (["prefix", "recv_origin_as"], 8)
+
+    # full resync (sync_global_ip_rib, 2_aggregations.sql:280-353):
+    # the incremental pass REPLACES counts from the slice-only
+    # aggregate (faithful to the reference's ON CONFLICT update), so
+    # counts drift for partially-updated prefixes until a sync
+    # rebuilds them from the whole RIB — on both layouts identically
+    j_mono.run_global_rib(now=ts(40), full_sync=True)
+    j_bkt.run_global_rib(now=ts(40), full_sync=True)
+    assert snap(s_bkt) == snap(s_mono)
+    # sync re-counted ALL peers of the churned prefix
+    assert snap(s_bkt)[("10.1.0.0", 65001)][0] == 2  # num_peers
+    assert s_bkt.bucket_spec("global_ip_rib") == \
+        (["prefix", "recv_origin_as"], 8)
+
+
 def test_retention_drops_whole_expired_chunks(spark, tmp_path):
     """Hour-partitioned log appends expire via metadata-only chunk
     drops (no data rewrite), with chunk-granularity boundaries —
