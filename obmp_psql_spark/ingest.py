@@ -85,7 +85,8 @@ def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
 
 
 def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
-                         materialize=None) -> tuple[DataFrame, DataFrame]:
+                         materialize=None,
+                         prepared: bool = False) -> tuple[DataFrame, DataFrame]:
     """Returns (new ip_rib state, ip_rib_log appends).
 
     Merge semantics (UnicastPrefixQuery.java:35-40): withdraw keeps
@@ -100,8 +101,11 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
     the prepared batch so the log and state outputs — two separate
     write jobs in the sink — don't each re-run the parse+dedup
     stage. Delta MERGE gets this for free (one job, two outputs).
+    ``prepared=True`` means ``batch`` is already the output of
+    ``prepare_unicast_prefix`` (the sink pre-materializes it once and
+    reuses it for bucket pruning too).
     """
-    src = prepare_unicast_prefix(batch)
+    src = batch if prepared else prepare_unicast_prefix(batch)
     if materialize is not None:
         src = materialize(src)
     src = src.alias("src")

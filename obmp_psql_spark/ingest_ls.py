@@ -37,11 +37,16 @@ class MergePolicy:
 
 
 def conditional_rib_merge(
-    state: DataFrame, batch: DataFrame, policy: MergePolicy
+    state: DataFrame, batch: DataFrame, policy: MergePolicy,
+    materialize=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Generic withdraw-aware merge + trigger-CDC log. ``batch`` must
     already be in state-column shape and batch-compressed (one row
-    per key)."""
+    per key). ``materialize`` (e.g. localCheckpoint) caches the
+    prepared batch so the sink's two write jobs (log + state) don't
+    each re-run the parse+dedup stage."""
+    if materialize is not None:
+        batch = materialize(batch)
     src = batch.alias("src")
     tgt = state.alias("tgt")
     cond = None
@@ -119,8 +124,10 @@ def prepare_ls_node(batch: DataFrame) -> DataFrame:
     return dedup_latest(rows, ["hash_id", "peer_hash_id"], [F.col("timestamp").desc()])
 
 
-def apply_ls_node(state: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    return conditional_rib_merge(state, prepare_ls_node(batch), LS_NODE_POLICY)
+def apply_ls_node(state: DataFrame, batch: DataFrame,
+                  materialize=None) -> tuple[DataFrame, DataFrame]:
+    return conditional_rib_merge(state, prepare_ls_node(batch),
+                                 LS_NODE_POLICY, materialize)
 
 
 # ---------------------------------------------------------------------------
@@ -176,8 +183,10 @@ def prepare_ls_link(batch: DataFrame) -> DataFrame:
     return dedup_latest(rows, ["hash_id", "peer_hash_id"], [F.col("timestamp").desc()])
 
 
-def apply_ls_link(state: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    return conditional_rib_merge(state, prepare_ls_link(batch), LS_LINK_POLICY)
+def apply_ls_link(state: DataFrame, batch: DataFrame,
+                  materialize=None) -> tuple[DataFrame, DataFrame]:
+    return conditional_rib_merge(state, prepare_ls_link(batch),
+                                 LS_LINK_POLICY, materialize)
 
 
 # ---------------------------------------------------------------------------
@@ -214,8 +223,10 @@ def prepare_ls_prefix(batch: DataFrame) -> DataFrame:
     return dedup_latest(rows, ["hash_id", "peer_hash_id"], [F.col("timestamp").desc()])
 
 
-def apply_ls_prefix(state: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    return conditional_rib_merge(state, prepare_ls_prefix(batch), LS_PREFIX_POLICY)
+def apply_ls_prefix(state: DataFrame, batch: DataFrame,
+                    materialize=None) -> tuple[DataFrame, DataFrame]:
+    return conditional_rib_merge(state, prepare_ls_prefix(batch),
+                                 LS_PREFIX_POLICY, materialize)
 
 
 # ---------------------------------------------------------------------------
@@ -247,11 +258,13 @@ def prepare_l3vpn(batch: DataFrame) -> DataFrame:
     return base.join(extra, ["peer_hash_id", "hash_id"])
 
 
-def apply_l3vpn(state: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+def apply_l3vpn(state: DataFrame, batch: DataFrame,
+                materialize=None) -> tuple[DataFrame, DataFrame]:
     """L3VPN merge keeps the ip_rib CASE matrix plus rd/ext-community
     always-update (L3VpnPrefixQuery.java:36-42); log carries old
     rd/ext on withdraw (10_l3vpn.sql:127-151)."""
-    new_state, log = conditional_rib_merge(state, prepare_l3vpn(batch), L3VPN_POLICY)
+    new_state, log = conditional_rib_merge(state, prepare_l3vpn(batch),
+                                           L3VPN_POLICY, materialize)
     log_cols = ["is_withdrawn", "prefix", "prefix_len", "base_attr_hash_id",
                 "peer_hash_id", "origin_as", "timestamp", "rd",
                 "ext_community_list"]

@@ -187,6 +187,14 @@ class JobRunner:
         # replay stays O(recent) under continuous micro-batching
         self.store.checkpoint_log()
 
+    def run_vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Reclaim unreferenced data dirs (crash orphans, GC'd
+        history) and fold the commit log — the VACUUM + checkpoint
+        maintenance pair every lakehouse deployment schedules."""
+        removed = self.store.vacuum(min_age_seconds=min_age_seconds)
+        self.store.checkpoint_log()
+        return removed
+
     def run_retention(self, now: dt.datetime | None = None,
                       log_retention: dt.timedelta = dt.timedelta(days=60),
                       withdrawn_age: dt.timedelta = dt.timedelta(hours=4)) -> None:

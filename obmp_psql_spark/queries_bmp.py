@@ -427,6 +427,114 @@ def q_bmp_view_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3VPN family through the gate: rd/ext-community always-update merge
+# (L3VpnPrefixQuery.java:36-42) + v_l3vpn_routes (10_l3vpn.sql:81-101)
+# ---------------------------------------------------------------------------
+
+def _l3vpn_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unicast-shaped messages plus rd (per-VRF, stable per user) and
+    ext communities (vary per message, so the always-latest policy is
+    observable)."""
+    return _messages(spark, sf_dir).select(
+        "*",
+        F.concat(F.lit("65000:"), (F.col("event_id") % 5).cast("string"))
+         .alias("rd"),
+        F.concat(F.lit("rt:65001:"), (F.col("event_id") % 20).cast("string"))
+         .alias("ext_community_list"),
+    )
+
+
+def _run_l3vpn_pipeline(spark: SparkSession, sf_dir: str):
+    from .ingest_ls import apply_l3vpn
+
+    def build():
+        msgs = _l3vpn_messages(spark, sf_dir)
+        b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        state = spark.createDataFrame([], TABLE_SCHEMAS["l3vpn_rib"])
+        state, _ = apply_l3vpn(state, b1)
+        state, _ = apply_l3vpn(state, b2)
+        return (state,)
+    return _cached_pipeline("l3vpn", spark, sf_dir, build)
+
+
+_L3VPN_VIEW_ORACLE = f"""
+WITH {_EV},
+{_MSG_SQL},
+mx AS (
+  SELECT m.*,
+         '65000:' || CAST(event_id % 5 AS VARCHAR) AS rd,
+         'rt:65001:' || CAST(event_id % 20 AS VARCHAR) AS ext
+  FROM m
+),
+l1 AS (SELECT * FROM (
+  SELECT mx.*, row_number() OVER (PARTITION BY peer, h ORDER BY mts DESC) rn
+  FROM mx WHERE event_id % 2 = 0) WHERE rn = 1),
+l2 AS (SELECT * FROM (
+  SELECT mx.*, row_number() OVER (PARTITION BY peer, h ORDER BY mts DESC) rn
+  FROM mx WHERE event_id % 2 = 1) WHERE rn = 1),
+state AS (
+  SELECT coalesce(l2.peer, l1.peer) AS peer_hash_id,
+         coalesce(l2.h, l1.h) AS hash_id,
+         CASE WHEN l2.h IS NULL THEN l1.attr
+              WHEN l1.h IS NULL THEN l2.attr
+              WHEN l2.wd THEN l1.attr ELSE l2.attr END AS base_attr_hash_id,
+         CASE WHEN l2.h IS NULL THEN l1.origin
+              WHEN l1.h IS NULL THEN l2.origin
+              WHEN l2.wd THEN l1.origin ELSE l2.origin END AS origin_as,
+         coalesce(l2.wd, l1.wd) AS is_withdrawn,
+         coalesce(l2.rd, l1.rd) AS rd,
+         coalesce(l2.ext, l1.ext) AS ext_communities,
+         coalesce(l2.prefix, l1.prefix) AS prefix
+  FROM l1 FULL OUTER JOIN l2 ON l1.peer = l2.peer AND l1.h = l2.h
+),
+peers AS (
+  SELECT 'p' || CAST(n AS VARCHAR) AS hash_id, 'peer-' || CAST(n AS VARCHAR) AS name,
+         CAST(65000 + n AS BIGINT) AS peer_as
+  FROM UNNEST(generate_series(0, 9)) AS g(n)
+),
+attrs AS (
+  SELECT 'a' || CAST(k AS VARCHAR) AS hash_id, 'p' || CAST(n AS VARCHAR) AS peer_hash_id,
+         CAST(65000 + n AS VARCHAR) || ' ' || CAST(100 + k AS VARCHAR) AS as_path_str,
+         CAST(k AS BIGINT) AS med
+  FROM UNNEST(generate_series(0, 9)) AS g(n), UNNEST(generate_series(0, 19)) AS h(k)
+)
+SELECT '198.51.100.1' AS router_name,
+       p.name AS peer_name,
+       r.rd, r.prefix, r.origin_as,
+       a.med, a.as_path_str,
+       r.ext_communities,
+       r.is_withdrawn,
+       r.hash_id AS rib_hash_id
+FROM state r
+JOIN peers p ON r.peer_hash_id = p.hash_id
+JOIN attrs a ON a.hash_id = r.base_attr_hash_id AND a.peer_hash_id = r.peer_hash_id
+"""
+
+
+@register(
+    "q_bmp_l3vpn_view",
+    oracle=_L3VPN_VIEW_ORACLE,
+    survey_ref="G5/J1 end-to-end (L3VpnPrefixQuery.java:36-42 merge; "
+               "10_l3vpn.sql:81-101 v_l3vpn_routes)",
+    doc="two-batch l3vpn merge (rd/ext always-update policy) through "
+        "v_l3vpn_routes vs SQL oracle",
+)
+def q_bmp_l3vpn_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.views import v_l3vpn_routes
+
+    (state,) = _run_l3vpn_pipeline(spark, sf_dir)
+    peers, routers, attrs = _cached_pipeline(
+        "dims", spark, sf_dir, lambda: _dimension_state(spark))
+    view = v_l3vpn_routes(state, peers, attrs, routers)
+    return view.select(
+        "router_name", "peer_name", "rd", "prefix", "origin_as", "med",
+        F.array_join("as_path", " ").alias("as_path_str"),
+        "ext_communities", "is_withdrawn", "rib_hash_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Peer pipeline through the gate: merge SET-list semantics + LocRib
 # backfill + event log (PeerQuery.java:24-40; 9_triggers.sql:43-85)
 # ---------------------------------------------------------------------------

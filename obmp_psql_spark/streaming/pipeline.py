@@ -74,18 +74,22 @@ class BmpStreamingIngest:
 
         from ..state import bucket_of
 
+        # materialize the parsed+deduped batch ONCE; bucket pruning,
+        # the log write, and the state write all reuse it instead of
+        # re-running the parse stage per job
+        src = ingest.prepare_unicast_prefix(batch).localCheckpoint()
         if self.rib_buckets:
             # bucket pruning: one cheap distinct over the batch keys
             # tells us which state buckets the merge can touch (the
             # lakehouse MERGE file-pruning step)
-            touched = [r[0] for r in batch.select(
-                bucket_of([F.col("peer_hash"), F.col("hash")],
-                          self.rib_buckets).alias("b")).distinct().collect()]
+            touched = [r[0] for r in src.select(
+                bucket_of(self.RIB_KEY, self.rib_buckets).alias("b"))
+                .distinct().collect()]
             state = self.store.read_buckets("ip_rib", touched)
         else:
             state = self.store.read("ip_rib")
-        new_state, log = ingest.apply_unicast_prefix(
-            state, batch, materialize=lambda df: df.localCheckpoint())
+        new_state, log = ingest.apply_unicast_prefix(state, src,
+                                                     prepared=True)
         with self.store.transaction("unicast_prefix", batch_id) as txn:
             # hour partitions: Timescale 1-hour chunks (1_base.sql:367)
             txn.append(
@@ -167,7 +171,8 @@ class BmpStreamingIngest:
             state = self.store.read_buckets(table, touched)
         else:
             state = self.store.read(table)
-        state, log = apply_fn(state, batch)
+        state, log = apply_fn(state, batch,
+                              materialize=lambda df: df.localCheckpoint())
         with self.store.transaction(name, batch_id) as txn:
             txn.append(log_table, log)
             if n:

@@ -201,6 +201,23 @@ def test_compaction_preserves_bucketed_layout(spark, tmp_path):
     assert got["k5"] == 99 and len(got) == 20
 
 
+def test_run_vacuum_reclaims_orphans_and_folds_log(spark, tmp_path):
+    from obmp_psql_spark.state import Transaction
+
+    store = ParquetStateStore(spark, str(tmp_path))
+    for i in range(12):
+        store.overwrite("t", spark.createDataFrame([(i,)], "v long"))
+    # crash orphan: staged but never committed
+    txn = Transaction(store, None, None)
+    txn.replace("t", spark.createDataFrame([(99,)], "v long"))
+
+    jr = JobRunner(store)
+    removed = jr.run_vacuum(min_age_seconds=0.0)
+    assert len(removed) >= 1  # the orphan (plus any stray history)
+    assert [r.v for r in store.read("t", None).collect()] == [11]
+    assert len(store._commit_files()) <= 11  # log folded
+
+
 def test_l3vpn_chg_stats_buckets(spark):
     import pyspark.sql.functions as F
 
