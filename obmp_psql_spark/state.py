@@ -332,6 +332,24 @@ class TxnStateStore:
         self._replayed = len(files)
         return self._snap
 
+    def snapshot_at(self, version: int) -> _Snapshot:
+        """The snapshot as of commit ``version`` (time travel /
+        VERSION AS OF). Only versions whose data dirs are still
+        retained are fully readable: eager GC keeps one superseded
+        generation per table and vacuum prunes the rest — the same
+        retention contract Delta time travel has."""
+        snap = _Snapshot()
+        for name in self._commit_files():
+            v = int(name[:-5])
+            if v > version:
+                break
+            with open(os.path.join(self.root, _LOG_DIR, name)) as f:
+                snap.apply(v, json.load(f))
+        if snap.version < version:
+            raise ValueError(f"version {version} not in the commit log "
+                             f"(latest is {snap.version})")
+        return snap
+
     # -- read ----------------------------------------------------------
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         """Current committed state: last replace dir + later appends,
@@ -356,6 +374,36 @@ class TxnStateStore:
             # hive-partitioned appends without tripping Spark's
             # multi-root partition discovery; the partition column
             # resurfaces as a normal column either way
+            dfs = [self.spark.read.parquet(p) for p in paths]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        schema = schema or TABLE_SCHEMAS[table]
+        return self.spark.createDataFrame([], schema)
+
+    def read_at(self, table: str, version: int,
+                schema: T.StructType | None = None) -> DataFrame:
+        """Time-travel read: ``table`` as of commit ``version``.
+        Raises if the version's data files were already GC'd/vacuumed
+        (retention window exceeded)."""
+        tab = self.snapshot_at(version).tables.get(table)
+        paths = []
+        if tab:
+            if tab["replace"]:
+                paths.append(self._abs(tab["replace"]))
+            paths.extend(
+                os.path.join(self._abs(d), f"_bucket={k}")
+                for k, d in sorted(tab["buckets"].items()))
+            paths.extend(self._abs(p) for p in tab["appends"])
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"{table}@v{version}: data files GC'd (retention "
+                f"exceeded): {missing[:3]}")
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        if paths:
             dfs = [self.spark.read.parquet(p) for p in paths]
             out = dfs[0]
             for d in dfs[1:]:

@@ -90,3 +90,42 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(msg_strategy, min_size=1, max_size=6),
+                min_size=1, max_size=2))
+def test_bucketed_sink_equals_monolithic_sink(spark_session_holder,
+                                              tmp_path_factory, batches):
+    """Differential property: any interleaving committed through the
+    hash-bucketed partial-merge sink equals the monolithic sink's
+    committed state and change log."""
+    from obmp_psql_spark.state import TxnStateStore
+    from obmp_psql_spark.streaming.pipeline import BmpStreamingIngest
+
+    from .test_bmp_ingest import msgs as mk_msgs
+
+    spark = spark_session_holder
+    t0 = dt.datetime(2024, 1, 1)
+    results = {}
+    for tag, n in (("mono", None), ("bkt", 4)):
+        root = tmp_path_factory.mktemp(f"prop_{tag}")
+        store = TxnStateStore(spark, str(root))
+        ing = BmpStreamingIngest(spark, store, rib_buckets=n)
+        for bi, batch in enumerate(batches):
+            rows = [
+                upx("del" if wd else "add", h, peer, attr,
+                    t0 + dt.timedelta(minutes=bi, seconds=i))
+                for i, (peer, h, attr, wd) in enumerate(batch)
+            ]
+            ing.unicast_prefix_batch(
+                mk_msgs(spark, "unicast_prefix", rows), bi)
+        results[tag] = (
+            {(r.peer_hash_id, r.hash_id):
+             (r.base_attr_hash_id, r.is_withdrawn, r.timestamp)
+             for r in store.read("ip_rib").collect()},
+            sorted((r.peer_hash_id, r.base_attr_hash_id, r.is_withdrawn,
+                    r.timestamp) for r in store.read("ip_rib_log").collect()),
+        )
+    assert results["mono"] == results["bkt"]

@@ -349,6 +349,78 @@ def test_bucketed_family_pipeline_matches_monolithic(spark, tmp_path):
     assert len(set(bstore.bucket_map("l3vpn_rib").values())) > 1
 
 
+def test_time_travel_read(spark, tmp_path):
+    """read_at serves any retained commit version; GC'd versions
+    raise instead of silently returning wrong data."""
+    store = TxnStateStore(spark, str(tmp_path))
+    with store.transaction() as txn:           # v0
+        txn.replace("t", df(spark, [("a", 1)]))
+        txn.append("log", df(spark, [("l1", 1)]))
+    with store.transaction() as txn:           # v1
+        txn.append("log", df(spark, [("l2", 2)]))
+    with store.transaction() as txn:           # v2
+        txn.replace("t", df(spark, [("a", 3)]))
+
+    assert {r.k: r.v for r in store.read_at("t", 0).collect()} == {"a": 1}
+    assert {r.k: r.v for r in store.read_at("t", 1).collect()} == {"a": 1}
+    assert {r.k: r.v for r in store.read_at("t", 2).collect()} == {"a": 3}
+    assert {r.k for r in store.read_at("log", 0).collect()} == {"l1"}
+    assert {r.k for r in store.read_at("log", 2).collect()} == {"l1", "l2"}
+    # never-written table at an old version -> typed empty
+    assert store.read_at("nothing", 0, df(spark, []).schema).count() == 0
+    with pytest.raises(ValueError):
+        store.snapshot_at(99)
+
+    # push the v0 generation out of retention: two more replaces GC it
+    with store.transaction() as txn:           # v3
+        txn.replace("t", df(spark, [("a", 4)]))
+    with pytest.raises(ValueError):
+        store.read_at("t", 0).collect()
+    # v2 is the retained previous generation — still readable
+    assert {r.v for r in store.read_at("t", 2).collect()} == {3}
+
+
+def test_bucketed_file_stream_restart(spark, tmp_path):
+    """foreachBatch + checkpoint + bucketed sink end-to-end: restart
+    replays nothing, partial merges accumulate correct state."""
+    import os
+
+    from obmp_psql_spark.streaming.pipeline import BmpStreamingIngest
+
+    from .test_bmp_ingest import msgs, ts, upx
+
+    src_dir = str(tmp_path / "msgs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    store = TxnStateStore(spark, str(tmp_path / "store"))
+    ing = BmpStreamingIngest(spark, store, rib_buckets=4)
+
+    msgs(spark, "unicast_prefix", [
+        upx("add", "r1", "p1", "attrA", ts(0)),
+        upx("add", "r2", "p1", "attrB", ts(0)),
+    ]).coalesce(1).write.mode("append").parquet(src_dir)
+    q = ing.start_file_stream("unicast_prefix", src_dir, ckpt)
+    q.awaitTermination()
+    assert store.read("ip_rib").count() == 2
+    assert store.bucket_spec("ip_rib") == (["peer_hash_id", "hash_id"], 4)
+
+    msgs(spark, "unicast_prefix", [
+        upx("del", "r1", "p1", "", ts(1)),
+    ]).coalesce(1).write.mode("append").parquet(src_dir)
+    q = ing.start_file_stream("unicast_prefix", src_dir, ckpt)
+    q.awaitTermination()
+    rib = {r.hash_id: r for r in store.read("ip_rib").collect()}
+    assert rib["r1"].is_withdrawn is True
+    assert rib["r1"].base_attr_hash_id == "attrA"
+    assert store.read("ip_rib_log").count() == 1
+
+    # restart with nothing new: txn guard keeps state identical
+    q = ing.start_file_stream("unicast_prefix", src_dir, ckpt)
+    q.awaitTermination()
+    assert store.read("ip_rib").count() == 2
+    assert store.read("ip_rib_log").count() == 1
+
+
 def test_commit_log_is_valid_json_with_relative_paths(spark, tmp_path):
     """The log must be relocatable (relative dirs) and inspectable."""
     store = TxnStateStore(spark, str(tmp_path))
