@@ -246,9 +246,20 @@ def ngram_jaccard_pairs(
     Scale: frequent shingles dominate the pair join quadratically (a
     shingle in d docs contributes d^2/2 pairs). ``max_doc_freq``
     applies the standard stop-shingle filter — shingles appearing in
-    more than that many docs (per block) are dropped BEFORE the join,
-    and Jaccard is computed over the retained sets on both the Spark
-    and oracle side. None = exact over all shingles.
+    more than that many docs (per block) are dropped BEFORE pair
+    generation, and Jaccard is computed over the retained sets on
+    both the Spark and oracle side. None = exact over all shingles.
+
+    Physical shape: with ``max_doc_freq`` set, posting lists are
+    bounded (<= max_doc_freq ids), so pairs are generated IN the
+    array domain — groupBy(shingle) -> sorted id list -> combination
+    structs — replacing the exploded-index sort-merge self-join with
+    a single hash aggregate (measured ~4x at sf0.1, and the win grows
+    with corpus size: the self-join shuffles the full inverted index
+    twice and sorts both sides). Without the cap a posting list is
+    unbounded (a stop shingle at 100 TB can hit millions of docs, too
+    big for one array), so the uncapped path keeps the pairwise
+    equi-join, which AQE skew-handles instead.
     Returns (id_a, id_b, jaccard: double).
     """
     base = df.select(
@@ -258,26 +269,47 @@ def ngram_jaccard_pairs(
     )
     ex = base.select("__id", *(["__blk"] if block_col else []),
                      F.explode("__sh").alias("__s"))
+    freq_keys = ["__blk", "__s"] if block_col else ["__s"]
     if max_doc_freq is not None:
-        freq_keys = ["__blk", "__s"] if block_col else ["__s"]
-        keep = (ex.groupBy(*freq_keys).agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_doc_freq).drop("__df"))
-        ex = ex.join(keep, freq_keys, "left_semi")
-    # the inverted index feeds three consumers (sizes + both join
-    # sides); materialize it once — shingling re-runs the regex split
-    # per consumer otherwise, and at scale the index is a build-once
-    # artifact anyway
-    ex = ex.persist()
-    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cond = (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id"))
-    if block_col:
-        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        # bounded posting lists: one shuffle builds them, pairs come
+        # from array combinations (no self-join, no second exchange
+        # of the inverted index)
+        posts = (ex.groupBy(*freq_keys)
+                 .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+                 .filter(F.size("__ids") <= max_doc_freq)
+                 .select("__ids"))
+        # feeds sizes + pairs: build the index once
+        posts = posts.persist()
+        sizes = (posts.select(F.explode("__ids").alias("__id"))
+                 .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
+        combos = F.flatten(F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2),
+                        F.greatest(F.size("__ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+        inter = (
+            posts.select(F.explode(combos).alias("__p"))
+            .groupBy(F.col("__p.id_a").alias("id_a"),
+                     F.col("__p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # the inverted index feeds three consumers (sizes + both join
+        # sides); materialize it once — shingling re-runs the regex
+        # split per consumer otherwise
+        ex = ex.persist()
+        sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        a, b = ex.alias("a"), ex.alias("b")
+        cond = ((F.col("a.__s") == F.col("b.__s"))
+                & (F.col("a.__id") < F.col("b.__id")))
+        if block_col:
+            cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+        inter = (
+            a.join(b, cond)
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"))
     return (
