@@ -200,32 +200,35 @@ class Transaction:
 
     def append(self, table: str, df: DataFrame,
                partition_by: str | None = None) -> None:
-        """Stage an append (change logs). Optionally hive-partitioned
-        — the hypertable-chunk equivalent (1_base.sql:367): hour
-        partitions give time-predicate pruning, and the partition
-        values recorded in the commit let retention drop whole
-        expired dirs without reading them."""
+        """Stage an append (change logs). ``partition_by`` names the
+        chunk column — the hypertable-chunk equivalent
+        (1_base.sql:367).
+
+        Chunking is METADATA, not directory layout: the distinct
+        chunk values are computed from the batch and recorded in the
+        commit (that is all retention's drop_appends needs — it drops
+        whole append dirs, never sub-chunks), while the data itself
+        is written FLAT, range-clustered on the chunk column so each
+        file covers a contiguous value range and parquet min/max
+        stats prune time predicates at read. A hive dir per hour
+        value writes one tiny file + committer rename per hour (~9 s
+        for a ~500-hour batch at sf0.1, vs 0.5 s flat); at real scale
+        a chunk dir is fine, but flat+stats prunes just as well and
+        never degenerates when chunks outnumber rows-per-chunk."""
         d = self.store._stage_dir(table, "a")
-        if partition_by:
-            # cluster rows by the partition value first: a dynamic
-            # partitioned write otherwise fans every task out to every
-            # partition dir (tasks x partitions small files — measured
-            # ~23k files / 8 s for one hour-partitioned log append at
-            # sf0.1; clustered it's one file per hour, <1 s). Same
-            # rationale as Delta's repartition-before-dynamic-overwrite.
-            df = df.repartition(F.col(partition_by))
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(partition_by)
-        w.parquet(d)
-        self._staged_dirs.append(d)
         act = {"table": table, "kind": "append",
-               "dir": self.store._rel(d), "has_files": _has_parquet(d)}
+               "dir": self.store._rel(d)}
         if partition_by:
-            from urllib.parse import unquote  # hive dirs escape ':' etc.
             act["partitions"] = sorted(
-                unquote(n.split("=", 1)[1]) for n in os.listdir(d)
-                if n.startswith(f"{partition_by}="))
+                r[0] for r in df.select(
+                    F.col(partition_by).cast("string"))
+                .where(F.col(partition_by).isNotNull())
+                .distinct().collect())
+            df = (df.repartitionByRange(F.col(partition_by))
+                  .sortWithinPartitions(partition_by))
+        df.write.mode("overwrite").parquet(d)
+        self._staged_dirs.append(d)
+        act["has_files"] = _has_parquet(d)
         self.actions.append(act)
 
     def drop_appends(self, table: str, dirs: list[str]) -> None:
