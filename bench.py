@@ -28,22 +28,33 @@ def main() -> None:
     # dominate 100 TB cost; cheap filters ride along for coverage.
     names = os.environ.get("BENCH_QUERIES")
     selected = names.split(",") if names else sorted(specs)
+    # the ingest-rate headlines must time a COLD pipeline build, and
+    # the other gate queries legitimately share it once built — so run
+    # the headline queries first instead of clearing the memo cache
+    # mid-run (which made later gate queries rebuild rib + dims twice)
+    head = [q for q in ("q_bmp_rib_merge", "q_bmp_txn_store",
+                        "q_bmp_txn_bucketed") if q in selected]
+    selected = head + [q for q in selected if q not in head]
 
-    # warm the JVM/codegen/scan path once so the alphabetically-first
-    # query doesn't absorb ~4s of session startup in its own number
-    spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .limit(1000).write.format("noop").mode("overwrite").save()
+    # warm the JVM once so the first query doesn't absorb ~5s of
+    # session startup in its own number: scan path, then one tiny job
+    # through the shuffle/window/join/codegen machinery the gate
+    # pipelines lean on
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    warm = (ev.withColumn("rn", F.row_number().over(w))
+            .groupBy("user_id").agg(F.max("rn").alias("m")))
+    warm.join(warm.withColumnRenamed("m", "m2"), "user_id", "full_outer") \
+        .write.format("noop").mode("overwrite").save()
+    spark.createDataFrame([(1, "a")], "id int, s string") \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in selected:
         spec = specs[name]
-        if name == "q_bmp_rib_merge":
-            # the gate queries memoize their shared pipeline; clear it
-            # so this timing measures the real merge cost (it feeds
-            # the ingest-rate headline below)
-            from obmp_psql_spark import queries_bmp
-            queries_bmp._PIPELINE_CACHE.clear()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
