@@ -321,3 +321,62 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list: returns
+    (id, component) where ``component`` is the smallest id reachable
+    from ``id``. The canonical dedup-clustering step: near-dup PAIRS
+    (minhash / jaccard / embedding) -> duplicate GROUPS, from which
+    one representative per group survives.
+
+    Algorithm: iterative min-label propagation. Each round joins the
+    current labels onto the symmetric edge list and takes the min
+    label seen across each node's neighborhood (2 shuffles/round,
+    both hash-partitioned on node id), with ``localCheckpoint`` per
+    round to truncate lineage. Rounds needed = graph diameter; near-
+    dup graphs are unions of near-cliques (diameter 2-3 even at
+    100 TB corpus scale), so this beats the alternating-star
+    algorithm's (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") extra constant factors there. For adversarial long-
+    chain graphs prefer alternating-star; ``max_iter`` caps runaway
+    cases and raises rather than returning a wrong answer.
+
+    Scale: state is one (id, label) row per node — O(nodes), not
+    O(edges); the edge list is re-joined each round and never
+    mutated, so it can live partitioned on ``a`` and reuse its
+    exchange across rounds.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    # edges feed every round: materialize once
+    sym = sym.localCheckpoint()
+    labels = (sym.groupBy("a")
+              .agg(F.least(F.min("b"), F.first("a")).alias("lab"))
+              .select(F.col("a").alias("id"), "lab")
+              .localCheckpoint())
+    for _ in range(max_iter):
+        # push each node's label to its neighbors, keep the min of
+        # (own label, incoming labels). The previous label rides
+        # through the aggregate in a second column (unique per id),
+        # so convergence is a cheap filter-count on the checkpointed
+        # result instead of a join against the old labels.
+        pushed = (sym.join(labels, sym["a"] == labels["id"])
+                  .select(F.col("b").alias("id"), "lab",
+                          F.lit(None).cast(labels.schema["lab"].dataType)
+                          .alias("old")))
+        own = labels.select("id", "lab", F.col("lab").alias("old"))
+        new_labels = (own.unionByName(pushed)
+                      .groupBy("id").agg(F.min("lab").alias("lab"),
+                                         F.max("old").alias("old"))
+                      .localCheckpoint())
+        changed = new_labels.filter(F.col("lab") != F.col("old")).count()
+        labels = new_labels.select("id", "lab")
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("lab").alias("component"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds "
+        f"(graph diameter exceeds cap; use alternating-star)")

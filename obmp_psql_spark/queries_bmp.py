@@ -245,6 +245,79 @@ def q_bmp_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bmp_stat through the gate: append-only stat_reports sink
+# (BmpStatQuery.java:28-53 plain insert, hypertable 1_base.sql:242-255)
+# ---------------------------------------------------------------------------
+
+_STAT_ORACLE = f"""
+WITH {_EV}
+SELECT 'p' || CAST(user_id % 10 AS VARCHAR) AS peer_hash_id,
+       ts + to_microseconds(CAST(event_id AS BIGINT)) AS timestamp,
+       CAST(floor(value * 10) AS BIGINT) AS prefixes_rejected,
+       CAST(event_id % 7 AS BIGINT) AS known_dup_prefixes,
+       CAST(event_id % 3 AS BIGINT) AS known_dup_withdraws,
+       CAST(0 AS BIGINT) AS invalid_cluster_list,
+       CAST(event_id % 2 AS BIGINT) AS invalid_as_path,
+       CAST(0 AS BIGINT) AS invalid_originator,
+       CAST(0 AS BIGINT) AS invalid_as_confed,
+       CAST(1000 + user_id AS BIGINT) AS routes_adj_rib_in,
+       CAST(user_id AS BIGINT) AS routes_loc_rib
+FROM ev
+"""
+
+
+def _stat_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
+         .alias("peer_hash"),
+        F.timestamp_micros(F.unix_micros("ts") + F.col("event_id"))
+         .alias("timestamp"),
+        F.floor(F.col("value") * 10).cast("long").alias("rejected"),
+        (F.col("event_id") % 7).cast("long").alias("known_dup_updates"),
+        (F.col("event_id") % 3).cast("long").alias("known_dup_withdraws"),
+        F.lit(0).cast("long").alias("invalid_cluster_list"),
+        (F.col("event_id") % 2).cast("long").alias("invalid_as_path"),
+        F.lit(0).cast("long").alias("invalid_originator"),
+        F.lit(0).cast("long").alias("invalid_as_confed"),
+        (1000 + F.col("user_id")).cast("long").alias("routes_adj_rib_in"),
+        F.col("user_id").cast("long").alias("routes_loc_rib"),
+        F.col("event_id"),
+    )
+
+
+@register(
+    "q_bmp_stat_reports",
+    oracle=_STAT_ORACLE,
+    survey_ref="S-table stat_reports end-to-end (BmpStatQuery.java:28-53 "
+               "append; 1_base.sql:242-255 hypertable)",
+    doc="two-batch bmp_stat append through the txn store (+ replayed "
+        "batch exactly-once guard) vs SQL oracle",
+)
+def q_bmp_stat_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only sink gate: both batches land once each even though
+    batch 1 is delivered twice — double-counted rows would fail the
+    row-count/value compare against the oracle's plain projection."""
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+        from .streaming.pipeline import BmpStreamingIngest
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="statstore_"))
+        ing = BmpStreamingIngest(spark, store)
+        msgs = _stat_messages(spark, sf_dir)
+        b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        ing.bmp_stat_batch(b1, 0)
+        ing.bmp_stat_batch(b2, 1)
+        ing.bmp_stat_batch(b1, 0)  # replay: must be a no-op
+        return (store.read("stat_reports"),)
+    (reports,) = _cached_pipeline("stat", spark, sf_dir, build)
+    return reports
+
+
+# ---------------------------------------------------------------------------
 # A1 through the engine: rollup.chg_stats_bypeer over the pipeline's
 # own CDC log, oracled by the reference SQL shape re-derived in DuckDB
 # ---------------------------------------------------------------------------

@@ -194,6 +194,72 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connected-components clustering over the minhash pair graph:
+# near-dup PAIRS -> duplicate GROUPS (the dedup step that picks one
+# representative per group)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SHINGLE_N - 1})) AS g(i)
+),
+mh AS (
+  SELECT doc_id, {_minhash_cols}
+  FROM sh GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_band_exprs} FROM mh
+),
+banded AS (
+{_band_union}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=_CLUSTER_ORACLE,
+    survey_ref="training-data dedup: pair graph -> connected components "
+               "(duplicate groups; transitive-closure oracle via "
+               "recursive CTE)",
+    doc="min-label-propagation connected components over minhash-LSH "
+        "candidate pairs",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
+    pairs = minhash_lsh_pairs(c, "doc_id", "text",
+                              num_hashes=_NUM_HASHES, bands=_BANDS,
+                              shingle_n=_SHINGLE_N)
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 

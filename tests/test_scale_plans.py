@@ -96,3 +96,30 @@ def test_build_once_indexes_are_materialized(spark):
         physical = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in physical, \
             f"{name}: build-once index not materialized\n{physical[:2000]}"
+
+
+def test_connected_components_path_graph(spark):
+    """A path graph is the label-propagation worst case (diameter =
+    n-1); verify multi-round convergence plus component separation
+    and the min-id representative contract."""
+    from obmp_psql_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # path 0-1-2-3-4-5 plus separate triangle 10-11-12 and pair 20-21
+        [(i, i + 1) for i in range(5)]
+        + [(10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {**{i: 0 for i in range(6)},
+                   **{i: 10 for i in (10, 11, 12)}, 20: 20, 21: 20}
+
+
+def test_connected_components_iteration_cap(spark):
+    from obmp_psql_spark.operators.dedup import connected_components
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iter=1)
