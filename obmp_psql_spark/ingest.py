@@ -50,6 +50,33 @@ def _split_strs(c: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def split_merge_outputs(j: DataFrame, state_cols: list[Column],
+                        changed: Column, log_cols: list[Column],
+                        materialize_join=None
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Derive (new_state, log) from a merge join.
+
+    Without ``materialize_join`` the two outputs are independent
+    plans over ``j`` — fine when only one is consumed, but a sink
+    that writes BOTH runs the join (and everything under it) twice.
+    With it (e.g. ``lambda df: df.localCheckpoint()``), the join is
+    executed ONCE into a combined (state-struct, nullable log-struct)
+    frame and both outputs become projections of that — the
+    single-pass multi-output shape a lakehouse MERGE..OUTPUT gets
+    natively. On a cluster sink, substitute a staging-dir write for
+    localCheckpoint; the cost model is the same (one join, one
+    materialization, two cheap scans)."""
+    if materialize_join is None:
+        return j.select(*state_cols), j.filter(changed).select(*log_cols)
+    combined = materialize_join(j.select(
+        F.struct(*state_cols).alias("__state"),
+        # when() yields NULL unless `changed` is TRUE — same rows as
+        # filter(changed) under SQL three-valued logic
+        F.when(changed, F.struct(*log_cols)).alias("__log")))
+    return (combined.select("__state.*"),
+            combined.filter(F.col("__log").isNotNull()).select("__log.*"))
+
+
 def _v4_bounds(prefix: Column, prefix_len: Column, is_ipv4: Column) -> tuple[Column, Column]:
     """Numeric bounds for v4 prefixes (v6 gets NULL here; the v6
     two-long variant applies the same way via net.ipv6_to_longs)."""
@@ -86,7 +113,8 @@ def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
 
 def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
                          materialize=None,
-                         prepared: bool = False) -> tuple[DataFrame, DataFrame]:
+                         prepared: bool = False,
+                         materialize_join=None) -> tuple[DataFrame, DataFrame]:
     """Returns (new ip_rib state, ip_rib_log appends).
 
     Merge semantics (UnicastPrefixQuery.java:35-40): withdraw keeps
@@ -127,7 +155,7 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
         matched & F.col("src.is_withdrawn"), F.col(f"tgt.{col}")
     ).otherwise(pick(col))
 
-    new_state = j.select(
+    state_cols = [
         pick("hash_id").alias("hash_id"),
         pick("peer_hash_id").alias("peer_hash_id"),
         keep_on_withdraw("base_attr_hash_id").alias("base_attr_hash_id"),
@@ -145,7 +173,7 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
         pick("is_adj_rib_in").alias("is_adj_rib_in"),
         pick("prefix_start").alias("prefix_start"),
         pick("prefix_end").alias("prefix_end"),
-    )
+    ]
 
     changed = matched & (
         (F.col("src.is_withdrawn") != F.col("tgt.is_withdrawn"))
@@ -156,7 +184,7 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
             & (F.col("src.base_attr_hash_id") != F.col("tgt.base_attr_hash_id"))
         )
     )
-    log = j.filter(changed).select(
+    log_cols = [
         F.col("src.is_withdrawn").alias("is_withdrawn"),
         F.col("src.prefix").alias("prefix"),
         F.col("src.prefix_len").alias("prefix_len"),
@@ -166,8 +194,9 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
         F.when(F.col("src.is_withdrawn"), F.col("tgt.origin_as"))
          .otherwise(F.col("src.origin_as")).alias("origin_as"),
         F.col("src.timestamp").alias("timestamp"),
-    )
-    return new_state, log
+    ]
+    return split_merge_outputs(j, state_cols, changed, log_cols,
+                               materialize_join)
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,7 @@ class MergePolicy:
 
 def conditional_rib_merge(
     state: DataFrame, batch: DataFrame, policy: MergePolicy,
-    materialize=None,
+    materialize=None, materialize_join=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Generic withdraw-aware merge + trigger-CDC log. ``batch`` must
     already be in state-column shape and batch-compressed (one row
@@ -73,7 +73,6 @@ def conditional_rib_merge(
         else:  # never updated after insert (incl. first_added_timestamp)
             expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
         cols.append(expr.alias(c))
-    new_state = j.select(*cols)
 
     changed = matched & (
         (F.col("src.is_withdrawn") != F.col("tgt.is_withdrawn"))
@@ -89,8 +88,9 @@ def conditional_rib_merge(
         else:
             expr = F.col(f"src.{c}")
         log_cols.append(expr.alias(c))
-    log = j.filter(changed).select(*log_cols)
-    return new_state, log
+    from .ingest import split_merge_outputs
+    return split_merge_outputs(j, cols, changed, log_cols,
+                               materialize_join)
 
 
 # ---------------------------------------------------------------------------
@@ -125,9 +125,11 @@ def prepare_ls_node(batch: DataFrame) -> DataFrame:
 
 
 def apply_ls_node(state: DataFrame, batch: DataFrame,
-                  materialize=None) -> tuple[DataFrame, DataFrame]:
+                  materialize=None,
+                  materialize_join=None) -> tuple[DataFrame, DataFrame]:
     return conditional_rib_merge(state, prepare_ls_node(batch),
-                                 LS_NODE_POLICY, materialize)
+                                 LS_NODE_POLICY, materialize,
+                                 materialize_join)
 
 
 # ---------------------------------------------------------------------------
@@ -184,9 +186,11 @@ def prepare_ls_link(batch: DataFrame) -> DataFrame:
 
 
 def apply_ls_link(state: DataFrame, batch: DataFrame,
-                  materialize=None) -> tuple[DataFrame, DataFrame]:
+                  materialize=None,
+                  materialize_join=None) -> tuple[DataFrame, DataFrame]:
     return conditional_rib_merge(state, prepare_ls_link(batch),
-                                 LS_LINK_POLICY, materialize)
+                                 LS_LINK_POLICY, materialize,
+                                 materialize_join)
 
 
 # ---------------------------------------------------------------------------
@@ -224,9 +228,11 @@ def prepare_ls_prefix(batch: DataFrame) -> DataFrame:
 
 
 def apply_ls_prefix(state: DataFrame, batch: DataFrame,
-                    materialize=None) -> tuple[DataFrame, DataFrame]:
+                    materialize=None,
+                    materialize_join=None) -> tuple[DataFrame, DataFrame]:
     return conditional_rib_merge(state, prepare_ls_prefix(batch),
-                                 LS_PREFIX_POLICY, materialize)
+                                 LS_PREFIX_POLICY, materialize,
+                                 materialize_join)
 
 
 # ---------------------------------------------------------------------------
@@ -259,12 +265,14 @@ def prepare_l3vpn(batch: DataFrame) -> DataFrame:
 
 
 def apply_l3vpn(state: DataFrame, batch: DataFrame,
-                materialize=None) -> tuple[DataFrame, DataFrame]:
+                materialize=None,
+                materialize_join=None) -> tuple[DataFrame, DataFrame]:
     """L3VPN merge keeps the ip_rib CASE matrix plus rd/ext-community
     always-update (L3VpnPrefixQuery.java:36-42); log carries old
     rd/ext on withdraw (10_l3vpn.sql:127-151)."""
     new_state, log = conditional_rib_merge(state, prepare_l3vpn(batch),
-                                           L3VPN_POLICY, materialize)
+                                           L3VPN_POLICY, materialize,
+                                           materialize_join)
     log_cols = ["is_withdrawn", "prefix", "prefix_len", "base_attr_hash_id",
                 "peer_hash_id", "origin_as", "timestamp", "rd",
                 "ext_community_list"]

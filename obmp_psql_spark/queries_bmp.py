@@ -88,7 +88,11 @@ def _run_pipeline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
         empty = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
         state1, _ = apply_unicast_prefix(empty, b1)
-        state2, log = apply_unicast_prefix(state1, b2)
+        # both outputs of the second merge are consumed; materialize
+        # the join once so the state and log checkpoints don't each
+        # re-run the whole two-merge DAG
+        state2, log = apply_unicast_prefix(
+            state1, b2, materialize_join=lambda df: df.localCheckpoint())
         return state2, log
     return _cached_pipeline("rib", spark, sf_dir, build)
 

@@ -88,8 +88,12 @@ class BmpStreamingIngest:
             state = self.store.read_buckets("ip_rib", touched)
         else:
             state = self.store.read("ip_rib")
-        new_state, log = ingest.apply_unicast_prefix(state, src,
-                                                     prepared=True)
+        # materialize the merge join once: the txn writes BOTH log
+        # and state, which would otherwise each re-run the full-outer
+        # merge (state scan + shuffle) as separate jobs
+        new_state, log = ingest.apply_unicast_prefix(
+            state, src, prepared=True,
+            materialize_join=lambda df: df.localCheckpoint())
         with self.store.transaction("unicast_prefix", batch_id) as txn:
             # hour partitions: Timescale 1-hour chunks (1_base.sql:367)
             txn.append(
@@ -171,8 +175,10 @@ class BmpStreamingIngest:
             state = self.store.read_buckets(table, touched)
         else:
             state = self.store.read(table)
-        state, log = apply_fn(state, batch,
-                              materialize=lambda df: df.localCheckpoint())
+        state, log = apply_fn(
+            state, batch,
+            materialize=lambda df: df.localCheckpoint(),
+            materialize_join=lambda df: df.localCheckpoint())
         with self.store.transaction(name, batch_id) as txn:
             txn.append(log_table, log)
             if n:
