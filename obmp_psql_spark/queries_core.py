@@ -472,6 +472,58 @@ def q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of (point-in-time) join: every event enriched with the peer
+# state in effect when it arrived. DuckDB's native ASOF JOIN is the
+# differential oracle for our union-window implementation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_asof_enrich",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    m AS (SELECT user_id, ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
+                 event_id, value FROM ev),
+    quotes AS (
+      SELECT user_id, mts,
+             CASE WHEN value < 5 THEN 'down' ELSE 'up' END AS state
+      FROM m WHERE event_id % 10 = 0
+    ),
+    probes AS (
+      SELECT user_id, mts AS ts, event_id, value
+      FROM m WHERE event_id % 10 <> 0
+    )
+    SELECT p.user_id, p.ts, p.event_id, p.value,
+           q.mts AS __asof_ts, q.state AS state
+    FROM probes p ASOF LEFT JOIN quotes q
+      ON p.user_id = q.user_id AND p.ts >= q.mts
+    """,
+    survey_ref="custom operator Spark lacks: backward as-of join "
+               "(point-in-time dimension lookup the reference does "
+               "per-row at trigger time, 9_triggers.sql:43-85)",
+    doc="union-window as-of join (one shuffle, no range-join blowup) "
+        "vs DuckDB native ASOF JOIN",
+)
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = ev.select(
+        "user_id",
+        F.timestamp_micros(F.unix_micros("ts") + F.col("event_id"))
+         .alias("mts"),
+        "event_id", "value")
+    quotes = (m.filter(F.col("event_id") % 10 == 0)
+              .select("user_id", F.col("mts"),
+                      F.when(F.col("value") < 5, "down").otherwise("up")
+                       .alias("state")))
+    probes = (m.filter(F.col("event_id") % 10 != 0)
+              .select("user_id", F.col("mts").alias("ts"),
+                      "event_id", "value"))
+    return asof_join(probes, quotes, on=["user_id"],
+                     left_ts="ts", right_ts="mts")
+
+
+# ---------------------------------------------------------------------------
 # T7/P7/P8: last-writer-wins MERGE with timestamp guard (batch emulation)
 # ---------------------------------------------------------------------------
 

@@ -463,6 +463,46 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic stratified sampling: the dataset-mixing primitive
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.02
+_MIX_SALT = "mix-v1:"
+
+_mix_case = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {int(r * 10000)}"
+    for s, r in sorted(_MIX_RATES.items())) \
+    + f" ELSE {int(_MIX_DEFAULT * 10000)} END"
+
+_SAMPLE_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents
+WHERE CAST(('0x' || substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000 < {_mix_case}
+"""
+
+
+@register(
+    "q_stratified_sample",
+    oracle=_SAMPLE_ORACLE,
+    survey_ref="training-data pipeline: deterministic hash-bucket "
+               "dataset mixing (per-source keep rates, reproducible "
+               "across engines/retries — Spark sample() is not)",
+    doc="stratified sample via md5 bucket < per-stratum rate; pure "
+        "scan-stage filter, no shuffle/UDF/RNG",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return stratified_sample(
+        d, strata="source", key="doc_id", rates=_MIX_RATES,
+        default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+# ---------------------------------------------------------------------------
 # similarity search: brute-force exact top-k
 # ---------------------------------------------------------------------------
 

@@ -123,3 +123,52 @@ def test_connected_components_iteration_cap(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(pairs, max_iter=1)
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from obmp_psql_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    quotes = spark.createDataFrame(
+        [("k1", T(2024, 1, 1, 10, 0), "s1"),
+         ("k1", T(2024, 1, 1, 12, 0), "s2"),
+         ("k2", T(2024, 1, 1, 11, 0), "s3")],
+        "k string, ts timestamp, state string")
+    probes = spark.createDataFrame(
+        [("k1", T(2024, 1, 1, 12, 0), 1),   # equal ts -> inclusive match s2
+         ("k1", T(2024, 1, 1, 11, 0), 2),   # between -> s1
+         ("k2", T(2024, 1, 1, 10, 0), 3),   # before any quote -> NULL
+         ("k3", T(2024, 1, 1, 10, 0), 4)],  # key never quoted -> NULL
+        "k string, ts timestamp, n int")
+
+    got = {r["n"]: r["state"]
+           for r in asof_join(probes, quotes, on=["k"]).collect()}
+    assert got == {1: "s2", 2: "s1", 3: None, 4: None}
+
+    inner = asof_join(probes, quotes, on=["k"], how="inner")
+    assert sorted(r["n"] for r in inner.collect()) == [1, 2]
+
+    # 30-minute staleness bound: probe 2 is 60 min after s1 -> dropped
+    tol = asof_join(probes, quotes, on=["k"],
+                    tolerance=F.expr("INTERVAL 30 MINUTES"))
+    got_tol = {r["n"]: r["state"] for r in tol.collect()}
+    assert got_tol == {1: "s2", 2: None, 3: None, 4: None}
+
+
+def test_stratified_sample_subset_and_rate(spark):
+    """Same salt + higher rate must be a superset (monotone bucket
+    threshold), and realized rates must track requested ones."""
+    from obmp_psql_spark.operators.sampling import sample_deterministic
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in sample_deterministic(df, "k", 0.2, "s").collect()}
+    big = {r["k"] for r in sample_deterministic(df, "k", 0.5, "s").collect()}
+    assert small <= big
+    assert abs(len(small) / 20000 - 0.2) < 0.02
+    assert abs(len(big) / 20000 - 0.5) < 0.02
+    # different salt decorrelates: overlap ~= product of rates
+    other = {r["k"] for r in sample_deterministic(df, "k", 0.2, "t").collect()}
+    assert abs(len(small & other) / 20000 - 0.04) < 0.01
