@@ -15,9 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-
-_EVENTS_RAW = ("event_id bigint, ts bigint, user_id bigint, "
-               "event_type string, value double, props string")
+from .session import normalize_ts
 
 
 @register(
@@ -38,10 +36,13 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     # the file source needs a directory; select just events.parquet
-    # from the shared sf dir via a glob filter
-    src = (spark.readStream.schema(_EVENTS_RAW)
+    # from the shared sf dir via a glob filter. The stream schema is
+    # taken from the batch footer so ts-type drift (ns-long vs NTZ vs
+    # TIMESTAMP across driver testdata versions) can't mis-read values.
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(batch_schema)
            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_ts(src)
     agg = (
         ev.groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),

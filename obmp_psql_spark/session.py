@@ -65,15 +65,28 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names or all_names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # nanosAsLong surfaces ns-precision timestamp columns as
-        # LongType epoch-nanos; truncate to µs (matches DuckDB's
-        # TIMESTAMP_NS -> TIMESTAMP cast) and restore TimestampType.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-        for f in df.schema.fields:
-            if f.name == "ts" and isinstance(f.dataType, T.LongType):
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def normalize_ts(df):
+    """Coerce any ``ts`` column to session-tz TimestampType.
+
+    The driver has shipped events.ts as TIMESTAMP(NANOS) (surfaced as
+    LongType epoch-nanos under nanosAsLong), TIMESTAMP_NTZ(µs), and
+    plain TIMESTAMP across rounds; queries assume TimestampType.
+    Session tz is pinned UTC, so the NTZ cast is value-preserving and
+    matches DuckDB's naive-timestamp reading of the same file.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    for f in df.schema.fields:
+        if f.name != "ts":
+            continue
+        if isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
