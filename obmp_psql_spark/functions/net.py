@@ -108,6 +108,10 @@ def ipv6_to_longs(ip):  # type: ignore[no-untyped-def]
 
     his, los = [], []
     for v in ip:
+        if v is None:  # v4 rows pass NULL — skip the parse entirely
+            his.append(None)
+            los.append(None)
+            continue
         try:
             n = int(ipaddress.IPv6Address(v))
             hi = (n >> 64) & 0xFFFFFFFFFFFFFFFF
@@ -119,6 +123,36 @@ def ipv6_to_longs(ip):  # type: ignore[no-untyped-def]
             his.append(None)
             los.append(None)
     return pd.DataFrame({"hi": his, "lo": los})
+
+
+def _mask64(bits: Column) -> Column:
+    """Top-``bits`` mask of a 64-bit word as a signed long
+    (bits clamped to [0, 64]). Native exprs; shiftleft's Java
+    mod-64 shift-count semantics guarded by the when() arms."""
+    b = bits.cast("int")
+    return (
+        F.when(b <= 0, F.lit(0).cast("long"))
+        .when(b >= 64, F.lit(-1).cast("long"))
+        .otherwise(F.call_function(
+            "shiftleft", F.lit(-1).cast("long"), (F.lit(64) - b)))
+    )
+
+
+def ipv6_bounds_longs(hi: Column, lo: Column, masklen: Column
+                      ) -> tuple[Column, Column, Column, Column]:
+    """(hi, lo, masklen) -> (start_hi, start_lo, end_hi, end_lo)
+    numeric bounds of the CIDR block, all native bit exprs. The same
+    containment algebra as ipv4_prefix_bounds, over the two-long
+    unsigned-128 representation (ref F4 for inet v6;
+    1_base.sql:40-59 geo_ip.ip inet covers both families)."""
+    mh = _mask64(masklen)            # hi consumes the first 64 bits
+    ml = _mask64(masklen - 64)       # lo the remainder
+    return (
+        hi.bitwiseAND(mh),
+        lo.bitwiseAND(ml),
+        hi.bitwiseOR(F.bitwise_not(mh)),
+        lo.bitwiseOR(F.bitwise_not(ml)),
+    )
 
 
 def u64_key(c: Column) -> Column:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .functions import net
 from .operators.dedup import dedup_latest
-from .operators.lpm import lpm_join
+from .operators.lpm import lpm_join128
 
 
 def _nullif_empty(c: Column) -> Column:
@@ -77,12 +77,54 @@ def split_merge_outputs(j: DataFrame, state_cols: list[Column],
             combined.filter(F.col("__log").isNotNull()).select("__log.*"))
 
 
-def _v4_bounds(prefix: Column, prefix_len: Column, is_ipv4: Column) -> tuple[Column, Column]:
-    """Numeric bounds for v4 prefixes (v6 gets NULL here; the v6
-    two-long variant applies the same way via net.ipv6_to_longs)."""
+def _addr_bounds(prefix: Column, prefix_len: Column, is_ipv4: Column
+                 ) -> tuple[Column, Column, Column, Column]:
+    """(prefix_start, prefix_end, prefix_base_hi, prefix_base_lo).
+
+    v4 keeps the single-long bounds (data skipping on the parquet
+    min/max of two longs); both families get the two-long base
+    address for the unified containment/LPM joins — v4 as
+    (0, start), v6 via the vectorized parser + native mask
+    (find_geo_ip / ROA checks are family-blind: 1_base.sql:66-81,
+    rpki_validator.py:26-73)."""
     cidr = F.concat_ws("/", prefix, prefix_len.cast("string"))
     start, end = net.ipv4_prefix_bounds(cidr)
-    return (F.when(is_ipv4, start), F.when(is_ipv4, end))
+    v6 = net.ipv6_to_longs(F.when(~is_ipv4, prefix))
+    v6_hi, v6_lo, _, _ = net.ipv6_bounds_longs(v6["hi"], v6["lo"], prefix_len)
+    base_hi = F.when(is_ipv4, F.lit(0).cast("long")).otherwise(v6_hi)
+    base_lo = F.when(is_ipv4, start).otherwise(v6_lo)
+    return (F.when(is_ipv4, start), F.when(is_ipv4, end), base_hi, base_lo)
+
+
+def _geo_probe_addr(addr: Column, is_ipv4: Column) -> tuple[Column, Column, Column]:
+    """Full host address string -> (family, hi, lo) probe columns."""
+    v6 = net.ipv6_to_longs(F.when(~is_ipv4, addr))
+    fam = F.when(is_ipv4, F.lit(4)).otherwise(F.lit(6))
+    hi = F.when(is_ipv4, F.lit(0).cast("long")).otherwise(v6["hi"])
+    lo = F.when(is_ipv4, net.ipv4_to_long(addr)).otherwise(v6["lo"])
+    return fam, hi, lo
+
+
+_GEO_PREFIX_COLS = ("ip", "masklen", "family",
+                    "start_hi", "start_lo", "end_hi", "end_lo")
+
+
+def _geo_lpm(rows: DataFrame, addr_col: str, geo_ip: DataFrame,
+             is_ipv4: Column | None = None) -> DataFrame:
+    """find_geo_ip per row (J5/G1/G2): unified-family LPM against the
+    geo table; returns (hash_id, geo_ip_start)."""
+    if is_ipv4 is None:
+        is_ipv4 = F.col("is_ipv4")
+    fam, hi, lo = _geo_probe_addr(F.col(addr_col), is_ipv4)
+    probes = rows.select(
+        "hash_id", fam.alias("__fam"), hi.alias("__hi"), lo.alias("__lo"))
+    return lpm_join128(
+        probes.filter(F.col("__hi").isNotNull() | F.col("__lo").isNotNull()),
+        probe_key=["hash_id"], probe_family="__fam",
+        probe_hi="__hi", probe_lo="__lo",
+        prefixes=geo_ip.select(*_GEO_PREFIX_COLS),
+        masklen_col="masklen", broadcast=True,
+    ).select("hash_id", F.col("ip").alias("geo_ip_start"))
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +134,8 @@ def _v4_bounds(prefix: Column, prefix_len: Column, is_ipv4: Column) -> tuple[Col
 def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
     """Message rows -> ip_rib row shape, filtered and batch-compressed."""
     withdrawn = F.col("is_withdrawn") | (F.lower(F.col("action")) == "del")
-    start, end = _v4_bounds(F.col("prefix"), F.col("prefix_len"), F.col("is_ipv4"))
+    start, end, base_hi, base_lo = _addr_bounds(
+        F.col("prefix"), F.col("prefix_len"), F.col("is_ipv4"))
     rows = (
         batch.filter(F.col("prefix_len") <= 128)  # P1
         .select(
@@ -105,6 +148,7 @@ def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
             withdrawn.alias("is_withdrawn"),
             "path_id", "labels", "is_pre_policy", "is_adj_rib_in",
             start.alias("prefix_start"), end.alias("prefix_end"),
+            base_hi.alias("prefix_base_hi"), base_lo.alias("prefix_base_lo"),
         )
     )
     return dedup_latest(rows, ["peer_hash_id", "hash_id"],
@@ -173,6 +217,8 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
         pick("is_adj_rib_in").alias("is_adj_rib_in"),
         pick("prefix_start").alias("prefix_start"),
         pick("prefix_end").alias("prefix_end"),
+        pick("prefix_base_hi").alias("prefix_base_hi"),
+        pick("prefix_base_lo").alias("prefix_base_lo"),
     ]
 
     changed = matched & (
@@ -290,15 +336,9 @@ def prepare_peer(batch: DataFrame, routers: DataFrame, geo_ip: DataFrame | None)
     )
 
     # geo enrichment: geo_ip_start = find_geo_ip(peer_addr) (J5/G2)
+    # — family-blind (1_base.sql:66-81): v6 peers geo-enrich too
     if geo_ip is not None and geo_ip.head(1):
-        probes = rows.withColumn("__addr", net.ipv4_to_long(F.col("peer_addr")))
-        matched = lpm_join(
-            probes.filter(F.col("is_ipv4") & F.col("__addr").isNotNull()),
-            probe_key=["hash_id"], probe_addr="__addr",
-            prefixes=geo_ip.select("ip", "masklen", "prefix_start", "prefix_end"),
-            masklen_col="masklen", broadcast=True,
-        ).select("hash_id", F.col("ip").alias("geo_ip_start"))
-        rows = probes.join(matched, "hash_id", "left").drop("__addr")
+        rows = rows.join(_geo_lpm(rows, "peer_addr", geo_ip), "hash_id", "left")
     else:
         rows = rows.withColumn("geo_ip_start", F.lit(None).cast("string"))
     return rows
@@ -309,7 +349,11 @@ def apply_peer(
     batch: DataFrame, geo_ip: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (new bgp_peers, new ip_rib, peer_event_log appends)."""
-    src = prepare_peer(batch, routers, geo_ip).alias("src")
+    # ONE prepared batch shared by the state merge, the event log, and
+    # the rib flush — the dedup window, router backfill join, and geo
+    # LPM join run once, not three times
+    s = prepare_peer(batch, routers, geo_ip)
+    src = s.alias("src")
     tgt = peers.alias("tgt")
     j = src.join(tgt, F.col("src.hash_id") == F.col("tgt.hash_id"), "full_outer")
     has_src = F.col("src.hash_id").isNotNull()
@@ -331,7 +375,6 @@ def apply_peer(
     # peer_event_log: one row per applied message (t_bgp_peers fires
     # BEFORE INSERT and UPDATE); down events log err/reason fields,
     # up events log geo (9_triggers.sql:52-71)
-    s = prepare_peer(batch, routers, geo_ip)
     is_up = F.col("state") == "up"
     log = s.select(
         "state", F.col("hash_id").alias("peer_hash_id"),
@@ -392,16 +435,11 @@ def apply_router(
     latest = dedup_latest(rows, ["hash_id"], [F.col("timestamp").desc()]) \
         .drop("__is_conn").join(deltas, "hash_id")
 
-    # t_routers geo enrich (9_triggers.sql:13-40)
+    # t_routers geo enrich (9_triggers.sql:13-40) — family-blind
     if geo_ip is not None and geo_ip.head(1):
-        probes = latest.withColumn("__addr", net.ipv4_to_long(F.col("ip_address")))
-        g = lpm_join(
-            probes.filter(F.col("__addr").isNotNull()),
-            probe_key=["hash_id"], probe_addr="__addr",
-            prefixes=geo_ip.select("ip", "masklen", "prefix_start", "prefix_end"),
-            masklen_col="masklen", broadcast=True,
-        ).select("hash_id", F.col("ip").alias("geo_ip_start"))
-        latest = probes.join(g, "hash_id", "left").drop("__addr")
+        g = _geo_lpm(latest, "ip_address", geo_ip,
+                     is_ipv4=~F.col("ip_address").contains(":"))
+        latest = latest.join(g, "hash_id", "left")
     else:
         latest = latest.withColumn("geo_ip_start", F.lit(None).cast("string"))
 

@@ -195,43 +195,73 @@ class JobRunner:
         self.store.checkpoint_log()
         return removed
 
+    # every add_retention_policy in the reference schema, as
+    # (table, timestamp column, window) — 1_base.sql:236,261,369,
+    # 539,635,698; 2_aggregations.sql:28,54,81,161,414,464;
+    # 10_l3vpn.sql:75,175,206,232
+    RETENTION_POLICIES: tuple[tuple[str, str, dt.timedelta], ...] = (
+        ("ip_rib_log", "timestamp", dt.timedelta(days=60)),
+        ("l3vpn_rib_log", "timestamp", dt.timedelta(days=60)),
+        ("peer_event_log", "timestamp", dt.timedelta(days=120)),
+        ("stat_reports", "timestamp", dt.timedelta(weeks=8)),
+        ("ls_nodes_log", "timestamp", dt.timedelta(weeks=8)),
+        ("ls_links_log", "timestamp", dt.timedelta(weeks=8)),
+        ("ls_prefixes_log", "timestamp", dt.timedelta(weeks=8)),
+        ("stats_chg_bypeer", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_chg_byasn", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_chg_byprefix", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_ip_origins", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_peer_rib", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_peer_update_counts", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_l3vpn_chg_bypeer", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_l3vpn_chg_byprefix", "interval_time", dt.timedelta(weeks=4)),
+        ("stats_l3vpn_chg_byrd", "interval_time", dt.timedelta(weeks=4)),
+    )
+
+    def _purge_table(self, txn, table: str, ts_col: str,
+                     horizon: dt.datetime) -> None:
+        """drop_chunks for one table: when it consists purely of
+        hour-partitioned append dirs (the streaming layout), a
+        METADATA drop of the wholly-expired dirs — O(1) per chunk, no
+        data read, boundary chunks survive until fully expired
+        (Timescale chunk-granularity semantics). Otherwise (compacted
+        base present / unpartitioned appends) an exact filter
+        rewrite. Absent/empty tables are skipped."""
+        layout = self.store.table_layout(table)
+        if layout["replace"] is None and not layout["appends"]:
+            return  # table never written
+        parts = self.store.append_partitions(table)
+
+        def hour_expired(v: str) -> bool:
+            try:
+                return dt.datetime.fromisoformat(v) \
+                    + dt.timedelta(hours=1) <= horizon
+            except ValueError:  # hive null partition etc.
+                return False
+
+        if layout["replace"] is None and layout["all_partitioned"]:
+            expired = [
+                d for d in layout["appends"]
+                if parts[d] and all(hour_expired(v) for v in parts[d])
+            ]
+            if expired:
+                txn.drop_appends(table, expired)
+        else:
+            df = self.store.read(table)
+            txn.replace(table, df.filter(F.col(ts_col) >= F.lit(horizon)))
+
     def run_retention(self, now: dt.datetime | None = None,
-                      log_retention: dt.timedelta = dt.timedelta(days=60),
-                      withdrawn_age: dt.timedelta = dt.timedelta(hours=4)) -> None:
-        """Retention purges (P10): log tables trim to the hypertable
-        retention window (1_base.sql:369); global_ip_rib drops stale
-        withdrawn rows (2_aggregations.sql:166-175).
-
-        When the log consists purely of hour-partitioned append dirs
-        (the streaming layout), retention is a METADATA drop of the
-        wholly-expired dirs — Timescale drop_chunks: O(1) per chunk,
-        no data read, boundary chunks survive until fully expired
-        (exactly the reference's chunk-granularity semantics).
-        Otherwise (compacted base present / unpartitioned appends) it
-        falls back to an exact filter rewrite."""
+                      withdrawn_age: dt.timedelta = dt.timedelta(hours=4),
+                      policies=None) -> None:
+        """Retention purges (P10): every log/stats hypertable trims to
+        its reference retention window (RETENTION_POLICIES above);
+        global_ip_rib additionally drops stale withdrawn rows
+        (2_aggregations.sql:166-175). One transaction: a crash cannot
+        leave some windows trimmed and others stale."""
         now = now or dt.datetime.utcnow()
-        horizon = now - log_retention
-        layout = self.store.table_layout("ip_rib_log")
-        parts = self.store.append_partitions("ip_rib_log")
         with self.store.transaction() as txn:
-            def hour_expired(v: str) -> bool:
-                try:
-                    return dt.datetime.fromisoformat(v) \
-                        + dt.timedelta(hours=1) <= horizon
-                except ValueError:  # hive null partition etc.
-                    return False
-
-            if layout["replace"] is None and layout["all_partitioned"]:
-                expired = [
-                    d for d in layout["appends"]
-                    if parts[d] and all(hour_expired(v) for v in parts[d])
-                ]
-                if expired:
-                    txn.drop_appends("ip_rib_log", expired)
-            else:
-                log = self.store.read("ip_rib_log")
-                txn.replace("ip_rib_log",
-                            log.filter(F.col("timestamp") >= F.lit(horizon)))
+            for table, ts_col, window in (policies or self.RETENTION_POLICIES):
+                self._purge_table(txn, table, ts_col, now - window)
             self._replace_keep_layout(
                 txn, "global_ip_rib",
                 G.purge_global_ip_rib(self.store.read("global_ip_rib"), now,

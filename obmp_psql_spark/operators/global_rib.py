@@ -20,7 +20,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lpm import containment_join
+from .lpm import containment_join128
 from .rollup import floor_ts
 
 
@@ -55,6 +55,8 @@ def consolidate(ip_rib: DataFrame, start_time: dt.datetime | None,
              .alias("withdrawn_peers"),
             F.max("prefix_start").alias("prefix_start"),
             F.max("prefix_end").alias("prefix_end"),
+            F.max("prefix_base_hi").alias("prefix_base_hi"),
+            F.max("prefix_base_lo").alias("prefix_base_lo"),
         )
     )
 
@@ -74,7 +76,7 @@ def merge_global(global_rib: DataFrame, fresh: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("irr_source"),
         F.lit(None).cast("string").alias("irr_descr"),
         F.lit(None).cast("long").alias("rpki_origin_as"),
-        "prefix_start", "prefix_end",
+        "prefix_start", "prefix_end", "prefix_base_hi", "prefix_base_lo",
     )
     return kept.unionByName(fresh_full)
 
@@ -82,8 +84,13 @@ def merge_global(global_rib: DataFrame, fresh: DataFrame) -> DataFrame:
 def enrich_irr(global_rib: DataFrame, info_route: DataFrame,
                start_time: dt.datetime | None) -> DataFrame:
     """J8 (2_aggregations.sql:242-247): exact-prefix equi-join against
-    the IRR table; only rows touched since start_time update."""
-    irr = F.broadcast(
+    the IRR table; only rows touched since start_time update.
+
+    No forced broadcast: real IRR dumps run ~3M routes with descr
+    text (hundreds of MB serialized) — let AQE pick broadcast vs
+    shuffle from the actual size; the key is an exact equi-join, so
+    a shuffle hash join with skew handling is the safe fallback."""
+    irr = (
         info_route.select(
             F.col("prefix").alias("__p"),
             F.col("origin_as").alias("__irr_as"),
@@ -113,19 +120,28 @@ def enrich_rpki(global_rib: DataFrame, rpki: DataFrame,
     """J7 (2_aggregations.sql:260-265): ROA covers prefix AND
     prefix_len BETWEEN roa.prefix_len AND roa.prefix_len_max.
     Multiple covering ROAs: the reference's UPDATE takes an arbitrary
-    one; here the max origin_as for determinism."""
+    one; here the max origin_as for determinism. Family-blind: v6
+    prefixes validate against v6 ROAs (rpki_validator.py:26-73)
+    through the unified two-long containment join."""
     eligible = global_rib if start_time is None else \
         global_rib.filter(F.col("timestamp") >= F.lit(start_time))
     roas = rpki.select(
-        F.col("prefix_start").alias("roa_start"),
-        F.col("prefix_end").alias("roa_end"),
+        F.when(F.col("prefix").contains(":"), F.lit(6)).otherwise(F.lit(4))
+         .alias("family"),
+        "start_hi", "start_lo", "end_hi", "end_lo",
         F.col("prefix_len").alias("roa_len"),
         F.col("prefix_len_max").alias("roa_len_max"),
         F.col("origin_as").alias("__rpki_as"),
     )
-    matched = containment_join(
-        eligible.select("prefix", "recv_origin_as", "prefix_len", "prefix_start"),
-        "prefix_start", roas, start="roa_start", end="roa_end",
+    probes = eligible.select(
+        "prefix", "recv_origin_as", "prefix_len",
+        F.when(F.col("prefix").contains(":"), F.lit(6)).otherwise(F.lit(4))
+         .alias("__fam"),
+        F.col("prefix_base_hi").alias("__hi"),
+        F.col("prefix_base_lo").alias("__lo"),
+    )
+    matched = containment_join128(
+        probes, "__fam", "__hi", "__lo", roas,
         broadcast=True,
         extra_pred=(F.col("prefix_len") >= F.col("roa_len"))
                    & (F.col("prefix_len") <= F.col("roa_len_max")),

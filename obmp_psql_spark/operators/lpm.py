@@ -24,13 +24,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.net import ipv6_le
+
+# ranges spanning more than this many buckets (default routes, /0-/7
+# supernets) skip the explode and go through a small broadcast
+# range-join pass instead — a /0 would otherwise fan out into
+# 2^bucket_bits rows per row
+_COARSE_SPAN = 256
+
 
 def explode_buckets(prefixes: DataFrame, start: str, end: str,
                     bucket_bits: int = 16, addr_bits: int = 32) -> DataFrame:
     """Add a ``__bucket`` column, one row per fixed-width block the
     [start, end] range covers. Prefixes narrower than the block width
-    yield exactly one row; a /0 default route yields 2^bucket_bits —
-    keep defaults in a separate broadcast pass if that matters."""
+    yield exactly one row; coarse supernets are handled by the
+    separate broadcast pass in containment_join."""
     shift = addr_bits - bucket_bits
     lo = F.shiftrightunsigned(F.col(start), shift)
     hi = F.shiftrightunsigned(F.col(end), shift)
@@ -50,20 +58,120 @@ def containment_join(
 ) -> DataFrame:
     """All (probe, prefix) pairs with start <= addr <= end, executed
     as a bucketed hash equi-join (see module doc). Returns probe
-    columns + prefix columns."""
+    columns + prefix columns.
+
+    Prefixes wider than _COARSE_SPAN buckets (e.g. 0.0.0.0/0,
+    lookups.default_geo_rows) are joined in a second broadcast
+    range-join pass — they are few by nature (a handful of /0-/7
+    rows), so the nested-loop side stays tiny while the explode side
+    stays bounded at _COARSE_SPAN rows per prefix."""
     shift = addr_bits - bucket_bits
     p = probes.withColumn("__bucket", F.shiftrightunsigned(F.col(probe_addr), shift))
-    x = explode_buckets(prefixes, start, end, bucket_bits, addr_bits)
+    span = (F.shiftrightunsigned(F.col(end), shift)
+            - F.shiftrightunsigned(F.col(start), shift))
+    fine = prefixes.filter(span < _COARSE_SPAN)
+    coarse = prefixes.filter(span >= _COARSE_SPAN)
+    x = explode_buckets(fine, start, end, bucket_bits, addr_bits)
     if broadcast:
         x = F.broadcast(x)
-    cond = (
-        (p["__bucket"] == x["__bucket"])
-        & (F.col(probe_addr) >= F.col(start))
-        & (F.col(probe_addr) <= F.col(end))
-    )
+    range_pred = (F.col(probe_addr) >= F.col(start)) & (F.col(probe_addr) <= F.col(end))
+    cond = (p["__bucket"] == x["__bucket"]) & range_pred
     if extra_pred is not None:
         cond = cond & extra_pred
-    return p.join(x, cond).drop("__bucket")
+    out = p.join(x, cond).drop("__bucket")
+
+    coarse_cond = range_pred if extra_pred is None else range_pred & extra_pred
+    coarse_out = p.drop("__bucket").join(F.broadcast(coarse), coarse_cond)
+    return out.unionByName(coarse_out)
+
+
+# ---------------------------------------------------------------------------
+# Unified v4/v6 (two-long unsigned-128 representation, family-tagged)
+# ---------------------------------------------------------------------------
+
+def _bucket128(family: Column, hi: Column, lo: Column, bucket_bits: int) -> Column:
+    """Bucket key: top bits of the address — for v4 (hi=0, lo=addr)
+    bits [31..31-bits] of lo; for v6 bits [63..63-bits] of hi.
+    shiftrightunsigned keeps sign-bit-set v6 his monotonic."""
+    return F.when(family == 4, F.shiftrightunsigned(lo, 32 - bucket_bits)) \
+            .otherwise(F.shiftrightunsigned(hi, 64 - bucket_bits))
+
+
+def containment_join128(
+    probes: DataFrame,
+    probe_family: str,
+    probe_hi: str,
+    probe_lo: str,
+    prefixes: DataFrame,
+    family: str = "family",
+    start_hi: str = "start_hi",
+    start_lo: str = "start_lo",
+    end_hi: str = "end_hi",
+    end_lo: str = "end_lo",
+    bucket_bits: int = 16,
+    broadcast: bool = False,
+    extra_pred: Column | None = None,
+) -> DataFrame:
+    """containment_join for mixed v4/v6 tables: addresses are
+    (family, hi, lo) with v4 as (4, 0, addr32); bounds compare
+    lexicographically unsigned via ipv6_le. One hash equi-join on
+    (family, bucket) covers both families — the bucket is derived per
+    family so v4 rows don't all collapse into hi=0's bucket.
+    Coarse supernets (::/0 and friends) take the broadcast range-join
+    pass exactly as in containment_join."""
+    p = probes.withColumn(
+        "__bucket",
+        _bucket128(F.col(probe_family), F.col(probe_hi), F.col(probe_lo), bucket_bits))
+    b_lo = _bucket128(F.col(family), F.col(start_hi), F.col(start_lo), bucket_bits)
+    b_hi = _bucket128(F.col(family), F.col(end_hi), F.col(end_lo), bucket_bits)
+    span = b_hi - b_lo
+    fine = prefixes.filter(span < _COARSE_SPAN) \
+                   .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+    coarse = prefixes.filter(span >= _COARSE_SPAN)
+    if broadcast:
+        fine = F.broadcast(fine)
+    range_pred = (
+        (F.col(probe_family) == F.col(family))
+        & ipv6_le(F.col(start_hi), F.col(start_lo), F.col(probe_hi), F.col(probe_lo))
+        & ipv6_le(F.col(probe_hi), F.col(probe_lo), F.col(end_hi), F.col(end_lo))
+    )
+    if extra_pred is not None:
+        range_pred = range_pred & extra_pred
+    out = p.join(fine, (p["__bucket"] == fine["__bucket"]) & range_pred) \
+           .drop("__bucket")
+    coarse_out = p.drop("__bucket").join(F.broadcast(coarse), range_pred)
+    return out.unionByName(coarse_out)
+
+
+def lpm_join128(
+    probes: DataFrame,
+    probe_key: list[str],
+    probe_family: str,
+    probe_hi: str,
+    probe_lo: str,
+    prefixes: DataFrame,
+    masklen_col: str = "masklen",
+    tiebreak: list[Column] | None = None,
+    bucket_bits: int = 16,
+    broadcast: bool = True,
+    **bounds: str,
+) -> DataFrame:
+    """Mixed-family longest-prefix match: windowed top-1 over
+    containment_join128 (find_geo_ip over inet, 1_base.sql:66-81 —
+    the reference's GIST path is family-blind; so is this)."""
+    matched = containment_join128(
+        probes, probe_family, probe_hi, probe_lo, prefixes,
+        bucket_bits=bucket_bits, broadcast=broadcast, **bounds)
+    sh = bounds.get("start_hi", "start_hi")
+    sl = bounds.get("start_lo", "start_lo")
+    order = [F.col(masklen_col).desc()] + list(
+        tiebreak or [F.col(sh).asc(), F.col(sl).asc()])
+    w = W.partitionBy(*probe_key).orderBy(*order)
+    return (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def lpm_join(

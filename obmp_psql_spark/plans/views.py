@@ -152,23 +152,35 @@ def v_ip_routes_history(ip_rib_log: DataFrame, peers: DataFrame,
 
 def v_ip_routes_geo(ip_rib: DataFrame, peers: DataFrame, base_attrs: DataFrame,
                     routers: DataFrame, geo_ip: DataFrame) -> DataFrame:
-    """8_views.sql:54-80 — J6 geo containment join on active routes."""
-    from ..operators.lpm import lpm_join
+    """8_views.sql:54-80 — J6 geo containment join on active routes,
+    family-blind (geo_ip.ip inet covers v4 and v6, 1_base.sql:40-59)."""
+    from ..operators.lpm import lpm_join128
 
     base = v_ip_routes(ip_rib, peers, base_attrs, routers) \
         .filter(~F.col("is_withdrawn"))
-    probes = base.withColumn("__addr", net.ipv4_to_long(net.host(F.col("prefix"))))
+    v6 = net.ipv6_to_longs(F.when(~F.col("is_ipv4"), net.host(F.col("prefix"))))
+    probes = (
+        base.withColumn("__fam", F.when(F.col("is_ipv4"), F.lit(4)).otherwise(F.lit(6)))
+        .withColumn("__hi", F.when(F.col("is_ipv4"), F.lit(0).cast("long"))
+                             .otherwise(v6["hi"]))
+        .withColumn("__lo", F.when(F.col("is_ipv4"),
+                                   net.ipv4_to_long(net.host(F.col("prefix"))))
+                             .otherwise(v6["lo"]))
+    )
     geo = geo_ip.select(
-        F.col("ip").alias("geo_ip"), "masklen", "prefix_start", "prefix_end",
+        F.col("ip").alias("geo_ip"), "masklen", "family",
+        "start_hi", "start_lo", "end_hi", "end_lo",
         F.col("city"), F.col("stateprov"), F.col("country"),
         F.col("latitude"), F.col("longitude"))
-    matched = lpm_join(
-        probes.filter(F.col("is_ipv4") & F.col("__addr").isNotNull()),
-        probe_key=["rib_hash_id"], probe_addr="__addr",
+    matched = lpm_join128(
+        probes.filter(F.col("__hi").isNotNull() & F.col("__lo").isNotNull()),
+        probe_key=["rib_hash_id"], probe_family="__fam",
+        probe_hi="__hi", probe_lo="__lo",
         prefixes=geo, masklen_col="masklen", broadcast=True,
     ).select("rib_hash_id", "geo_ip", "city", "stateprov", "country",
              "latitude", "longitude")
-    return probes.drop("__addr").join(F.broadcast(matched), "rib_hash_id", "left")
+    return probes.drop("__fam", "__hi", "__lo") \
+        .join(F.broadcast(matched), "rib_hash_id", "left")
 
 
 def v_ls_nodes(ls_nodes: DataFrame, peers: DataFrame, routers: DataFrame,

@@ -530,8 +530,8 @@ def _run_l3vpn_pipeline(spark: SparkSession, sf_dir: str):
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
         state = spark.createDataFrame([], TABLE_SCHEMAS["l3vpn_rib"])
         state, _ = apply_l3vpn(state, b1)
-        state, _ = apply_l3vpn(state, b2)
-        return (state,)
+        state, log = apply_l3vpn(state, b2)
+        return state, log
     return _cached_pipeline("l3vpn", spark, sf_dir, build)
 
 
@@ -600,7 +600,7 @@ JOIN attrs a ON a.hash_id = r.base_attr_hash_id AND a.peer_hash_id = r.peer_hash
 def q_bmp_l3vpn_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.views import v_l3vpn_routes
 
-    (state,) = _run_l3vpn_pipeline(spark, sf_dir)
+    state, _log = _run_l3vpn_pipeline(spark, sf_dir)
     peers, routers, attrs = _cached_pipeline(
         "dims", spark, sf_dir, lambda: _dimension_state(spark))
     view = v_l3vpn_routes(state, peers, attrs, routers)
@@ -965,3 +965,177 @@ def q_bmp_ls_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         "local_router_name", "remote_router_name",
         F.col("seq").cast("long").alias("local_node_seq"),
         "igp_metric", "state")
+
+
+# ---------------------------------------------------------------------------
+# G4 third table: ls_prefix merge through the gate
+# ---------------------------------------------------------------------------
+
+def _ls_prefix_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wd = F.col("value") < 5
+    mts = F.timestamp_micros(F.unix_micros("ts") + F.col("event_id"))
+    return ev.select(
+        F.concat(F.lit("x"), (F.col("event_id") % 499).cast("string")).alias("hash"),
+        F.lit("p1").alias("peer_hash"),
+        F.when(wd, F.lit("")).otherwise(
+            F.concat(F.lit("a"), (F.col("event_id") % 20).cast("string"))
+        ).alias("base_attr_hash"),
+        F.col("event_id").alias("sequence"),
+        F.lit("n1").alias("local_node_hash"),
+        F.lit(0).cast("int").alias("mt_id"),
+        F.lit("IS-IS_L2").alias("protocol"),
+        # prefix varies per message while the hash doesn't: the
+        # insert-only policy is observable
+        F.concat(F.lit("10."), (F.col("user_id") % 200).cast("string"),
+                 F.lit(".0.0")).alias("prefix"),
+        F.lit(24).cast("short").alias("prefix_len"),
+        F.lit("").alias("ospf_route_type"),
+        F.lit("").alias("igp_flags"),
+        F.lit(0).cast("long").alias("route_tag"),
+        F.lit(0).cast("long").alias("ext_route_tag"),
+        # 97 coprime to 499: keep-on-withdraw distinguishable
+        (F.col("event_id") % 97).cast("long").alias("igp_metric"),
+        F.lit("").alias("ospf_fwd_address"),
+        F.lit("").alias("prefix_sid_tlv"),
+        wd.alias("is_withdrawn"),
+        mts.alias("timestamp"),
+        F.col("event_id"),
+    )
+
+
+_LS_PREFIX_ORACLE = f"""
+WITH {_EV},
+pmsg AS (
+  SELECT 'x' || CAST(event_id % 499 AS VARCHAR) AS h,
+         value < 5 AS wd,
+         CASE WHEN value < 5 THEN NULL
+              ELSE 'a' || CAST(event_id % 20 AS VARCHAR) END AS attr,
+         event_id AS seq,
+         CAST(event_id % 97 AS BIGINT) AS metric,
+         '10.' || CAST(user_id % 200 AS VARCHAR) || '.0.0' AS prefix,
+         ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
+         event_id
+  FROM ev
+),
+l1 AS (SELECT * FROM (
+  SELECT pmsg.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM pmsg WHERE event_id % 2 = 0) WHERE rn = 1),
+l2 AS (SELECT * FROM (
+  SELECT pmsg.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM pmsg WHERE event_id % 2 = 1) WHERE rn = 1)
+SELECT coalesce(l2.h, l1.h) AS hash_id,
+       {_merged('prefix', 'insert')} AS prefix,
+       CAST({_merged('seq', 'always')} AS BIGINT) AS seq,
+       {_merged('metric', 'kow')} AS metric,
+       {_merged('attr', 'kow')} AS base_attr_hash_id,
+       CASE WHEN coalesce(l2.wd, l1.wd) THEN 'WITHDRAWN' ELSE 'ACTIVE' END AS state
+FROM l1 FULL OUTER JOIN l2 ON l1.h = l2.h
+"""
+
+
+@register(
+    "q_bmp_ls_prefix",
+    oracle=_LS_PREFIX_ORACLE,
+    survey_ref="G4 ls_prefix (LsPrefixQuery merge; 9_triggers.sql:158-176 log)",
+    doc="two-batch ls_prefix policy merge (always/kow/insert-only) vs SQL oracle",
+)
+def q_bmp_ls_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest_ls import apply_ls_prefix
+
+    def build():
+        msgs = _ls_prefix_messages(spark, sf_dir)
+        b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        state = spark.createDataFrame([], TABLE_SCHEMAS["ls_prefixes"])
+        state, _ = apply_ls_prefix(state, b1)
+        state, _ = apply_ls_prefix(state, b2)
+        return (state,)
+
+    (state,) = _cached_pipeline("lsp", spark, sf_dir, build)
+    return state.select(
+        "hash_id", "prefix", F.col("seq").cast("long").alias("seq"),
+        "metric", "base_attr_hash_id",
+        F.when(F.col("is_withdrawn"), "WITHDRAWN").otherwise("ACTIVE").alias("state"))
+
+
+# ---------------------------------------------------------------------------
+# A4: parameterized l3vpn chg-stats buckets over the l3vpn CDC log
+# ---------------------------------------------------------------------------
+
+_L3VPN_CHG_ORACLE = f"""
+WITH {_EV},
+{_MSG_SQL},
+mx AS (
+  SELECT m.*, '65000:' || CAST(event_id % 5 AS VARCHAR) AS rd
+  FROM m
+),
+l1 AS (SELECT * FROM (
+  SELECT mx.*, row_number() OVER (PARTITION BY peer, h ORDER BY mts DESC) rn
+  FROM mx WHERE event_id % 2 = 0) WHERE rn = 1),
+l2 AS (SELECT * FROM (
+  SELECT mx.*, row_number() OVER (PARTITION BY peer, h ORDER BY mts DESC) rn
+  FROM mx WHERE event_id % 2 = 1) WHERE rn = 1),
+log AS (  -- AFTER UPDATE only: state flip OR advertise-with-new-attr;
+          -- withdraw logs the OLD rd (10_l3vpn.sql:127-151)
+  SELECT l2.wd AS is_withdrawn,
+         CASE WHEN l2.wd THEN l1.rd ELSE l2.rd END AS rd,
+         l2.mts AS mts
+  FROM l1 JOIN l2 ON l1.peer = l2.peer AND l1.h = l2.h
+  WHERE (l2.wd != l1.wd) OR (NOT l2.wd AND l2.attr != l1.attr)
+)
+SELECT make_timestamp(CAST(floor(epoch(mts) / 300) * 300 AS BIGINT) * 1000000)
+         AS interval_time,
+       rd,
+       CAST(COUNT(CASE WHEN is_withdrawn THEN 1 END) AS BIGINT) AS withdraws,
+       CAST(COUNT(CASE WHEN NOT is_withdrawn THEN 1 END) AS BIGINT) AS updates
+FROM log GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_l3vpn_chg_stats",
+    oracle=_L3VPN_CHG_ORACLE,
+    survey_ref="A4 (10_l3vpn.sql:238-284 update_l3vpn_chg_stats, byrd variant)",
+    doc="parameterized 5-min time buckets over the l3vpn CDC log",
+)
+def q_l3vpn_chg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from .operators.rollup import l3vpn_chg_stats
+
+    _state, log = _run_l3vpn_pipeline(spark, sf_dir)
+    return l3vpn_chg_stats(
+        log, now=dt.datetime(2024, 3, 1),
+        window=dt.timedelta(days=90), bucket_seconds=300, keys=["rd"])
+
+
+# ---------------------------------------------------------------------------
+# A7: peer RIB-count snapshot over the merged rib state
+# ---------------------------------------------------------------------------
+
+_PEER_RIB_COUNTS_ORACLE = f"""
+WITH {_STATE_CTES},
+state AS ({_STATE_SELECT})
+SELECT peer_hash_id,
+       CAST(COUNT(*) AS BIGINT) AS v4_prefixes,
+       CAST(0 AS BIGINT) AS v6_prefixes,
+       TIMESTAMP '2024-06-01 12:30:00' AS interval_time
+FROM state WHERE NOT is_withdrawn
+GROUP BY 1
+"""
+
+
+@register(
+    "q_peer_rib_counts",
+    oracle=_PEER_RIB_COUNTS_ORACLE,
+    survey_ref="A7 (2_aggregations.sql:421-436 update_peer_rib_counts)",
+    doc="15-min active-prefix snapshot per peer over the merged rib",
+)
+def q_peer_rib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from .operators.rollup import peer_rib_counts
+
+    state, _ = _run_pipeline(spark, sf_dir)
+    return peer_rib_counts(state, now=dt.datetime(2024, 6, 1, 12, 34))

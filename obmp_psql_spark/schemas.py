@@ -184,6 +184,10 @@ IP_RIB = _s(
     ("is_pre_policy", BOOL), ("is_adj_rib_in", BOOL),
     # numeric bounds for containment joins / data skipping (SURVEY §2.7 F4)
     ("prefix_start", LNG), ("prefix_end", LNG),
+    # family-agnostic base address: v4 = (0, prefix_start); v6 = the
+    # masked two-long base (net.ipv6_bounds_longs) — probe side of
+    # the unified containment/LPM joins (1_base.sql:40-59 inet is v6 too)
+    ("prefix_base_hi", LNG), ("prefix_base_lo", LNG),
 )
 
 IP_RIB_LOG = _s(
@@ -216,6 +220,7 @@ GLOBAL_IP_RIB = _s(
     ("irr_origin_as", LNG), ("irr_source", STR), ("irr_descr", STR),
     ("rpki_origin_as", LNG),
     ("prefix_start", LNG), ("prefix_end", LNG),
+    ("prefix_base_hi", LNG), ("prefix_base_lo", LNG),
 )
 
 GEO_IP = _s(
@@ -224,12 +229,15 @@ GEO_IP = _s(
     ("timezone_offset", DBL), ("timezone_name", STR), ("isp_name", STR),
     ("connection_type", STR), ("organization_name", STR),
     ("prefix_start", LNG), ("prefix_end", LNG), ("masklen", INT),
+    # unified-family bounds: v4 = (0, prefix_start)..(0, prefix_end)
+    ("start_hi", LNG), ("start_lo", LNG), ("end_hi", LNG), ("end_lo", LNG),
 )
 
 RPKI_VALIDATOR = _s(
     ("prefix", STR), ("prefix_len", SHORT), ("prefix_len_max", SHORT),
     ("origin_as", LNG), ("timestamp", TS),
     ("prefix_start", LNG), ("prefix_end", LNG),
+    ("start_hi", LNG), ("start_lo", LNG), ("end_hi", LNG), ("end_lo", LNG),
 )
 
 INFO_ROUTE = _s(

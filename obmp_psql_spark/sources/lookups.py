@@ -15,15 +15,28 @@ from ..functions import net
 
 
 def _with_bounds(df: DataFrame, prefix_col: str = "ip") -> DataFrame:
-    """Attach (prefix_start, prefix_end, masklen) numeric columns for
-    LPM/containment joins (v4 rows; v6 gets NULL — the two-long v6
-    variant joins through net.ipv6_to_longs the same way)."""
+    """Attach numeric bound columns for LPM/containment joins:
+    v4-only single-long (prefix_start, prefix_end) plus the
+    unified-family two-long (start_hi, start_lo, end_hi, end_lo) —
+    v4 as (0, start)..(0, end), v6 parsed + masked natively. The
+    reference's inet columns are family-blind (1_base.sql:40-59)."""
     start, end = net.ipv4_prefix_bounds(F.col(prefix_col))
     is_v4 = ~F.col(prefix_col).contains(":")
+    m6 = F.when(F.col(prefix_col).contains("/"),
+                F.split(F.col(prefix_col), "/").getItem(1).cast("int")) \
+         .otherwise(F.lit(128))
+    v6 = net.ipv6_to_longs(F.when(~is_v4, net.host(F.col(prefix_col))))
+    sh, sl, eh, el = net.ipv6_bounds_longs(v6["hi"], v6["lo"], m6)
+    zero = F.lit(0).cast("long")
     return (
         df.withColumn("prefix_start", F.when(is_v4, start))
         .withColumn("prefix_end", F.when(is_v4, end))
-        .withColumn("masklen", net.masklen(F.col(prefix_col)).cast("int"))
+        .withColumn("masklen", F.when(is_v4, net.masklen(F.col(prefix_col)))
+                                .otherwise(m6).cast("int"))
+        .withColumn("start_hi", F.when(is_v4, zero).otherwise(sh))
+        .withColumn("start_lo", F.when(is_v4, start).otherwise(sl))
+        .withColumn("end_hi", F.when(is_v4, zero).otherwise(eh))
+        .withColumn("end_lo", F.when(is_v4, end).otherwise(el))
     )
 
 
@@ -181,3 +194,159 @@ PRIVATE_ASN_RANGES = ((0, 0), (23456, 23456), (64496, 65535),
 def is_private_asn(asn: int) -> bool:
     """P3 (gen_whois_asn.py:100-108)."""
     return any(lo <= asn <= hi for lo, hi in PRIVATE_ASN_RANGES)
+
+
+# ---------------------------------------------------------------------------
+# S9: PeeringDB 6-endpoint walk (peeringdb.py:118-272) — injectable fetch
+# ---------------------------------------------------------------------------
+
+PEERINGDB_ENDPOINTS = ("net", "ix", "org", "netixlan", "poc", "ixpfx")
+
+
+def walk_peeringdb(fetch_json, base_url: str = "https://www.peeringdb.com/api",
+                   now: dt.datetime | None = None) -> list[dict]:
+    """Full PeeringDB walk: fetch the six endpoints, key each payload
+    by id (api_get, peeringdb.py:119-137), re-key POCs by role/net_id
+    (:197-217) and IX prefixes by protocol/ixlan_id (:219-240), then
+    assemble one record per operational netixlan peering
+    (import_ix_peering, :274-360). ``fetch_json(url)`` -> parsed JSON
+    (injectable: offline tests pass fixture payloads; production
+    passes a requests-backed closure)."""
+    data = {}
+    for ep in PEERINGDB_ENDPOINTS:
+        raw = fetch_json(f"{base_url}/{ep}")
+        if not raw or "data" not in raw:
+            raise RuntimeError(f"peeringdb walk failed at /{ep}")
+        data[ep] = {e["id"]: e for e in raw["data"]}
+
+    pocs: dict = {"noc": {}, "policy": {}}
+    for v in data["poc"].values():
+        if v.get("role") == "NOC":
+            pocs["noc"][v["net_id"]] = v
+        elif v.get("role") == "Policy":
+            pocs["policy"][v["net_id"]] = v
+    pfxs: dict = {"v4": {}, "v6": {}}
+    for v in data["ixpfx"].values():
+        if v.get("protocol") == "IPv4":
+            pfxs["v4"][v["ixlan_id"]] = v
+        elif v.get("protocol") == "IPv6":
+            pfxs["v6"][v["ixlan_id"]] = v
+
+    ts = now or dt.datetime.utcnow()
+    out = []
+    for e in data["netixlan"].values():
+        if not e.get("operational"):
+            continue
+        p4 = e.get("ipaddr4") or "0.0.0.0"
+        p6 = e.get("ipaddr6") or "::"
+        if p4 == "0.0.0.0" and p6 == "::":
+            continue
+        ix = data["ix"][e["ix_id"]]
+        net_ = data["net"][e["net_id"]]
+        out.append({
+            "ix_id": e["ix_id"],
+            "ix_name": e["name"],
+            "ix_prefix_v4": (pfxs["v4"].get(e["ixlan_id"]) or {}).get("prefix"),
+            "ix_prefix_v6": (pfxs["v6"].get(e["ixlan_id"]) or {}).get("prefix"),
+            "ix_country": ix.get("country"),
+            "ix_city": (ix.get("city") or "")[:128],
+            "ix_region": (ix.get("region_continent") or "")[:128],
+            "rs_peer": bool(e.get("is_rs_peer")),
+            "peer_name": f"{net_.get('name')} | {net_.get('aka', '')}"[:254],
+            "peer_ipv4": p4,
+            "peer_ipv6": p6,
+            "peer_asn": e.get("asn"),
+            "speed": e.get("speed"),
+            "policy": net_.get("policy_general"),
+            "poc_policy_email": (pocs["policy"].get(e["net_id"]) or {}).get("email", ""),
+            "poc_noc_email": (pocs["noc"].get(e["net_id"]) or {}).get("email", ""),
+            "timestamp": ts,
+        })
+    return out
+
+
+def load_peeringdb(spark: SparkSession, fetch_json,
+                   base_url: str = "https://www.peeringdb.com/api",
+                   now: dt.datetime | None = None) -> DataFrame:
+    """S9 end-to-end: walk + DataFrame assembly."""
+    return load_peeringdb_exchange_peers(
+        spark, walk_peeringdb(fetch_json, base_url, now))
+
+
+# ---------------------------------------------------------------------------
+# S10: whois/DNS ASN walk (gen_whois_asn.py:219-301) — injectable queriers
+# ---------------------------------------------------------------------------
+
+WHOIS_SOURCES = (("arin", "whois.arin.net"), ("ripe", "whois.ripe.net"),
+                 ("apnic", "whois.apnic.net"), ("afrinic", "whois.afrinic.net"),
+                 ("lacnic", "whois.lacnic.net"), ("ntt", "rr.ntt.net"))
+
+
+def _parse_cymru_txt(txt: str) -> dict:
+    """'64512 | US | arin | 2001-01-01 | NAME - Org Name' -> record
+    (gen_whois_asn.py:252-268)."""
+    parts = txt.split("|")
+    if len(parts) < 5:
+        return {}
+    a_name = parts[4].split(" - ", 2)
+    as_name = a_name[0].replace('"', "").strip()
+    org = a_name[1].replace('"', "").strip() if len(a_name) > 1 else as_name
+    return {"source": "cymru-" + parts[2].strip(),
+            "as_name": as_name, "org_name": org,
+            "country": parts[1].strip()}
+
+
+def walk_whois(asn_list, query_whois, dns_txt=None,
+               throttle=None, max_per_interval: int = 100) -> list[dict]:
+    """Per-ASN whois walk: try each registry in order until a source
+    yields an as_name, fall back to the Team Cymru DNS TXT lookup,
+    then apply the address->country/state fixups (walkWhois,
+    gen_whois_asn.py:219-301). Driver-side by design — the walk is
+    rate-limited external I/O, not data-parallel work; ``throttle``
+    is called every ``max_per_interval`` lookups (:297-301).
+
+    ``query_whois(asn, host) -> raw text`` and
+    ``dns_txt(name) -> str | None`` are injectable for offline tests.
+    """
+    out = []
+    since_pause = 0
+    for asn in asn_list:
+        since_pause += 1
+        record: dict = {}
+        for source, host in WHOIS_SOURCES:
+            record = parse_whois_asn_block(query_whois(asn, host) or "")
+            if record.get("as_name"):
+                record["source"] = source
+                break
+        if not record.get("as_name") and dns_txt is not None:
+            txt = dns_txt(f"AS{asn}.asn.cymru.com")
+            if txt:
+                record = _parse_cymru_txt(txt)
+        if record.get("as_name"):
+            addr = record.get("address", "")
+            if addr:
+                lines = addr.split("\n")
+                if not record.get("country"):
+                    record["country"] = lines[-1]
+                if not record.get("state_prov") and len(lines) >= 2:
+                    record["state_prov"] = lines[-2]
+            out.append({"asn": asn, **record})
+        if throttle is not None and since_pause >= max_per_interval:
+            throttle()
+            since_pause = 0
+    return out
+
+
+def load_info_asn(spark: SparkSession, records: list[dict],
+                  now: dt.datetime | None = None) -> DataFrame:
+    """Assemble info_asn rows from walk_whois records (P3 filters
+    private ASNs — the reference skips them before the walk,
+    gen_whois_asn.py:100-108)."""
+    from ..schemas import TABLE_SCHEMAS
+    ts = now or dt.datetime.utcnow()
+    cols = ("asn", "as_name", "org_id", "org_name", "remarks", "address",
+            "city", "state_prov", "postal_code", "country", "raw_output",
+            "source")
+    rows = [tuple(r.get(c) or ("" if c != "asn" else None) for c in cols) + (ts,)
+            for r in records if not is_private_asn(r["asn"])]
+    return spark.createDataFrame(rows, TABLE_SCHEMAS["info_asn"])

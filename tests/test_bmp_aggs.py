@@ -73,7 +73,8 @@ def test_rpki_irr_enrichment(spark):
         "prefix string, prefix_len short, descr string, origin_as long, source string, timestamp timestamp")
     # ROA 10.0.0.0/8 maxlen 24 origin 65001 covers 10.1.0.0/16
     rpki = spark.createDataFrame(
-        [("10.0.0.0/8", 8, 24, 65001, ts(0), 167772160, 184549375)],
+        [("10.0.0.0/8", 8, 24, 65001, ts(0), 167772160, 184549375,
+          0, 167772160, 0, 184549375)],
         TABLE_SCHEMAS["rpki_validator"])
     out = G.enrich_rpki(G.enrich_irr(glob, info_route, None), rpki, None)
     rows = {(r.prefix, r.recv_origin_as): r for r in out.collect()}

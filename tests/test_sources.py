@@ -140,3 +140,111 @@ def test_l3vpn_views(spark):
     assert len(r) == 1 and r[0].rd == "65001:100"
     assert r[0].ext_communities == "rt:65001:100"
     assert spark.sql("SELECT * FROM v_l3vpn_routes_history").count() == 0
+
+def test_peeringdb_walk_offline_fixtures(spark):
+    """S9: full 6-endpoint walk against fixture payloads — keying,
+    POC role split, prefix protocol split, operational/null-IP skips,
+    name assembly (peeringdb.py:118-360)."""
+    import datetime as dt
+
+    payloads = {
+        "net": {"data": [
+            {"id": 1, "name": "NetOne", "aka": "N1", "policy_general": "Open"},
+            {"id": 2, "name": "NetTwo", "aka": "", "policy_general": "Selective"},
+        ]},
+        "ix": {"data": [
+            {"id": 10, "city": "Amsterdam", "country": "NL",
+             "region_continent": "Europe"},
+        ]},
+        "org": {"data": [{"id": 100, "name": "OrgOne"}]},
+        "netixlan": {"data": [
+            {"id": 1000, "ix_id": 10, "ixlan_id": 10, "net_id": 1, "asn": 64512,
+             "name": "AMS-IX", "ipaddr4": "80.249.208.1", "ipaddr6": None,
+             "speed": 10000, "is_rs_peer": True, "operational": True},
+            # non-operational: skipped
+            {"id": 1001, "ix_id": 10, "ixlan_id": 10, "net_id": 2, "asn": 64513,
+             "name": "AMS-IX", "ipaddr4": "80.249.208.2", "ipaddr6": None,
+             "speed": 1000, "is_rs_peer": False, "operational": False},
+            # both IPs null: skipped
+            {"id": 1002, "ix_id": 10, "ixlan_id": 10, "net_id": 2, "asn": 64514,
+             "name": "AMS-IX", "ipaddr4": None, "ipaddr6": None,
+             "speed": 1000, "is_rs_peer": False, "operational": True},
+            # v6-only peer survives
+            {"id": 1003, "ix_id": 10, "ixlan_id": 10, "net_id": 2, "asn": 64515,
+             "name": "AMS-IX", "ipaddr4": None, "ipaddr6": "2001:7f8:1::1",
+             "speed": 1000, "is_rs_peer": False, "operational": True},
+        ]},
+        "poc": {"data": [
+            {"id": 5, "net_id": 1, "role": "NOC", "email": "noc@netone.example"},
+            {"id": 6, "net_id": 1, "role": "Policy", "email": "pol@netone.example"},
+        ]},
+        "ixpfx": {"data": [
+            {"id": 7, "ixlan_id": 10, "protocol": "IPv4", "prefix": "80.249.208.0/21"},
+            {"id": 8, "ixlan_id": 10, "protocol": "IPv6", "prefix": "2001:7f8:1::/64"},
+        ]},
+    }
+    urls = []
+
+    def fetch(url):
+        urls.append(url)
+        return payloads[url.rsplit("/", 1)[1]]
+
+    df = lookups.load_peeringdb(spark, fetch, now=dt.datetime(2024, 1, 1))
+    rows = {r.peer_asn: r for r in df.collect()}
+    assert [u.rsplit("/", 1)[1] for u in urls] == list(lookups.PEERINGDB_ENDPOINTS)
+    assert set(rows) == {64512, 64515}
+    r = rows[64512]
+    assert r.peer_name == "NetOne | N1" and r.rs_peer is True
+    assert r.ix_prefix_v4 == "80.249.208.0/21" and r.ix_prefix_v6 == "2001:7f8:1::/64"
+    assert r.poc_noc_email == "noc@netone.example"
+    assert r.poc_policy_email == "pol@netone.example"
+    assert r.ix_city == "Amsterdam" and r.ix_country == "NL"
+    assert rows[64515].peer_ipv6 == "2001:7f8:1::1"
+    assert rows[64515].peer_ipv4 == "0.0.0.0"
+    assert rows[64515].poc_noc_email == ""
+
+
+def test_whois_walk_offline_fixtures(spark):
+    """S10: registry fallback order, cymru DNS fallback, address ->
+    country/state fixups, private-ASN filter, throttle cadence
+    (gen_whois_asn.py:219-301)."""
+    arin_block = "\n".join([
+        "ASName: EXAMPLE-AS", "OrgName: Example Org",
+        "Address: 1 Main St", "City: Springfield", "Country: US"])
+    ripe_block = "\n".join([
+        "as-name: RIPE-AS", "descr: Ripe Org",
+        "address: Somewhere 1\naddress: NL"])
+    calls = []
+
+    def query_whois(asn, host):
+        calls.append((asn, host))
+        if asn == 1 and host == "whois.arin.net":
+            return arin_block
+        if asn == 2 and host == "whois.ripe.net":
+            return ripe_block
+        return ""  # everything else: no answer
+
+    def dns_txt(name):
+        if name == "AS3.asn.cymru.com":
+            return '3 | US | arin | 2001-01-01 | CYMRU-AS - Cymru Org'
+        return None
+
+    pauses = []
+    recs = lookups.walk_whois(
+        [1, 2, 3, 4], query_whois, dns_txt=dns_txt,
+        throttle=lambda: pauses.append(1), max_per_interval=2)
+    by_asn = {r["asn"]: r for r in recs}
+    assert set(by_asn) == {1, 2, 3}  # AS4 answered nowhere
+    assert by_asn[1]["source"] == "arin" and by_asn[1]["as_name"] == "EXAMPLE-AS"
+    # arin answered on the first source: no further registries tried
+    assert (1, "whois.ripe.net") not in calls
+    assert by_asn[2]["source"] == "ripe"
+    assert by_asn[3]["source"] == "cymru-arin"
+    assert by_asn[3]["as_name"] == "CYMRU-AS" and by_asn[3]["org_name"] == "Cymru Org"
+    assert len(pauses) == 2  # 4 lookups / interval of 2
+
+    df = lookups.load_info_asn(
+        spark, recs + [{"asn": 64512, "as_name": "PRIVATE"}])
+    got = {r.asn: r for r in df.collect()}
+    assert set(got) == {1, 2, 3}  # P3: private ASN filtered
+    assert got[1].country == "US" and got[1].city == "Springfield"
