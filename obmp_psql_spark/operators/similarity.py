@@ -120,10 +120,22 @@ def lsh_topk(
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     block_col: str | None = None, threshold: float = 0.95,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold, optionally blocked
-    (e.g. by label/shard) to bound the pair space. Output:
-    (id_a, id_b, cos)."""
+    """Near-duplicate pairs by cosine >= threshold, blocked (e.g. by
+    label/shard/LSH bucket) to bound the pair space. Output:
+    (id_a, id_b, cos).
+
+    Without ``block_col`` this is an all-pairs O(N^2) cross join —
+    a scale-killer on anything beyond a probe set, so it requires an
+    explicit ``allow_full_cross=True``. At scale, pre-bucket with
+    ``lsh_topk``/``minhash_lsh_pairs`` and pass the bucket as the
+    block."""
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "embedding_neardup_pairs without block_col is an all-pairs "
+            "cross join; pass block_col (label/shard/LSH bucket) or "
+            "explicitly opt in with allow_full_cross=True for small sets")
     base = df.select(
         F.col(id_col).alias("__id"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
@@ -149,7 +161,7 @@ def cosine_topk_arrow(
     queries: DataFrame, items: DataFrame,
     query_id: str = "vec_id", item_id: str = "vec_id",
     query_vec: str = "embedding", item_vec: str = "embedding",
-    k: int = 5,
+    k: int = 5, max_queries: int = 100_000,
 ) -> DataFrame:
     """Arrow/numpy brute-force top-k: the wide-vector scale path.
 
@@ -159,11 +171,22 @@ def cosine_topk_arrow(
     partition and runs one BLAS matmul per Arrow batch — 10-100x
     faster at high dims/large k, with float summation order differing
     in the last ulp (hence rows-only verification, not hash parity).
+
+    The query side is ``collect()``ed to the driver and broadcast:
+    bounded-probe-set-only by design. ``max_queries`` guards against
+    accidentally feeding the full corpus as queries (use ``ivf_topk``
+    or ``lsh_topk`` for corpus-vs-corpus search).
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = queries.limit(max_queries + 1).select(query_id, query_vec).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow collects the query set to the driver; got "
+            f"more than max_queries={max_queries} rows — this path is for "
+            f"bounded probe sets. Use ivf_topk/lsh_topk for large query sides "
+            f"or raise max_queries deliberately.")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -68,6 +68,48 @@ def load_geo_dbip_csv(spark: SparkSession, path: str) -> DataFrame:
     return _with_bounds(geo)
 
 
+def load_geo_maxmind_csv(spark: SparkSession, locations_path: str,
+                         *block_paths: str) -> DataFrame:
+    """MaxMind GeoLite2-City variant (geo-csv-to-psql.py:209-302):
+    Locations-en.csv (geoname_id -> country/stateprov/city/tz) joined
+    against one or both Blocks-IPv4/IPv6.csv files (network CIDR,
+    geoname_id, latitude, longitude). Blocks with an unknown
+    geoname_id are dropped (the reference logs and skips them);
+    family comes from the network string, and both families get
+    unified bounds."""
+    if not block_paths:
+        raise ValueError("need at least one GeoLite2-City-Blocks-* CSV")
+    loc = spark.read.csv(locations_path, header=True).select(
+        F.col("geoname_id"),
+        F.col("country_iso_code").alias("country"),
+        F.col("subdivision_1_name").alias("stateprov"),
+        F.col("city_name").alias("city"),
+        F.col("time_zone").alias("timezone_name"),
+    )
+    blocks = spark.read.csv(list(block_paths), header=True).select(
+        F.col("network").alias("ip"),
+        F.col("geoname_id"),
+        F.col("latitude").cast("double").alias("latitude"),
+        F.col("longitude").cast("double").alias("longitude"),
+    )
+    joined = blocks.join(F.broadcast(loc), "geoname_id")
+    geo = joined.select(
+        F.when(F.col("ip").contains("."), 4).otherwise(6)
+         .cast("short").alias("family"),
+        "ip",
+        F.coalesce("country", F.lit("")).alias("country"),
+        F.coalesce("stateprov", F.lit("")).alias("stateprov"),
+        F.coalesce("city", F.lit("")).alias("city"),
+        "latitude", "longitude",
+        F.lit(0.0).alias("timezone_offset"),
+        F.coalesce("timezone_name", F.lit("")).alias("timezone_name"),
+        F.lit("").alias("isp_name"),
+        F.lit("").alias("connection_type"),
+        F.lit("").alias("organization_name"),
+    )
+    return _with_bounds(geo)
+
+
 def default_geo_rows(spark: SparkSession) -> DataFrame:
     """The two catch-all rows every deployment carries
     (1_base.sql:62-64)."""

@@ -248,3 +248,59 @@ def test_whois_walk_offline_fixtures(spark):
     got = {r.asn: r for r in df.collect()}
     assert set(got) == {1, 2, 3}  # P3: private ASN filtered
     assert got[1].country == "US" and got[1].city == "Springfield"
+
+
+def test_geo_maxmind_csv_variant(spark, tmp_path):
+    """S6 MaxMind format: locations join, unknown-geoname drop,
+    v4+v6 families with unified bounds (geo-csv-to-psql.py:209-302)."""
+    loc = tmp_path / "locs.csv"
+    loc.write_text(
+        "geoname_id,locale_code,continent_code,continent_name,country_iso_code,"
+        "country_name,subdivision_1_iso_code,subdivision_1_name,"
+        "subdivision_2_iso_code,subdivision_2_name,city_name,metro_code,"
+        "time_zone,is_in_european_union\n"
+        "100,en,EU,Europe,NL,Netherlands,NH,North Holland,,,Amsterdam,,"
+        "Europe/Amsterdam,1\n")
+    b4 = tmp_path / "blocks4.csv"
+    b4.write_text(
+        "network,geoname_id,registered_country_geoname_id,represented_country_"
+        "geoname_id,is_anonymous_proxy,is_satellite_provider,postal_code,"
+        "latitude,longitude,accuracy_radius\n"
+        "1.0.0.0/24,100,,,0,0,,52.37,4.89,10\n"
+        "2.0.0.0/24,999,,,0,0,,0.0,0.0,10\n")  # unknown geoname: dropped
+    b6 = tmp_path / "blocks6.csv"
+    b6.write_text(
+        "network,geoname_id,registered_country_geoname_id,represented_country_"
+        "geoname_id,is_anonymous_proxy,is_satellite_provider,postal_code,"
+        "latitude,longitude,accuracy_radius\n"
+        "2001:db8::/32,100,,,0,0,,52.37,4.89,10\n")
+    geo = lookups.load_geo_maxmind_csv(spark, str(loc), str(b4), str(b6))
+    rows = {r.ip: r for r in geo.collect()}
+    assert set(rows) == {"1.0.0.0/24", "2001:db8::/32"}
+    v4 = rows["1.0.0.0/24"]
+    assert v4.family == 4 and v4.city == "Amsterdam" and v4.country == "NL"
+    assert v4.prefix_start == 16777216 and v4.prefix_end == 16777471
+    assert (v4.start_hi, v4.start_lo) == (0, 16777216)
+    v6 = rows["2001:db8::/32"]
+    assert v6.family == 6 and v6.stateprov == "North Holland"
+    assert v6.start_hi == 2306139568115548160 and v6.start_lo == 0
+    assert v6.end_hi == 2306139572410515455 and v6.end_lo == -1
+    assert v6.masklen == 32
+
+
+def test_all_pairs_guards(spark):
+    """Unblocked cross-join paths refuse to run without an explicit
+    opt-in (scale guard)."""
+    import pytest
+
+    from obmp_psql_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="all-pairs"):
+        similarity.embedding_neardup_pairs(e)
+    # explicit opt-in still works for probe sets
+    small = e.limit(20)
+    assert similarity.embedding_neardup_pairs(
+        small, allow_full_cross=True, threshold=0.0).count() > 0
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk_arrow(e, e, k=2, max_queries=10)
