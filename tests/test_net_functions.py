@@ -27,6 +27,39 @@ def test_ipv6_to_longs_roundtrip(spark):
         assert r.v.hi == to_signed(hi) and r.v.lo == to_signed(lo)
 
 
+def test_ipv6_native_expr_matches_udf_and_stdlib(spark):
+    """The hot-path native parser (ipv6_to_longs_expr) must agree
+    with the pandas UDF and the stdlib across compressed/exploded/
+    embedded-v4/malformed forms — including a batch that CONTAINS
+    NULLs (which once silently float64-degraded the UDF's output)."""
+    import random
+
+    forms = ["::", "::1", "1::", "fe80::1", "2001:db8::ff00:42:8329",
+             "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", "::ffff:1.2.3.4",
+             "2001:0db8:0000:0000:0000:0000:0000:0001", "a:b:c:d:e:f:1:2",
+             "2001:DB8::AbCd", "::ffff:255.255.255.255", "1:2:3:4:5:6:7::",
+             "not-an-ip", "zz::1", "1:2:3", "1.2.3.4"]
+    random.seed(11)
+    for _ in range(30):
+        a = ipaddress.IPv6Address(random.getrandbits(128))
+        forms += [str(a), a.exploded]
+    df = spark.createDataFrame([(s,) for s in forms], "ip string")
+    rows = df.select(
+        "ip", net.ipv6_to_longs(F.col("ip")).alias("u"),
+        net.ipv6_to_longs_expr(F.col("ip")).alias("n")).collect()
+    for r in rows:
+        assert (r.u and (r.u.hi, r.u.lo)) == (r.n and (r.n.hi, r.n.lo)) \
+            or (r.u == (None, None) and r.n is None), r.ip
+        try:
+            v = int(ipaddress.IPv6Address(r.ip))
+        except ValueError:
+            assert r.n is None or (r.n.hi is None and r.n.lo is None), r.ip
+            continue
+        to_signed = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+        assert (r.n.hi, r.n.lo) == (
+            to_signed(v >> 64), to_signed(v & (2**64 - 1))), r.ip
+
+
 def test_ipv6_ordering_via_u64_keys(spark):
     ips = ["::1", "8000::", "fe80::1", "2001:db8::", "::ffff:1.2.3.4"]
     df = spark.createDataFrame([(s,) for s in ips], "ip string") \

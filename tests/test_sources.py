@@ -42,9 +42,15 @@ def test_geo_csv_range_to_cidr(spark, tmp_path):
     csv = tmp_path / "dbip.csv"
     csv.write_text(
         '1.0.0.0,1.0.0.255,OC,AU,Queensland,Brisbane,-27.4,153.0,Australia/Brisbane\n'
-        '1.0.1.0,1.0.2.255,AS,CN,Fujian,Fuzhou,26.0,119.3,Asia/Shanghai\n')
+        '1.0.1.0,1.0.2.255,AS,CN,Fujian,Fuzhou,26.0,119.3,Asia/Shanghai\n'
+        '2001:db8::,2001:db8::ffff,EU,NL,,Amsterdam,52.37,4.89,Europe/Amsterdam\n')
     geo = lookups.load_geo_dbip_csv(spark, str(csv))
     rows = {r.ip: r for r in geo.collect()}
+    # v6 range (a clean /112) gets family 6 + two-long bounds
+    assert rows["2001:db8::/112"].family == 6
+    assert rows["2001:db8::/112"].start_hi == 2306139568115548160
+    assert (rows["2001:db8::/112"].start_lo, rows["2001:db8::/112"].end_lo) == (0, 65535)
+    assert rows["2001:db8::/112"].prefix_start is None  # v4-only column
     # 1.0.0.0-1.0.0.255 == exactly /24; 1.0.1.0-1.0.2.255 == /24 + /24... no:
     # 1.0.1.0/24 covers .1.0-.1.255; 1.0.2.0/24 covers .2.0-.2.255
     assert "1.0.0.0/24" in rows and rows["1.0.0.0/24"].country == "AU"
