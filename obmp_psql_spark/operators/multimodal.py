@@ -85,3 +85,58 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema="doc_id long, frame_index int, frame_payload binary")
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
+                  id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Resize plumbing: (doc_id, width, height, payload) with the
+    kernel STUBBED — the fake 'resize' re-derives a payload slice
+    sized proportionally to target area so downstream size-dependent
+    logic is exercisable; a real impl calls PIL.Image.resize on the
+    decoded pixels. Plan shape (Arrow batches, one roundtrip per
+    batch, binary in/out) is the production contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_image_meta(p)
+                scale = (target_w * target_h) / max(1, meta["width"] * meta["height"])
+                n_out = max(1, int(len(p) * min(1.0, scale)))
+                outs.append((did, target_w, target_h, p[:n_out]))
+            yield pd.DataFrame(
+                outs, columns=["doc_id", "width", "height", "payload"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema="doc_id long, width int, height int, payload binary")
+
+
+def extract_image_features(df: DataFrame, dim: int = 16,
+                           id_col: str = "doc_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """Feature-extraction plumbing: binary -> float vector
+    (array<double>), the shape an image-embedding model (CLIP/CNN)
+    produces. The kernel is a deterministic fake — md5-seeded byte
+    histogram projection — so the output feeds the ANN/similarity
+    operators (cosine_topk, lsh_topk, ivf_topk) for end-to-end
+    multimodal-retrieval pipelines without an ML runtime."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vecs = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                seed = int.from_bytes(hashlib.md5(p).digest()[:4], "big")
+                arr = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                rng = np.random.default_rng(seed)
+                v = hist + rng.standard_normal(dim) * 0.01
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).tolist())
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema="doc_id long, embedding array<double>")

@@ -530,7 +530,10 @@ def _run_l3vpn_pipeline(spark: SparkSession, sf_dir: str):
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
         state = spark.createDataFrame([], TABLE_SCHEMAS["l3vpn_rib"])
         state, _ = apply_l3vpn(state, b1)
-        state, log = apply_l3vpn(state, b2)
+        # both outputs are consumed (view gate + chg-stats gate):
+        # materialize the merge join once, same as the rib pipeline
+        state, log = apply_l3vpn(
+            state, b2, materialize_join=lambda df: df.localCheckpoint())
         return state, log
     return _cached_pipeline("l3vpn", spark, sf_dir, build)
 

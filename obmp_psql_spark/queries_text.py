@@ -674,3 +674,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.ivf_topk(e, n_centroids=16, nprobe=3, k=5) \
         .select("query_id", "neighbor_id", "cos", "rank")
+
+
+@register(
+    "q_multimodal_retrieval",
+    oracle=None,  # feature kernel is a seeded-noise fake + float
+                  # cosine: rows-only driver check; determinism and
+                  # top-k shape are pinned in unit tests
+    survey_ref="training-data multimodal: binary -> feature vector -> ANN retrieval",
+    doc="payload -> stubbed feature extraction -> cosine top-k over the "
+        "extracted vectors (full multimodal-retrieval composition)",
+)
+def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_image_features
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payloads = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    feats = extract_image_features(payloads, dim=16).localCheckpoint()
+    q = feats.filter(F.col("doc_id") < 5) \
+        .withColumnRenamed("doc_id", "vec_id")
+    items = feats.withColumnRenamed("doc_id", "vec_id")
+    return similarity.cosine_topk(q, items, k=5) \
+        .select("query_id", "neighbor_id", "cos", "rank")

@@ -299,7 +299,14 @@ LS_NODES_LOG = LS_NODES
 LS_LINKS_LOG = LS_LINKS
 LS_PREFIXES_LOG = LS_PREFIXES
 
+# auth lookup (1_base.sql:116-122); seeded with the default row the
+# reference inserts at install (:122)
+USERS = _s(("username", STR), ("password", STR), ("type", STR))
+
+DEFAULT_USERS = [("openbmp", "openbmp", "admin")]
+
 TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "users": USERS,
     "collectors": COLLECTORS,
     "routers": ROUTERS,
     "bgp_peers": BGP_PEERS,

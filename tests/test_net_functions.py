@@ -206,3 +206,29 @@ def test_ivf_recall_vs_exact(spark):
     assert recall > 0.15, recall  # weakly-correlated synthetic vectors
     # every query still gets answers
     assert len({q for q, _ in ivf}) == e.count()
+
+
+def test_multimodal_resize_and_features(spark):
+    """Resize and feature-extract plumbing: Arrow batch contract,
+    deterministic kernels, unit-norm vectors that feed the ANN ops."""
+    import math
+
+    from obmp_psql_spark.operators.multimodal import (
+        extract_image_features, resize_images)
+
+    docs = spark.createDataFrame(
+        [(1, b"x" * 500), (2, b"hello world" * 40), (3, b"\x00\x01\x02" * 100)],
+        "doc_id long, payload binary")
+    rs = {r.doc_id: r for r in resize_images(docs, 224, 224).collect()}
+    assert set(rs) == {1, 2, 3}
+    assert all(r.width == 224 and r.height == 224 for r in rs.values())
+    assert all(0 < len(r.payload) <= 500 for r in rs.values())
+    # determinism
+    rs2 = {r.doc_id: r for r in resize_images(docs, 224, 224).collect()}
+    assert all(bytes(rs[k].payload) == bytes(rs2[k].payload) for k in rs)
+
+    fe = {r.doc_id: r.embedding for r in extract_image_features(docs, dim=16).collect()}
+    assert all(len(v) == 16 for v in fe.values())
+    assert all(abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9 for v in fe.values())
+    fe2 = {r.doc_id: r.embedding for r in extract_image_features(docs, dim=16).collect()}
+    assert fe == fe2  # seeded kernel: bit-for-bit deterministic

@@ -172,3 +172,27 @@ def test_stratified_sample_subset_and_rate(spark):
     # different salt decorrelates: overlap ~= product of rates
     other = {r["k"] for r in sample_deterministic(df, "k", 0.2, "t").collect()}
     assert abs(len(small & other) / 20000 - 0.04) < 0.01
+
+
+def test_containment128_plan_is_bucketed_hash_join(spark):
+    """The unified-family containment join must execute as a hash
+    equi-join on (family, bucket) — never a nested-loop over the
+    range predicate — and coarse supernets must stay out of the
+    explode (bounded fan-out per prefix)."""
+    from obmp_psql_spark.operators.lpm import containment_join128
+
+    pref = spark.createDataFrame(
+        [(6, 2306139568115548160, 0, 2306139572410515455, -1, 32, "db8/32"),
+         (6, 0, 0, -1, -1, 0, "::/0")],
+        "family int, start_hi long, start_lo long, end_hi long, end_lo long, "
+        "masklen int, label string")
+    probes = spark.createDataFrame(
+        [(1, 6, 2306139568115548161, 7)],
+        "pid long, fam int, phi long, plo long")
+    out = containment_join128(probes, "fam", "phi", "plo", pref, broadcast=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both prefixes match the probe: /32 via the bucketed pass, ::/0
+    # via the coarse broadcast pass
+    assert {r.label for r in out.collect()} == {"db8/32", "::/0"}
