@@ -59,3 +59,36 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    survey_ref="T2/W2 on the streaming engine (dropDuplicates state store; "
+               "ConsumerRunnable.java:485-501 dedup cache analog)",
+    doc="real streaming dedup: file source -> watermark + dropDuplicates "
+        "state -> memory sink (availableNow)",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once key dedup through the HDFS-backed
+    state store. Only key columns are emitted, so the result is
+    deterministic regardless of which physical row wins the race
+    inside a partition."""
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ev = normalize_ts(src)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -697,3 +697,75 @@ def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = feats.withColumnRenamed("doc_id", "vec_id")
     return similarity.cosine_topk(q, items, k=5) \
         .select("query_id", "neighbor_id", "cos", "rank")
+
+
+# ---------------------------------------------------------------------------
+# composed corpus-curation pipeline: lang-ID + quality filter + dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_corpus_curation",
+    oracle=None,  # set below (reuses the generated lang-score CTEs)
+    survey_ref="training-data pipeline composition: lang-ID -> quality "
+               "filter -> exact dedup -> per-language corpus stats",
+    doc="one pass over documents: language ID, quality gating "
+        "(tokens>=5, punct<20%), 48-bit fingerprint dedup, per-lang rollup",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint64, lang_id, quality_features
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = quality_features(F.col("text"))
+    scored = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        fingerprint64(F.col("text")).alias("fp64"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2))
+    return (
+        kept.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("fp64").alias("n_unique"),
+             F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+def _set_curation_oracle() -> None:
+    from .functions.text import LANG_MARKERS
+    from .registry import _REGISTRY
+    scores = "\n  UNION ALL\n  ".join(
+        _lang_score_sql(lang, m) for lang, m in sorted(LANG_MARKERS.items()))
+    _REGISTRY["q_corpus_curation"].oracle = f"""
+    WITH scores AS (
+      {scores}
+    ), best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scores
+    ), lang AS (
+      SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+      FROM best WHERE rn = 1
+    ), q AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS punct_ratio,
+             CAST(('0x' || substr(md5({_NORM.format(col='text')}), 1, 12)) AS BIGINT) AS fp64
+      FROM documents
+    )
+    SELECT l.lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT q.fp64) AS BIGINT) AS n_unique,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+    FROM lang l JOIN q USING (doc_id)
+    WHERE q.n_tokens >= 5 AND q.punct_ratio < 0.2
+    GROUP BY 1
+    """
+
+
+_set_curation_oracle()
