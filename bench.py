@@ -50,6 +50,13 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     spark.createDataFrame([(1, "a")], "id int, s string") \
         .write.format("noop").mode("overwrite").save()
+    # warm the Arrow/Python-worker path too: the ingest pipeline's v6
+    # parse is a pandas UDF, and worker startup (~1-2s) must not land
+    # inside the first headline ingest number
+    from obmp_psql_spark.functions import net
+    spark.createDataFrame([("::1",)], "ip string") \
+        .select(net.ipv6_to_longs(F.col("ip"))) \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
