@@ -257,3 +257,52 @@ def test_router_term_keeps_identity_fields(spark):
     assert row.name == "rtr1"  # CASE excluded.state keeps old on down
     assert row.description == "d"
     assert row.term_reason_code == 2 and row.term_reason_text == "shutdown"
+
+
+def test_v6_peer_geo_and_rpki_enrichment_end_to_end(spark):
+    """The v6 enrichment gap (round-2 verdict #1): a v6 peer gets a
+    geo_ip_start and a v6 global-rib prefix gets an rpki_origin_as
+    through the REAL ingest/enrichment paths — not just gate queries."""
+    from obmp_psql_spark.operators import global_rib as G
+    from obmp_psql_spark.sources.lookups import _with_bounds
+
+    # geo table: a v4 /16, a v6 /32, and both catch-alls
+    geo = _with_bounds(spark.createDataFrame(
+        [(4, "192.0.2.0/24"), (6, "2001:db8::/32"),
+         (4, "0.0.0.0/0"), (6, "::/0")],
+        "family short, ip string"))
+    routers, _ = apply_router(
+        empty(spark, "routers"), empty(spark, "bgp_peers"),
+        msgs(spark, "router", [router_msg("init", "rt1", ts(0))]), geo_ip=geo)
+    peers, _, _ = apply_peer(
+        empty(spark, "bgp_peers"), empty(spark, "ip_rib"), routers,
+        msgs(spark, "peer", [
+            peer_msg("up", "p4", "rt1", ts(1)),  # 192.0.2.1
+            peer_msg("up", "p6", "rt1", ts(1), is_ipv4=False,
+                     peer_ip="2001:db8::42", peer_bgp_id="10.0.0.9"),
+            peer_msg("up", "p6b", "rt1", ts(1), is_ipv4=False,
+                     peer_ip="fe80::1", peer_bgp_id="10.0.0.8"),
+        ]), geo_ip=geo)
+    got = {r.hash_id: r.geo_ip_start for r in peers.collect()}
+    assert got["p4"] == "192.0.2.0/24"       # most-specific v4
+    assert got["p6"] == "2001:db8::/32"      # most-specific v6
+    assert got["p6b"] == "::/0"              # v6 catch-all, NOT v4's
+
+    # RPKI: v6 ROA covers a v6 global-rib prefix (family-blind J7)
+    rpki = _with_bounds(spark.createDataFrame(
+        [("2001:db8::/32", 32, 48, 65010, ts(0)),
+         ("10.0.0.0/8", 8, 24, 65020, ts(0))],
+        "prefix string, prefix_len short, prefix_len_max short, "
+        "origin_as long, timestamp timestamp"), "prefix").drop("masklen")
+    rib, _ = apply_unicast_prefix(empty(spark, "ip_rib"), msgs(
+        spark, "unicast_prefix", [
+            upx("add", "h6", "p6", "a1", ts(1), prefix="2001:db8:1::",
+                plen=48, is_ipv4=False),
+            upx("add", "h4", "p4", "a1", ts(1), prefix="10.1.0.0", plen=16),
+        ]))
+    glob = G.merge_global(empty(spark, "global_ip_rib"),
+                          G.consolidate(rib, None))
+    out = {r.prefix: r.rpki_origin_as
+           for r in G.enrich_rpki(glob, rpki, None).collect()}
+    assert out["2001:db8:1::"] == 65010
+    assert out["10.1.0.0"] == 65020
