@@ -196,3 +196,40 @@ def test_containment128_plan_is_bucketed_hash_join(spark):
     # both prefixes match the probe: /32 via the bucketed pass, ::/0
     # via the coarse broadcast pass
     assert {r.label for r in out.collect()} == {"db8/32", "::/0"}
+
+
+def test_enrich_irr_broadcast_is_size_gated(spark):
+    """enrich_irr must not force-broadcast the IRR table: real dumps
+    are ~3M routes with descr text. Below the threshold the planner
+    may broadcast; above it (threshold shrunk to 1KB here) the plan
+    must fall back to a shuffle join."""
+    import datetime as dt
+
+    from obmp_psql_spark.operators import global_rib as G
+    from obmp_psql_spark.schemas import TABLE_SCHEMAS
+
+    glob = spark.createDataFrame(
+        [("10.%d.0.0" % i, 16, 65000 + i, False, dt.datetime(2024, 1, 1),
+          dt.datetime(2024, 1, 1), 1, 1, 0, None, None, None, None,
+          167772160 + i * 65536, 167772160 + i * 65536 + 65535, 0,
+          167772160 + i * 65536) for i in range(50)],
+        TABLE_SCHEMAS["global_ip_rib"])
+    info_route = spark.createDataFrame(
+        [("10.%d.0.0" % i, 16, "descr-%d" % i * 50, 65000 + i, "RADB",
+          dt.datetime(2024, 1, 1)) for i in range(2000)],
+        "prefix string, prefix_len short, descr string, origin_as long, "
+        "source string, timestamp timestamp")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = G.enrich_irr(glob, info_route, None) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan  # large side: shuffle join
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    out = {r.prefix: r.irr_origin_as
+           for r in G.enrich_irr(glob, info_route, None).collect()}
+    assert out["10.7.0.0"] == 65007
