@@ -1142,3 +1142,75 @@ def q_peer_rib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state, _ = _run_pipeline(spark, sf_dir)
     return peer_rib_counts(state, now=dt.datetime(2024, 6, 1, 12, 34))
+
+
+# ---------------------------------------------------------------------------
+# S4/G1: collector merge through the gate (CollectorQuery.java SET
+# list: state/timestamp/routers/router_count update, admin_id insert-only)
+# ---------------------------------------------------------------------------
+
+_COLLECTOR_ORACLE = f"""
+WITH {_EV},
+cm AS (
+  SELECT CASE WHEN value < 5 THEN 'stopped' ELSE 'heartbeat' END AS action,
+         'c' || CAST(user_id % 40 AS VARCHAR) AS h,
+         'admin-' || CAST(event_id % 7 AS VARCHAR) AS admin_id,
+         'r' || CAST(event_id % 3 AS VARCHAR) AS router_list,
+         CAST(event_id % 3 AS INT) AS router_count,
+         ts + to_microseconds(CAST(event_id AS BIGINT)) AS mts,
+         event_id
+  FROM ev
+),
+l1 AS (SELECT * FROM (
+  SELECT cm.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM cm WHERE event_id % 2 = 0) WHERE rn = 1),
+l2 AS (SELECT * FROM (
+  SELECT cm.*, row_number() OVER (PARTITION BY h ORDER BY mts DESC) rn
+  FROM cm WHERE event_id % 2 = 1) WHERE rn = 1)
+SELECT coalesce(l2.h, l1.h) AS hash_id,
+       CASE WHEN coalesce(l2.action, l1.action) = 'stopped'
+            THEN 'down' ELSE 'up' END AS state,
+       -- admin_id is insert-only: first batch's value survives
+       CASE WHEN l1.h IS NOT NULL THEN l1.admin_id ELSE l2.admin_id END AS admin_id,
+       coalesce(l2.router_list, l1.router_list) AS routers,
+       coalesce(l2.router_count, l1.router_count) AS router_count,
+       coalesce(l2.mts, l1.mts) AS timestamp
+FROM l1 FULL OUTER JOIN l2 ON l1.h = l2.h
+"""
+
+
+@register(
+    "q_bmp_collector",
+    oracle=_COLLECTOR_ORACLE,
+    survey_ref="S4/G1 (CollectorQuery.java:24-40 merge; 9_triggers.sql "
+               "collector cascade covered by unit tests)",
+    doc="two-batch collectors merge (SET-list vs insert-only policy) vs SQL oracle",
+)
+def q_bmp_collector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest import apply_collector
+
+    def build():
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        msgs = ev.select(
+            F.when(F.col("value") < 5, "stopped").otherwise("heartbeat")
+             .alias("action"),
+            F.concat(F.lit("c"), (F.col("user_id") % 40).cast("string")).alias("hash"),
+            F.concat(F.lit("admin-"), (F.col("event_id") % 7).cast("string"))
+             .alias("admin_id"),
+            F.concat(F.lit("r"), (F.col("event_id") % 3).cast("string"))
+             .alias("router_list"),
+            (F.col("event_id") % 3).cast("int").alias("router_count"),
+            F.timestamp_micros(F.unix_micros("ts") + F.col("event_id"))
+             .alias("timestamp"),
+            F.col("event_id"),
+        )
+        collectors = spark.createDataFrame([], TABLE_SCHEMAS["collectors"])
+        routers = spark.createDataFrame([], TABLE_SCHEMAS["routers"])
+        for parity in (0, 1):
+            b = msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
+            collectors, routers = apply_collector(collectors, routers, b)
+        return (collectors,)
+
+    (collectors,) = _cached_pipeline("collector", spark, sf_dir, build)
+    return collectors.select("hash_id", "state", "admin_id", "routers",
+                             "router_count", "timestamp")
