@@ -380,3 +380,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds "
         f"(graph diameter exceeds cap; use alternating-star)")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    bits: int = 32, bands: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the fingerprint (pigeonhole
+    — any pair within ``max_hamming`` < ``bands`` bits shares at
+    least one identical band), equi-join candidates per band, then
+    verify the exact Hamming distance with bit_count(xor) JVM-side.
+    Output: (id_a, id_b, hamming).
+
+    Scale: the band join is a hash equi-join on (band, band_value) —
+    never all-pairs; the fingerprint table builds once (persisted).
+    Candidate volume per band bucket is corpus/2^(bits/bands) docs —
+    widen ``bits`` (48 stays oracle-safe in a signed BIGINT) or
+    raise ``bands`` resolution for bigger corpora."""
+    fp = simhash_fingerprints(df, id_col, text_col, bits).persist()
+    w = bits // bands
+    mask = (1 << w) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * w)
+             .bitwiseAND(F.lit(mask)).alias("bv"))
+        for b in range(bands)])
+    bandsdf = fp.select(F.col(id_col), "simhash",
+                        F.explode(band_structs).alias("bb")) \
+                .select(F.col(id_col), "simhash",
+                        F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a, b_ = bandsdf.alias("a"), bandsdf.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("__sa"),
+                F.col("b.simhash").alias("__sb"))
+        .distinct()  # a pair can agree on several bands
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")) \
+               .filter(F.col("hamming") <= max_hamming)

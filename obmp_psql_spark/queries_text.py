@@ -769,3 +769,55 @@ def _set_curation_oracle() -> None:
 
 
 _set_curation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup pairs (the pair-generation scale path on
+# top of the fingerprints)
+# ---------------------------------------------------------------------------
+
+_SIMPAIR_ORACLE = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
+  FROM corpus
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, {_SIM_BITS // 4})) AS BIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, {_sim_votes} FROM h GROUP BY doc_id
+),
+sim AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_sim_fp} AS simhash FROM votes
+),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+  FROM sim, UNNEST(generate_series(0, 3)) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=_SIMPAIR_ORACLE,
+    survey_ref="training-data dedup: SimHash banded near-dup pairs "
+               "(pigeonhole banding, hamming verify)",
+    doc="band equi-join candidates -> bit_count(xor) hamming filter; "
+        "never all-pairs",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_neardup_pairs
+    c = _corpus(spark, sf_dir)
+    return simhash_neardup_pairs(c, "doc_id", "text", bits=_SIM_BITS,
+                                 bands=4, max_hamming=3) \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"), "hamming")
