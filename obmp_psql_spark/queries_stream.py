@@ -92,3 +92,48 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_window_append",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+    agg AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+               AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events
+    FROM agg
+    WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+    """,
+    survey_ref="T7/T9: watermark finalization semantics on the streaming "
+               "engine (append mode emits only windows below the watermark)",
+    doc="append-mode tumbling windows + 10-min watermark: the oracle "
+        "reproduces Spark's exact finalization cut (window_end <= "
+        "max_event_time - delay); unfinalized tail windows stay in state",
+)
+def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_append_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ev = normalize_ts(src)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
