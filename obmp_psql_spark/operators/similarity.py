@@ -212,16 +212,48 @@ def cosine_topk_arrow(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
+    """Lloyd iterations for the IVF codebook, fully distributed and
+    deterministic: assign each vector to its nearest centroid
+    (broadcast crossJoin + top-1 window), recompute centroids as the
+    element-wise mean (posexplode -> (cid, pos) avg -> re-assemble),
+    localCheckpoint per round to truncate lineage. Centroids that
+    lose all members drop out (standard Lloyd behavior — fewer,
+    better-placed lists)."""
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "__id", "__v", "__cid",
+            (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
+            .alias("__csim"))
+        wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
+                                           F.col("__cid").asc())
+        top1 = (scored.withColumn("__cr", F.row_number().over(wc))
+                .filter(F.col("__cr") == 1).select("__cid", "__v"))
+        cents = (
+            top1.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
+            .groupBy("__cid", "__pos").agg(F.avg("__val").alias("__m"))
+            .groupBy("__cid")
+            .agg(F.sort_array(F.collect_list(F.struct("__pos", "__m"))).alias("__s"))
+            .select("__cid",
+                    F.transform("__s", lambda x: x["__m"]).alias("__cv"))
+            .withColumn("__cn", l2norm(F.col("__cv")))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_centroids: int = 16, nprobe: int = 2, k: int = 5,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN: the other canonical scale
     path next to LSH.
 
-    Deterministic "training": the ``n_centroids`` lowest-id vectors
-    serve as centroids (reproducible without kmeans iterations; swap
-    in sampled kmeans offline for production). Each vector joins its
+    Codebook: the ``n_centroids`` lowest-id vectors seed the
+    centroids (reproducible); ``train_iters`` > 0 refines them with
+    that many distributed Lloyd iterations (_kmeans_refine) — the
+    production path when list balance matters. Each vector joins its
     ``nprobe`` nearest centroids' inverted lists; queries search only
     those lists. Every join is a broadcast equi-join on the centroid
     id — the cross product never materializes.
@@ -233,10 +265,13 @@ def ivf_topk(
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", l2norm(F.col("__v")))
 
-    cents = F.broadcast(
-        base.orderBy("__id").limit(n_centroids)
-        .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
-                F.col("__n").alias("__cn")))
+    seed = base.orderBy("__id").limit(n_centroids).select(
+        F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"))
+    if train_iters > 0:
+        base = base.persist()
+        seed = _kmeans_refine(base, seed, train_iters)
+    cents = F.broadcast(seed)
 
     # nprobe nearest centroids per vector (broadcast join + window).
     # The assignment table is the IVF index: built ONCE and persisted

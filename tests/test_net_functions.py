@@ -232,3 +232,23 @@ def test_multimodal_resize_and_features(spark):
     assert all(abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9 for v in fe.values())
     fe2 = {r.doc_id: r.embedding for r in extract_image_features(docs, dim=16).collect()}
     assert fe == fe2  # seeded kernel: bit-for-bit deterministic
+
+
+def test_ivf_kmeans_training_recall_and_determinism(spark):
+    """train_iters>0 runs distributed Lloyd refinement; recall must
+    stay in family with the untrained codebook and the result must be
+    run-to-run deterministic."""
+    from obmp_psql_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(e, e, k=5).collect()}
+    trained = {(r.query_id, r.neighbor_id)
+               for r in similarity.ivf_topk(
+                   e, n_centroids=16, nprobe=3, k=5, train_iters=2).collect()}
+    recall = len(exact & trained) / len(exact)
+    assert recall > 0.15, recall
+    again = {(r.query_id, r.neighbor_id)
+             for r in similarity.ivf_topk(
+                 e, n_centroids=16, nprobe=3, k=5, train_iters=2).collect()}
+    assert trained == again
