@@ -821,3 +821,78 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  bands=4, max_hamming=3) \
         .select(F.col("id_a").cast("long").alias("id_a"),
                 F.col("id_b").cast("long").alias("id_b"), "hamming")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+counts AS (
+  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg
+  FROM counts GROUP BY 1
+),
+tok_stats AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+  FROM toks
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       s.n_tokens,
+       CASE WHEN s.n_tokens > 0
+            THEN CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS distinct_token_frac,
+       CASE WHEN p.n_bg > 0
+            THEN CAST(p.top_c AS DOUBLE) / CAST(p.n_bg AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac
+FROM tok_stats s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register(
+    "q_doc_repetition",
+    oracle=_REPETITION_ORACLE,
+    survey_ref="training-data text analysis: repetition signals "
+               "(distinct-token and top-bigram fractions, Gopher-style filters)",
+    doc="explode bigrams -> per-doc top-count fraction; one shuffle "
+        "pair (doc,bigram) then per-doc — map-side combine applies",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.split(norm, " ").alias("t"))
+    tok_stats = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
+                                  F.element_at(F.col("t"), i + 2)),
+        )).alias("bg"))
+    per_doc = (bigrams.groupBy("doc_id", "bg").count()
+               .groupBy("doc_id")
+               .agg(F.max("count").alias("top_c"), F.sum("count").alias("n_bg")))
+    out = tok_stats.join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_distinct").cast("double") / F.col("n_tokens"))
+         .otherwise(F.lit(0.0)).alias("distinct_token_frac"),
+        F.when(F.col("n_bg") > 0,
+               F.col("top_c").cast("double") / F.col("n_bg"))
+         .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
