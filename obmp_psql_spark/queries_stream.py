@@ -137,3 +137,52 @@ def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_stateful_counts",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT 'p' || CAST(user_id % 10 AS VARCHAR) AS peer_hash_id,
+           CAST(COUNT(CASE WHEN NOT (value < 5) THEN 1 END) AS BIGINT) AS updates,
+           CAST(COUNT(CASE WHEN value < 5 THEN 1 END) AS BIGINT) AS withdraws,
+           max(ts) AS last_ts
+    FROM ev GROUP BY 1
+    """,
+    survey_ref="§2.10 custom stateful op (applyInPandasWithState; the "
+               "reference's JVM per-entity state maps, "
+               "ConsumerRunnable.java:596-629)",
+    doc="REAL applyInPandasWithState keyed counters on the streaming "
+        "engine; final cumulative state vs batch SQL oracle",
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import peer_activity_counter
+
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ev = normalize_ts(src)
+    msgs = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
+         .alias("peer_hash"),
+        (F.col("value") < 5).alias("is_withdrawn"),
+        F.col("ts").alias("timestamp"),
+    )
+    q = (
+        peer_activity_counter(msgs)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per key per micro-batch; the
+    # counters are monotone, so the final cumulative state is the max
+    return (
+        spark.table(name)
+        .groupBy("peer_hash_id")
+        .agg(F.max("updates").alias("updates"),
+             F.max("withdraws").alias("withdraws"),
+             F.max("last_ts").alias("last_ts"))
+    )
