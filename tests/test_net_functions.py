@@ -155,9 +155,11 @@ def test_containment_join128_mixed_families(spark):
 
 
 def test_containment_join128_coarse_default_route(spark):
-    """::/0 and 0.0.0.0/0 take the broadcast pass, not a 65536-row
-    explode; they still match every probe of their family."""
-    from obmp_psql_spark.operators.lpm import _COARSE_SPAN, containment_join128
+    """::/0 and 0.0.0.0/0 match every probe of their family through
+    the single-pass bucketed join (their bounded 2^16-row explode
+    lives on the small broadcast side — the probe side is scanned
+    exactly once; see containment_join's strategy note)."""
+    from obmp_psql_spark.operators.lpm import containment_join128
 
     # v6 ::/0 raw signed two-long bounds are (0,0)..(-1,-1); the u64
     # flip inside ipv6_le makes the range total
@@ -173,9 +175,8 @@ def test_containment_join128_coarse_default_route(spark):
     out = containment_join128(probes, "fam", "phi", "plo", pref, broadcast=True)
     got = {(r.pid, r.label) for r in out.collect()}
     assert got == {(1, "v4-default"), (2, "v6-default")}
-    # plan check: no 65536-wide explode — the exploded (fine) side is empty
-    assert "explode" not in out._jdf.queryExecution().executedPlan().toString().lower() \
-        or out.count() == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Union" not in plan
 
 
 def test_arrow_ann_matches_exact_ranks(spark):
