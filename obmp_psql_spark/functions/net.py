@@ -108,7 +108,11 @@ def ipv6_to_longs(ip):  # type: ignore[no-untyped-def]
 
     his, los = [], []
     for v in ip:
-        if v is None:  # v4 rows pass NULL — skip the parse entirely
+        # v4 rows pass NULL — skip the parse entirely. Zone-scoped
+        # addresses (fe80::1%eth0) are REJECTED: Python 3.9+ would
+        # accept them, but Postgres inet (the reference type) and the
+        # native twin expression do not.
+        if v is None or "%" in v:
             his.append(None)
             los.append(None)
             continue

@@ -38,7 +38,12 @@ def test_ipv6_native_expr_matches_udf_and_stdlib(spark):
              "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", "::ffff:1.2.3.4",
              "2001:0db8:0000:0000:0000:0000:0000:0001", "a:b:c:d:e:f:1:2",
              "2001:DB8::AbCd", "::ffff:255.255.255.255", "1:2:3:4:5:6:7::",
-             "not-an-ip", "zz::1", "1:2:3", "1.2.3.4"]
+             "not-an-ip", "zz::1", "1:2:3", "1.2.3.4",
+             # adversarial malformed: multiple/misplaced '::', too many
+             # groups, oversized group, stray chars — all must be NULL
+             # on both parsers, never garbage values
+             "1::2::3", ":::", ":", "12345::", "1:2:3:4:5:6:7:8:9",
+             "::g", "abcd", "1:2:3:4:5:6:7", "fe80::1%eth0", ""]
     random.seed(11)
     for _ in range(30):
         a = ipaddress.IPv6Address(random.getrandbits(128))
@@ -51,6 +56,10 @@ def test_ipv6_native_expr_matches_udf_and_stdlib(spark):
         assert (r.u and (r.u.hi, r.u.lo)) == (r.n and (r.n.hi, r.n.lo)) \
             or (r.u == (None, None) and r.n is None), r.ip
         try:
+            # zone-scoped forms parse in Python 3.9+ but are rejected
+            # by Postgres inet and both our parsers
+            if "%" in r.ip:
+                raise ValueError("zone id")
             v = int(ipaddress.IPv6Address(r.ip))
         except ValueError:
             assert r.n is None or (r.n.hi is None and r.n.lo is None), r.ip
