@@ -186,3 +186,57 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("withdraws").alias("withdraws"),
              F.max("last_ts").alias("last_ts"))
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e
+    JOIN customer c ON c.c_custkey = e.user_id % 1500 + 1
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    survey_ref="S1-shape enrichment: stream-static dimension join + "
+               "aggregation (the streaming form of J1's dim joins)",
+    doc="streaming events joined to static customer+nation dims, "
+        "aggregated per nation in complete mode",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_dim_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ev = normalize_ts(src)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dims = (cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+            .select("c_custkey", "n_name"))
+    joined = ev.join(
+        dims, ev["user_id"] % 1500 + 1 == dims["c_custkey"], "inner")
+    agg = (joined.groupBy(F.col("n_name").alias("nation"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # exact count-distinct is unsupported inside a streaming agg:
+    # two-level form — streaming dedup of (ck, user) pairs, then count
+    users = (ev.select((F.col("user_id") % 1500 + 1).alias("ck"), "user_id")
+             .dropDuplicates(["ck", "user_id"]))
+    uname = f"{name}_u"
+    qu = (users.join(dims, users["ck"] == dims["c_custkey"])
+          .groupBy(F.col("n_name").alias("nation"))
+          .agg(F.count(F.lit(1)).alias("n_users"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(uname)
+          .trigger(availableNow=True).start())
+    qu.awaitTermination()
+    return (spark.table(name).select("nation", "n_events")
+            .join(spark.table(uname), "nation"))
