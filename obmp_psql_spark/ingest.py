@@ -131,8 +131,12 @@ def _geo_lpm(rows: DataFrame, addr_col: str, geo_ip: DataFrame,
 # unicast_prefix -> ip_rib (+ ip_rib_log)
 # ---------------------------------------------------------------------------
 
-def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
-    """Message rows -> ip_rib row shape, filtered and batch-compressed."""
+def prepare_unicast_prefix(batch: DataFrame,
+                           extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Message rows -> ip_rib row shape, filtered and batch-compressed.
+    ``extra_cols`` carries table-variant columns (l3vpn's rd /
+    ext_community_list) through the SAME dedup window — one pass, no
+    second window + rejoin."""
     withdrawn = F.col("is_withdrawn") | (F.lower(F.col("action")) == "del")
     start, end, base_hi, base_lo = _addr_bounds(
         F.col("prefix"), F.col("prefix_len"), F.col("is_ipv4"))
@@ -149,6 +153,7 @@ def prepare_unicast_prefix(batch: DataFrame) -> DataFrame:
             "path_id", "labels", "is_pre_policy", "is_adj_rib_in",
             start.alias("prefix_start"), end.alias("prefix_end"),
             base_hi.alias("prefix_base_hi"), base_lo.alias("prefix_base_lo"),
+            *extra_cols,
         )
     )
     return dedup_latest(rows, ["peer_hash_id", "hash_id"],

@@ -252,16 +252,11 @@ L3VPN_POLICY = MergePolicy(
 def prepare_l3vpn(batch: DataFrame) -> DataFrame:
     from .ingest import prepare_unicast_prefix
 
-    base = prepare_unicast_prefix(batch.drop("rd", "ext_community_list")) \
-        .withColumn("first_added_timestamp", F.col("timestamp"))
-    extra = dedup_latest(
-        batch.filter(F.col("prefix_len") <= 128).select(
-            F.col("peer_hash").alias("peer_hash_id"),
-            F.col("hash").alias("hash_id"),
-            "rd", "ext_community_list", "timestamp"),
-        ["peer_hash_id", "hash_id"], [F.col("timestamp").desc()],
-    ).drop("timestamp")
-    return base.join(extra, ["peer_hash_id", "hash_id"])
+    # rd/ext ride the SAME dedup window as the base shape — one pass,
+    # no second window + rejoin (L3VpnPrefixQuery.java:36-42)
+    return prepare_unicast_prefix(
+        batch, extra_cols=("rd", "ext_community_list")
+    ).withColumn("first_added_timestamp", F.col("timestamp"))
 
 
 def apply_l3vpn(state: DataFrame, batch: DataFrame,
