@@ -44,6 +44,65 @@ def register(name: str, oracle: str | None, survey_ref: str = "", doc: str = "")
     return deco
 
 
+# Explicit presentation order. The correctness driver samples a prefix of
+# the registry (50 of 68 as of round 4), so queries that have never had a
+# driver row must come first. Queries listed here lead, in this order; any
+# registered name not listed follows in registration order. Long-green BMP
+# gates (two+ rounds of hash-green history) are the ones rotated past the
+# cap.
+_PRIORITY: tuple[str, ...] = (
+    # never driver-checked through round 4
+    "q_embed_neardup",
+    "q_multimodal_meta",
+    "q_corpus_curation",
+    "q_simhash_pairs",
+    "q_doc_repetition",
+    # checked in r3 only (no r4 row): training-data / ANN set
+    "q_minhash_lsh",
+    "q_dedup_cluster",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_lang_id",
+    "q_quality_score",
+    "q_token_stats",
+    "q_stratified_sample",
+    "q_ann_topk",
+    "q_ann_lsh",
+    # rows-only checks (no oracle) that also lack r4 rows
+    "q_ann_topk_arrow",
+    "q_ann_ivf",
+    "q_multimodal_retrieval",
+)
+
+# Rotated past the driver's 50-query sampling cap this round. Every name
+# here is triple-green (hash-identical to the DuckDB oracle in rounds 2,
+# 3, and 4), so skipping a round costs nothing; demoting exactly 18 makes
+# room for the 18 queries above that lack recent driver rows. The
+# triple-green queries NOT listed here (LPM, RPKI containment, retention,
+# consolidation, 1-min rollup, CDC changelog, exact dedup, winnowing)
+# stay in the sample because they gate the widest operator surface.
+_DEMOTE: tuple[str, ...] = (
+    "q_rib_summary",
+    "q_filter_case_projection",
+    "q_dedup_latest",
+    "q_top1_per_group",
+    "q_chg_stats_2min",
+    "q_conditional_sums",
+    "q_peer_update_rates",
+    "q_left_join_names",
+    "q_self_join_pairs",
+    "q_anti_join_missing",
+    "q_distinct_pairs",
+    "q_gap_detection",
+    "q_lww_merge",
+    "q_time_guard_flush",
+    "q_sessionize",
+    "q_pivot_status",
+    "q_net_functions",
+    "q_regex_filter",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect modules that register queries
     from . import queries_bmp  # noqa: F401
@@ -51,7 +110,17 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import queries_net  # noqa: F401
     from . import queries_stream  # noqa: F401
     from . import queries_text  # noqa: F401
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered and name not in _DEMOTE:
+            ordered[name] = spec
+    for name in _DEMOTE:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
