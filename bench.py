@@ -58,6 +58,8 @@ def main() -> None:
         .select(net.ipv6_to_longs(F.col("ip"))) \
         .write.format("noop").mode("overwrite").save()
 
+    from obmp_psql_spark.operators.cache import release_build_artifacts
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in selected:
@@ -65,6 +67,10 @@ def main() -> None:
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        # free build-once artifacts (band/posting/fingerprint tables)
+        # so 68 queries don't accumulate storage-memory blocks; the
+        # release is timed as part of the query that created them
+        release_build_artifacts()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 

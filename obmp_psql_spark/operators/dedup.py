@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .cache import owned_persist
+
 
 def dedup_latest(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
     """Keep exactly one row per key, the first under ``order_by``.
@@ -139,8 +141,9 @@ def minhash_lsh_pairs(
     ).select("__id", "bb.band", "bb.bucket")
     # the band table feeds both sides of the self-join; materialize it
     # once or the full explode + 16-way min-md5 signature aggregation
-    # runs twice (at scale the signature table is a build-once artifact)
-    banded = banded.persist()
+    # runs twice (at scale the signature table is a build-once artifact;
+    # caller releases via cache.build_artifacts / release_build_artifacts)
+    banded = owned_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -278,8 +281,8 @@ def ngram_jaccard_pairs(
                  .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
                  .filter(F.size("__ids") <= max_doc_freq)
                  .select("__ids"))
-        # feeds sizes + pairs: build the index once
-        posts = posts.persist()
+        # feeds sizes + pairs: build the index once (caller releases)
+        posts = owned_persist(posts)
         sizes = (posts.select(F.explode("__ids").alias("__id"))
                  .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
         combos = F.flatten(F.transform(
@@ -297,8 +300,8 @@ def ngram_jaccard_pairs(
     else:
         # the inverted index feeds three consumers (sizes + both join
         # sides); materialize it once — shingling re-runs the regex
-        # split per consumer otherwise
-        ex = ex.persist()
+        # split per consumer otherwise (caller releases)
+        ex = owned_persist(ex)
         sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
         a, b = ex.alias("a"), ex.alias("b")
         cond = ((F.col("a.__s") == F.col("b.__s"))
@@ -397,7 +400,7 @@ def simhash_neardup_pairs(
     Candidate volume per band bucket is corpus/2^(bits/bands) docs —
     widen ``bits`` (48 stays oracle-safe in a signed BIGINT) or
     raise ``bands`` resolution for bigger corpora."""
-    fp = simhash_fingerprints(df, id_col, text_col, bits).persist()
+    fp = owned_persist(simhash_fingerprints(df, id_col, text_col, bits))
     w = bits // bands
     mask = (1 << w) - 1
     band_structs = F.array(*[

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .cache import owned_persist
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -101,7 +103,8 @@ def lsh_topk(
     ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), dims, n_planes))      .withColumn("__n", l2norm(F.col("__v")))
     # bucketed table feeds both join sides; materialize once so the
     # n_planes interpreted dot products don't evaluate twice per row
-    base = base.persist()
+    # (caller releases via cache.build_artifacts)
+    base = owned_persist(base)
     a = base.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv"),
                     F.col("__n").alias("__qn"), F.col("__bucket").alias("__b"))
     b = base.select(F.col("__id").alias("neighbor_id"), F.col("__v").alias("__iv"),
@@ -142,7 +145,8 @@ def embedding_neardup_pairs(
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", l2norm(F.col("__v")))
     # normalized-vector table feeds both join sides; build it once
-    base = base.persist()
+    # (caller releases via cache.build_artifacts)
+    base = owned_persist(base)
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
@@ -213,13 +217,16 @@ def cosine_topk_arrow(
 
 
 def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
-    """Lloyd iterations for the IVF codebook, fully distributed and
-    deterministic: assign each vector to its nearest centroid
-    (broadcast crossJoin + top-1 window), recompute centroids as the
-    element-wise mean (posexplode -> (cid, pos) avg -> re-assemble),
-    localCheckpoint per round to truncate lineage. Centroids that
-    lose all members drop out (standard Lloyd behavior — fewer,
-    better-placed lists)."""
+    """Lloyd iterations for the IVF codebook: assign each vector to
+    its nearest centroid (broadcast crossJoin + top-1 window),
+    recompute centroids as the element-wise mean (posexplode ->
+    (cid, pos) avg -> re-assemble). The codebook is k ≪ N rows, so it
+    lives driver-side between rounds (one bounded k-row collect per
+    iteration) — the standard Lloyd-on-Spark shape; the data side
+    never leaves the cluster and no lineage checkpointing is needed.
+    Centroids that lose all members drop out (standard Lloyd
+    behavior — fewer, better-placed lists)."""
+    spark = base.sparkSession
     for _ in range(iters):
         scored = base.crossJoin(F.broadcast(cents)).select(
             "__id", "__v", "__cid",
@@ -229,16 +236,17 @@ def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
                                            F.col("__cid").asc())
         top1 = (scored.withColumn("__cr", F.row_number().over(wc))
                 .filter(F.col("__cr") == 1).select("__cid", "__v"))
-        cents = (
+        means = (
             top1.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
             .groupBy("__cid", "__pos").agg(F.avg("__val").alias("__m"))
             .groupBy("__cid")
             .agg(F.sort_array(F.collect_list(F.struct("__pos", "__m"))).alias("__s"))
             .select("__cid",
                     F.transform("__s", lambda x: x["__m"]).alias("__cv"))
-            .withColumn("__cn", l2norm(F.col("__cv")))
-            .localCheckpoint()
         )
+        rows = means.collect()  # k rows: the codebook
+        cents = (spark.createDataFrame(rows, means.schema)
+                 .withColumn("__cn", l2norm(F.col("__cv"))))
     return cents
 
 
@@ -269,7 +277,7 @@ def ivf_topk(
         F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
         F.col("__n").alias("__cn"))
     if train_iters > 0:
-        base = base.persist()
+        base = owned_persist(base)
         seed = _kmeans_refine(base, seed, train_iters)
     cents = F.broadcast(seed)
 
@@ -283,10 +291,10 @@ def ivf_topk(
         (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
         .alias("__csim"))
     wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
-    assigned = (scored_c.withColumn("__cr", F.row_number().over(wc))
-                .filter(F.col("__cr") <= nprobe)
-                .select("__id", "__v", "__n", "__cid", "__cr")
-                .persist())
+    assigned = owned_persist(
+        scored_c.withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= nprobe)
+        .select("__id", "__v", "__n", "__cid", "__cr"))
 
     a = assigned.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv"),
                         F.col("__n").alias("__qn"), "__cid")

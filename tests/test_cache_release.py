@@ -1,0 +1,107 @@
+"""Build-once persisted artifacts must be releasable by the caller.
+
+The similarity/dedup operators persist intermediates (band tables,
+posting lists, fingerprint tables, IVF assignments) that stay in the
+returned lazy plan — ``test_scale_plans`` pins the InMemoryTableScan.
+In a long-running service those blocks must not accumulate: the
+``cache.build_artifacts`` scope frees everything an operator persisted
+once its result is consumed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from obmp_psql_spark.operators import cache
+from obmp_psql_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from obmp_psql_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+from .conftest import SF_SMALL
+
+
+def _cached_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .select("doc_id", "text").limit(60)
+
+
+def _vecs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet") \
+        .select("vec_id", "embedding").limit(60)
+
+
+@pytest.mark.parametrize("build", [
+    lambda s: minhash_lsh_pairs(_docs(s), "doc_id", "text",
+                                num_hashes=8, bands=2),
+    lambda s: ngram_jaccard_pairs(_docs(s), "doc_id", "text",
+                                  threshold=0.1),
+    lambda s: ngram_jaccard_pairs(_docs(s), "doc_id", "text",
+                                  threshold=0.1, max_doc_freq=20),
+    lambda s: simhash_neardup_pairs(_docs(s), "doc_id", "text",
+                                    bits=32, bands=4, max_hamming=6),
+    lambda s: lsh_topk(_vecs(s), dims=16, n_planes=4, k=3),
+    lambda s: ivf_topk(_vecs(s), n_centroids=4, nprobe=2, k=3,
+                       train_iters=1),
+    lambda s: embedding_neardup_pairs(_vecs(s), threshold=0.5,
+                                      allow_full_cross=True),
+], ids=["minhash", "ngram", "ngram_capped", "simhash_pairs",
+        "lsh", "ivf_trained", "embed_neardup"])
+def test_operator_artifacts_released(spark, build):
+    cache.release_build_artifacts()  # clean slate from other tests
+    before = _cached_rdd_count(spark)
+    with cache.build_artifacts():
+        n = build(spark).count()
+        assert n >= 0
+        # the operator did persist something inside the scope
+        assert _cached_rdd_count(spark) > before
+    assert _cached_rdd_count(spark) == before
+
+
+def test_explicit_release(spark):
+    cache.release_build_artifacts()
+    before = _cached_rdd_count(spark)
+    pairs = minhash_lsh_pairs(_docs(spark), "doc_id", "text",
+                              num_hashes=8, bands=2)
+    pairs.count()
+    assert _cached_rdd_count(spark) > before
+    freed = cache.release_build_artifacts()
+    assert freed >= 1
+    assert _cached_rdd_count(spark) == before
+
+
+def test_release_before_consume_still_correct(spark):
+    """Releasing early forfeits the build-once saving but must not
+    change results (Spark recomputes the unpersisted intermediate)."""
+    cache.release_build_artifacts()
+    docs = _docs(spark)
+    with cache.build_artifacts():
+        kept = {(r.id_a, r.id_b) for r in
+                minhash_lsh_pairs(docs, "doc_id", "text",
+                                  num_hashes=8, bands=2).collect()}
+    early = minhash_lsh_pairs(docs, "doc_id", "text",
+                              num_hashes=8, bands=2)
+    cache.release_build_artifacts()
+    assert {(r.id_a, r.id_b) for r in early.collect()} == kept
+
+
+def test_scope_is_exception_safe(spark):
+    cache.release_build_artifacts()
+    before = _cached_rdd_count(spark)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cache.build_artifacts():
+            minhash_lsh_pairs(_docs(spark), "doc_id", "text",
+                              num_hashes=8, bands=2).count()
+            raise RuntimeError("boom")
+    assert _cached_rdd_count(spark) == before
