@@ -388,6 +388,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     bits: int = 32, bands: int = 4, max_hamming: int = 3,
+    min_tokens: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the fingerprint (pigeonhole
     — any pair within ``max_hamming`` < ``bands`` bits shares at
@@ -399,7 +401,25 @@ def simhash_neardup_pairs(
     never all-pairs; the fingerprint table builds once (persisted).
     Candidate volume per band bucket is corpus/2^(bits/bands) docs —
     widen ``bits`` (48 stays oracle-safe in a signed BIGINT) or
-    raise ``bands`` resolution for bigger corpora."""
+    raise ``bands`` resolution for bigger corpora.
+
+    Degenerate-content skew: empty/boilerplate documents all collapse
+    to the same fingerprint, so one band bucket goes quadratic (a
+    bucket of d docs contributes d^2/2 candidates). Two opt-in guards,
+    the same design as ``ngram_jaccard_pairs``' ``max_doc_freq`` stop-
+    shingle cap:
+    - ``min_tokens``: drop documents with fewer whitespace tokens
+      BEFORE fingerprinting (empties carry no near-dup signal);
+    - ``max_bucket_size``: drop (band, band_value) buckets larger
+      than the cap before the self-join. A pair lost this way is
+      still found if any of its other bands lands in a small bucket;
+      pairs ONLY matching through a mega-bucket are dropped, exactly
+      like stop-shingle removal. None (default) keeps exact
+      pigeonhole semantics for oracle parity."""
+    if min_tokens is not None:
+        ntoks = F.size(F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
+        df = df.filter(ntoks >= min_tokens)
     fp = owned_persist(simhash_fingerprints(df, id_col, text_col, bits))
     w = bits // bands
     mask = (1 << w) - 1
@@ -413,6 +433,15 @@ def simhash_neardup_pairs(
                         F.explode(band_structs).alias("bb")) \
                 .select(F.col(id_col), "simhash",
                         F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    if max_bucket_size is not None:
+        # bucket-size gate before the self-join: one count-over-window
+        # on the join key (no ordering => no sort, map-side partial
+        # count), then the oversized buckets never reach the join
+        bw = W.partitionBy("band", "bv")
+        bandsdf = (bandsdf
+                   .withColumn("__bn", F.count(F.lit(1)).over(bw))
+                   .filter(F.col("__bn") <= max_bucket_size)
+                   .drop("__bn"))
     a, b_ = bandsdf.alias("a"), bandsdf.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))

@@ -98,6 +98,49 @@ def test_build_once_indexes_are_materialized(spark):
             f"{name}: build-once index not materialized\n{physical[:2000]}"
 
 
+def test_simhash_degenerate_bucket_cap(spark):
+    """10k empty/identical docs collapse to one fingerprint; without a
+    guard one (band, bv) bucket goes quadratic (~50M candidates). The
+    opt-in ``max_bucket_size`` drops mega-buckets before the self-join
+    and ``min_tokens`` drops no-signal docs before fingerprinting —
+    the run must complete with zero candidates instead of exploding."""
+    import pandas as pd
+
+    from obmp_psql_spark.operators.dedup import simhash_neardup_pairs
+
+    n = 10_000
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["" if i % 2 == 0 else "lorem ipsum dolor sit amet"
+                 for i in range(n)],
+    }))
+    capped = simhash_neardup_pairs(docs, "doc_id", "text", bits=32,
+                                   bands=4, max_hamming=3,
+                                   max_bucket_size=64)
+    assert capped.count() == 0
+
+    filtered = simhash_neardup_pairs(docs, "doc_id", "text", bits=32,
+                                     bands=4, max_hamming=3,
+                                     min_tokens=3, max_bucket_size=64)
+    assert filtered.count() == 0
+
+    # the cap must not suppress genuine near-dups in small buckets:
+    # two one-word-edit variants of distinct bases still pair up
+    small = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"base document number {i // 2} with shared phrasing "
+                 f"{'alpha' if i % 2 == 0 else 'alpha beta'}"
+                 for i in range(40)],
+    }))
+    got = simhash_neardup_pairs(small, "doc_id", "text", bits=32,
+                                bands=4, max_hamming=6,
+                                max_bucket_size=64)
+    uncapped = simhash_neardup_pairs(small, "doc_id", "text", bits=32,
+                                     bands=4, max_hamming=6)
+    assert {(r.id_a, r.id_b) for r in got.collect()} \
+        == {(r.id_a, r.id_b) for r in uncapped.collect()} != set()
+
+
 def test_connected_components_path_graph(spark):
     """A path graph is the label-propagation worst case (diameter =
     n-1); verify multi-round convergence plus component separation
