@@ -148,14 +148,20 @@ def ipv6_to_longs_expr(ip: Column) -> Column:
     benched, so production call sites use ``ipv6_to_longs``. This
     variant remains for Python-worker-free deployments and as the
     differential-testing twin."""
-    # embedded dotted-quad tail -> two hex groups
+    # embedded dotted-quad tail -> two hex groups. One regex validates
+    # the whole tail (exactly 4 octets, each 0-255, no leading zeros —
+    # stdlib/Postgres reject '0.256.3.4', '1.2.3.4.5', '01.2.3.4'; the
+    # arithmetic alone would fold 256 into a plausible hex group)
     tail = F.substring_index(ip, ":", -1)
     o = F.split(tail, r"\.")
+    _OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+    tail_ok = tail.rlike(rf"^({_OCT}\.){{3}}{_OCT}$")
     g7 = F.lower(F.hex(o.getItem(0).cast("int") * 256 + o.getItem(1).cast("int")))
     g8 = F.lower(F.hex(o.getItem(2).cast("int") * 256 + o.getItem(3).cast("int")))
     hexified = F.concat(
         F.substring(ip, F.lit(1), F.length(ip) - F.length(tail)), g7, F.lit(":"), g8)
-    s = F.when(tail.contains("."), hexified).otherwise(ip)
+    # invalid dotted tail -> NULL s -> fails the group regex -> NULL out
+    s = F.when(tail.contains("."), F.when(tail_ok, hexified)).otherwise(ip)
 
     # '::' expansion by string surgery only — NO higher-order array
     # functions (transform/filter/forall are CodegenFallback and drop

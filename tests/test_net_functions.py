@@ -43,7 +43,14 @@ def test_ipv6_native_expr_matches_udf_and_stdlib(spark):
              # groups, oversized group, stray chars — all must be NULL
              # on both parsers, never garbage values
              "1::2::3", ":::", ":", "12345::", "1:2:3:4:5:6:7:8:9",
-             "::g", "abcd", "1:2:3:4:5:6:7", "fe80::1%eth0", ""]
+             "::g", "abcd", "1:2:3:4:5:6:7", "fe80::1%eth0", "",
+             # malformed dotted-quad tails: out-of-range octet (256
+             # would fold into hex '100' and pass the group regex
+             # without the tail gate), too many/few octets, leading
+             # zeros, negative octet — stdlib/Postgres reject all
+             "::ffff:0.256.3.4", "::ffff:256.1.2.3", "::ffff:1.2.3.999",
+             "::ffff:1.2.3.4.5", "::ffff:1.2.3", "::ffff:01.2.3.4",
+             "::ffff:1.2.3.-4", "::ffff:0.0.0.0", "::ffff:9.99.199.249"]
     random.seed(11)
     for _ in range(30):
         a = ipaddress.IPv6Address(random.getrandbits(128))
