@@ -1,0 +1,54 @@
+"""Registry-wide physical-plan gate.
+
+A CartesianProduct or an unplanned BroadcastNestedLoopJoin anywhere in
+the 68-query registry is a scale-killer: the first is O(N*M) shuffle-
+free row pairing, the second ships one whole side to every executor
+and loops. Both are acceptable ONLY when the broadcast side is bounded
+by construction; every such site is whitelisted here with its reason.
+``tools/dump_plans.py`` refuses to write PLANS.md on a violation and
+``tests/test_scale_plans.py`` fails the suite, so a future query can't
+introduce an accidental cross join silently.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+# query name -> why its BroadcastNestedLoopJoin is the correct shape.
+# CartesianProduct (non-broadcast) is never whitelisted.
+BNLJ_WHITELIST: dict[str, str] = {
+    # k ≪ N centroid codebook broadcast to every vector partition —
+    # the canonical IVF assignment join
+    "q_ann_ivf": "broadcast-centroid IVF assignment (k centroids)",
+    # bounded probe set (guarded collect/limit) broadcast against the
+    # item scan — the brute-force exact-top-k baseline
+    "q_ann_topk": "broadcast bounded probe set vs item scan",
+    "q_multimodal_retrieval": "broadcast bounded probe set vs item scan",
+    # 1-row aggregate (high-watermark) broadcast for the relative
+    # retention window — the scalar-subquery pattern
+    "q_retention_purge": "broadcast 1-row watermark aggregate",
+}
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def cross_join_violations(name: str, plan: str) -> list[str]:
+    """Return violation strings for unplanned cross joins in ``plan``
+    (empty list = clean)."""
+    out = []
+    if re.search(r"CartesianProduct", plan):
+        out.append(f"{name}: CartesianProduct (all-pairs, never allowed)")
+    if re.search(r"BroadcastNestedLoopJoin", plan) \
+            and name not in BNLJ_WHITELIST:
+        out.append(
+            f"{name}: BroadcastNestedLoopJoin not whitelisted — if the "
+            f"broadcast side is bounded by construction, add the query "
+            f"to plans.audit.BNLJ_WHITELIST with the reason")
+    return out

@@ -98,6 +98,36 @@ def test_build_once_indexes_are_materialized(spark):
             f"{name}: build-once index not materialized\n{physical[:2000]}"
 
 
+def test_registry_has_no_unplanned_cross_joins(spark):
+    """Every registered query's physical plan must be free of
+    CartesianProduct and of BroadcastNestedLoopJoin outside the
+    whitelist in ``plans.audit`` (bounded-by-construction broadcast
+    sides: IVF centroids, probe sets, 1-row watermark). Fails when a
+    future query sneaks in an accidental cross join."""
+    from obmp_psql_spark.plans.audit import (
+        BNLJ_WHITELIST, cross_join_violations, formatted_plan)
+    from obmp_psql_spark.registry import all_specs
+
+    from .conftest import SF_SMALL
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        specs = all_specs()
+        violations: list[str] = []
+        seen_bnlj: set[str] = set()
+        for name, spec in sorted(specs.items()):
+            plan = formatted_plan(spec.fn(spark, SF_SMALL))
+            violations += cross_join_violations(name, plan)
+            if "BroadcastNestedLoopJoin" in plan:
+                seen_bnlj.add(name)
+        assert violations == []
+        # the whitelist must not outlive its plans: every entry still
+        # produces a BNLJ, or it should be removed
+        assert set(BNLJ_WHITELIST) <= seen_bnlj
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_simhash_degenerate_bucket_cap(spark):
     """10k empty/identical docs collapse to one fingerprint; without a
     guard one (band, bv) bucket goes quadratic (~50M candidates). The
