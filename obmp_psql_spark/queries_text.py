@@ -645,7 +645,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     payloads = d.select(F.col("doc_id").cast("long").alias("doc_id"),
                         F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return extract_image_meta(payloads)
+    # kernel pinned to the deterministic fake: the oracle reproduces
+    # its arithmetic, and payloads here are text bytes, not images —
+    # on a PIL-equipped deployment 'auto' would decode for real and
+    # (correctly) diverge from this oracle
+    return extract_image_meta(payloads, kernel="fake")
 
 
 @register(

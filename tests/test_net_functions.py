@@ -236,12 +236,16 @@ def test_multimodal_resize_and_features(spark):
     docs = spark.createDataFrame(
         [(1, b"x" * 500), (2, b"hello world" * 40), (3, b"\x00\x01\x02" * 100)],
         "doc_id long, payload binary")
-    rs = {r.doc_id: r for r in resize_images(docs, 224, 224).collect()}
+    # kernel pinned: this test asserts the FAKE kernel's contract (on
+    # a PIL deployment 'auto' resolves to the real decoder instead)
+    rs = {r.doc_id: r
+          for r in resize_images(docs, 224, 224, kernel="fake").collect()}
     assert set(rs) == {1, 2, 3}
     assert all(r.width == 224 and r.height == 224 for r in rs.values())
     assert all(0 < len(r.payload) <= 500 for r in rs.values())
     # determinism
-    rs2 = {r.doc_id: r for r in resize_images(docs, 224, 224).collect()}
+    rs2 = {r.doc_id: r
+           for r in resize_images(docs, 224, 224, kernel="fake").collect()}
     assert all(bytes(rs[k].payload) == bytes(rs2[k].payload) for k in rs)
 
     fe = {r.doc_id: r.embedding for r in extract_image_features(docs, dim=16).collect()}
@@ -249,6 +253,70 @@ def test_multimodal_resize_and_features(spark):
     assert all(abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9 for v in fe.values())
     fe2 = {r.doc_id: r.embedding for r in extract_image_features(docs, dim=16).collect()}
     assert fe == fe2  # seeded kernel: bit-for-bit deterministic
+
+
+def test_multimodal_kernel_selection(spark):
+    """Without Pillow, 'auto' resolves to the fake kernel, 'pil' is an
+    explicit ImportError, and pixel decode stays NotImplemented; with
+    Pillow the real path is covered by the skipif tests below."""
+    import pytest
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    assert mm.decode_image_meta(b"abc", kernel="fake")["format"] == "png"
+    with pytest.raises(ValueError, match="unknown kernel"):
+        mm.decode_image_meta(b"abc", kernel="nope")
+    if not mm.HAS_PIL:
+        assert mm.decode_image_meta(b"abc") == \
+            mm.decode_image_meta(b"abc", kernel="fake")
+        with pytest.raises(ImportError, match="pil"):
+            mm.extract_image_meta(
+                spark.createDataFrame([(1, b"x")],
+                                      "doc_id long, payload binary"),
+                kernel="pil")
+        with pytest.raises(NotImplementedError):
+            mm.decode_image_pixels(b"x")
+
+
+def _png_bytes(w: int, h: int, color) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (w, h), color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_multimodal_pil_real_decode(spark):
+    """Real-kernel path (runs only where Pillow is installed): meta
+    reads true dimensions, resize re-encodes at target size,
+    undecodable payloads yield typed nulls not crashes."""
+    import pytest
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    if not mm.HAS_PIL:
+        pytest.skip("Pillow not installed in this environment")
+
+    docs = spark.createDataFrame(
+        [(1, _png_bytes(30, 20, "red")), (2, _png_bytes(64, 64, "blue")),
+         (3, b"not an image at all")],
+        "doc_id long, payload binary")
+    meta = {r.doc_id: r for r in mm.extract_image_meta(docs).collect()}
+    assert (meta[1].format, meta[1].width, meta[1].height) == ("png", 30, 20)
+    assert (meta[2].width, meta[2].height) == (64, 64)
+    assert meta[3].format is None and meta[3].width == 0
+
+    rs = {r.doc_id: r for r in mm.resize_images(docs, 8, 8).collect()}
+    assert (rs[1].width, rs[1].height) == (8, 8)
+    redecoded = mm.decode_image_meta(bytes(rs[1].payload))
+    assert (redecoded["format"], redecoded["width"], redecoded["height"]) \
+        == ("png", 8, 8)
+    assert (rs[3].width, rs[3].height) == (0, 0)  # passthrough
+
+    px = mm.decode_image_pixels(_png_bytes(4, 3, "green"))
+    assert px.shape == (3, 4, 3)
 
 
 def test_ivf_kmeans_training_recall_and_determinism(spark):
