@@ -32,6 +32,14 @@ def get_spark(app_name: str = _APP, extra_conf: dict | None = None) -> SparkSess
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelism-first coalescing floor: the default 1MB floor
+        # collapses sub-32MB shuffles to a handful of partitions, which
+        # serializes window/join stages on small-to-mid batches (measured:
+        # the two-batch ingest merge ran its window+merge on ONE core for
+        # ~5s at sf0.1). 64KB keeps those stages at full parallelism; at
+        # 100 TB the 64MB advisory target governs, so large shuffles are
+        # unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
@@ -65,7 +73,24 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names or all_names:
-        df = normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        path = f"{sf_dir}/{name}.parquet"
+        df = normalize_ts(spark.read.parquet(path))
+        # The driver fixtures are single-row-group files, so Spark
+        # plans a ONE-task scan regardless of maxPartitionBytes (a
+        # row group is the split atom) and every map-side operator —
+        # shingle/md5 signatures, the v6 parse, embedding math — runs
+        # on one core. A production table at this engine's target
+        # scale has thousands of row groups and parallelizes in the
+        # scan itself; restore that parallelism here with one cheap
+        # round-robin exchange of the raw bytes. Small dims (region,
+        # nation, ...) stay as-is — they broadcast anyway, and an
+        # exchange would only defeat their broadcast-threshold sizing.
+        try:
+            fsize = os.path.getsize(path)
+        except OSError:
+            fsize = 0
+        if fsize > 512 * 1024:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
