@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from .ingest import apply_unicast_prefix
 from .registry import register
 from .schemas import TABLE_SCHEMAS
-from .session import load_tables
+from .session import fan_out, load_tables
 
 # deterministic message synthesis from events (ts made unique by
 # adding event_id µs — dedup-latest tiebreaks must not matter)
@@ -38,7 +38,10 @@ m AS (
 
 
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # parse-heavy pipeline (v6 bounds Arrow UDF + string surgery per
+    # message): restore source parallelism over the single-row-group
+    # fixture, like the Kafka source's N partitions would
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
     return ev.select(
         F.when(F.col("value") < 5, "del").otherwise("add").alias("action"),
         F.concat(F.lit("h"), F.col("user_id").cast("string"), F.lit("-"),

@@ -24,7 +24,7 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .registry import register
-from .session import load_tables
+from .session import fan_out, load_tables
 
 # ---------------------------------------------------------------------------
 # shared corpus augmentation: exact clones (+10000) and near-clones
@@ -133,7 +133,7 @@ SELECT DISTINCT doc_id, fp FROM winnowed
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import winnow_fingerprints
 
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"], spark)
     return winnow_fingerprints(d.select("doc_id", "text"),
                                "doc_id", "text",
                                k=_WINNOW_K, window=_WINNOW_W)
@@ -364,7 +364,7 @@ def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import lang_id
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"], spark)
     return d.select(F.col("doc_id").cast("long").alias("doc_id"),
                     lang_id(F.col("text")).alias("lang_pred"))
 
@@ -429,7 +429,7 @@ _STOP_SQL = "'the','a','an','of','and','or','is','are','to','in'"
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import quality_features
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"], spark)
     feats = quality_features(F.col("text"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -583,7 +583,7 @@ _bucket_sql = " + ".join(
     doc="random-hyperplane sign buckets -> equi-join -> per-bucket top-k",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark)
     return similarity.lsh_topk(e, dims=_DIMS, n_planes=_PLANES, k=5) \
         .select("query_id", "neighbor_id", "cos", "rank")
 
@@ -612,7 +612,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="label-blocked pair scan, cosine >= 0.95 (clones injected)",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark)
     aug = e.unionByName(
         e.filter(F.col("vec_id") % 3 == 0)
          .withColumn("vec_id", F.col("vec_id") + 10000))
@@ -675,7 +675,7 @@ def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="deterministic centroids -> nprobe inverted lists -> per-list kNN",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark)
     return similarity.ivf_topk(e, n_centroids=16, nprobe=3, k=5) \
         .select("query_id", "neighbor_id", "cos", "rank")
 
@@ -718,7 +718,7 @@ def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import fingerprint64, lang_id, quality_features
 
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"], spark)
     feats = quality_features(F.col("text"))
     scored = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
