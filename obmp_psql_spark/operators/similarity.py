@@ -315,3 +315,132 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_topk(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, n_codes: int = 16, k: int = 5,
+    train_iters: int = 2, max_queries: int = 50,
+) -> DataFrame:
+    """Product-quantization ADC search (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public).
+
+    The third canonical ANN scale path next to LSH and IVF, and the
+    one that changes the 100 TB storage story: each unit-normalized
+    vector is split into ``m`` subvectors, every subvector is
+    replaced by the id of its nearest per-subspace centroid
+    (``n_codes`` per subspace, k-means-trained), so a d-dim float
+    vector compresses to ``m`` small codes (d*4 bytes -> m bytes at
+    n_codes<=256, 32x at d=64/m=8) and the corpus scan reads codes,
+    never raw vectors. Query scoring is ADC (asymmetric distance
+    computation): one lookup-table join + sum per subspace, no
+    per-pair float dot products.
+
+    All-relational implementation:
+    - train: subvector explode -> broadcast-centroid assignment ->
+      per-(subspace, centroid, pos) means; codebook is m*n_codes
+      rows, collected driver-side per Lloyd round (same bounded-
+      collect shape as ivf_topk's _kmeans_refine).
+    - encode: top-1 assignment -> (id, subspace, code); persisted —
+      at production scale this IS the stored index artifact.
+    - search: LUT = query-subvector x codebook partial dots
+      (q*m*n_codes rows, broadcast); exploded codes equi-join the
+      LUT on (subspace, code) and sum partials per (query, item) —
+      one shuffle, map-side combinable.
+
+    ``max_queries`` bounds the probe set (lowest ids, like
+    cosine_topk_arrow): the scan side stays the full corpus. Output:
+    (query_id, neighbor_id, adc, rank) — ``adc`` approximates the
+    cosine of unit-normalized vectors; a unit test pins recall@k
+    against exact cosine_topk.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__raw"),
+    )
+    dims = base.select(F.size("__raw").alias("s")).head()["s"]
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sd = dims // m
+    # unit-normalize so sum-of-subspace dots == cosine (zero-norm
+    # vectors stay all-zero rather than tripping ANSI divide-by-zero).
+    # NB: the transform lambda must stay single-argument — pyspark
+    # treats a two-arg lambda as (element, index)
+    norm = l2norm(F.col("__raw"))
+    unit = base.select(
+        "__id",
+        F.transform("__raw",
+                    lambda x: F.when(norm > 0, x / norm)
+                               .otherwise(F.lit(0.0))).alias("__v"))
+    sub = unit.select(
+        "__id",
+        F.posexplode(F.array(*[
+            F.slice("__v", i * sd + 1, sd) for i in range(m)
+        ])).alias("__sub", "__sv"))
+    sub = owned_persist(sub)
+
+    # deterministic seed: subvectors of the n_codes lowest-id vectors
+    seed_ids = sorted(r["__id"] for r in
+                      unit.select("__id").orderBy("__id").limit(n_codes).collect())
+    # literal id->rank map keeps the seeding JVM-side (no Python UDF)
+    rank_map = F.create_map(*[F.lit(x) for i, v in enumerate(seed_ids)
+                              for x in (v, i)])
+    cents = (sub.filter(F.col("__id").isin(seed_ids))
+             .select("__sub",
+                     rank_map[F.col("__id")].cast("int").alias("__cid"),
+                     F.col("__sv").alias("__cv")))
+    # the seed is m*n_codes rows; pin it driver-side like the Lloyd
+    # rounds do so the isin+udf scan doesn't re-run per use
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    def assign(c):
+        """nearest centroid per (vector, subspace) under L2."""
+        d2 = F.aggregate(F.zip_with(F.col("__sv"), F.col("__cv"),
+                                    lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        scored = (sub.join(F.broadcast(c), "__sub")
+                  .select("__id", "__sub", "__sv", "__cid", d2.alias("__d2")))
+        w = W.partitionBy("__id", "__sub").orderBy(F.col("__d2").asc(),
+                                                   F.col("__cid").asc())
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("__id", "__sub", "__sv", "__cid"))
+
+    for _ in range(train_iters):
+        means = (
+            assign(cents)
+            .select("__sub", "__cid", F.posexplode("__sv").alias("__pos", "__val"))
+            .groupBy("__sub", "__cid", "__pos").agg(F.avg("__val").alias("__mv"))
+            .groupBy("__sub", "__cid")
+            .agg(F.sort_array(F.collect_list(F.struct("__pos", "__mv"))).alias("__s"))
+            .select("__sub", "__cid",
+                    F.transform("__s", lambda x: x["__mv"]).alias("__cv"))
+        )
+        cents = spark.createDataFrame(means.collect(), means.schema)
+
+    # encode the corpus: (id, subspace, code) — the stored index
+    codes = owned_persist(assign(cents).select("__id", "__sub", "__cid"))
+
+    # probe set: LUT of partial dots per (query, subspace, centroid)
+    probes = (sub.join(F.broadcast(
+        unit.select("__id").orderBy("__id").limit(max_queries)
+            .withColumnRenamed("__id", "__qid")),
+        F.col("__id") == F.col("__qid"))
+        .select(F.col("__qid").alias("query_id"), "__sub",
+                F.col("__sv").alias("__qv")))
+    lut = F.broadcast(
+        probes.join(F.broadcast(cents), "__sub")
+        .select("query_id", "__sub", "__cid",
+                dot(F.col("__qv"), F.col("__cv")).alias("__p")))
+
+    scored = (
+        codes.join(lut, ["__sub", "__cid"])
+        .groupBy("query_id", F.col("__id").alias("neighbor_id"))
+        .agg(F.sum("__p").alias("adc"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").desc(),
+                                          F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+                 .filter(F.col("rank") <= k)

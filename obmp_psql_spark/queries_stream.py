@@ -240,3 +240,63 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qu.awaitTermination()
     return (spark.table(name).select("nation", "n_events")
             .join(spark.table(uname), "nation"))
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM ev WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+    """,
+    survey_ref="T9 extension: stream-stream interval join with event-time "
+               "bounds + symmetric state (the streaming form of J4's "
+               "history correlation; Spark-native, no reference analog "
+               "because the reference cannot join two live topics)",
+    doc="REAL stream-stream inner join (clicks x purchases per user "
+        "within 10 min) on the streaming engine, append mode, both "
+        "sides watermarked; vs the batch interval-join oracle",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two live streams joined on (key, time-range). Scale design:
+    the event-time bound + watermarks let the symmetric-hash-join
+    state store evict rows older than (watermark - 10 min) on both
+    sides, so state is O(window x rate), not O(stream). An inner
+    join emits each match exactly once regardless of watermark lag,
+    which is why the availableNow run equals the batch oracle."""
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        s = (spark.readStream.schema(batch_schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        return normalize_ts(s)
+
+    clicks = (src().filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "1 hour"))
+    purchases = (src().filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "1 hour"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

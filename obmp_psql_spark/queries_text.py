@@ -681,6 +681,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_pq",
+    oracle=None,  # quantized by design; recall + numpy-reference parity
+                  # are asserted in tests (rows-only driver check)
+    survey_ref="training-data similarity search: product-quantization ADC "
+               "(the compressed-index scale path; Jegou et al. 2011)",
+    doc="per-subspace k-means codebooks -> m-byte codes -> LUT-join ADC "
+        "scan; corpus scanned as codes, never raw vectors",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark)
+    return similarity.pq_topk(e, m=8, n_codes=16, k=5, train_iters=2,
+                              max_queries=50) \
+        .select("query_id", "neighbor_id",
+                F.round("adc", 6).alias("adc"), "rank")
+
+
+@register(
     "q_multimodal_retrieval",
     oracle=None,  # feature kernel is a seeded-noise fake + float
                   # cosine: rows-only driver check; determinism and
@@ -899,4 +916,60 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_bg") > 0,
                F.col("top_c").cast("double") / F.col("n_bg"))
          .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "q_doc_percentiles",
+    oracle=r"""
+    SELECT source,
+      ROUND(quantile_cont(length(text), 0.5), 4) AS len_p50,
+      ROUND(quantile_cont(length(text), 0.9), 4) AS len_p90,
+      ROUND(quantile_cont(length(text), 0.99), 4) AS len_p99,
+      ROUND(quantile_cont(len(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')), 0.5), 4) AS tok_p50,
+      CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    survey_ref="corpus distribution stats (training-data pipeline; the "
+               "percentile family the reference lacks entirely — its only "
+               "aggregates are count/sum/min/max, 2_aggregations.sql)",
+    doc="exact interpolated percentiles of doc length / token count per "
+        "source vs DuckDB quantile_cont; the approx_percentile scale "
+        "path is pinned to the exact result by a unit test",
+)
+def q_doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length/token distribution per source.
+
+    Exact ``percentile`` sorts each group's values (OK for bounded
+    group counts: one sort per (source) group, all JVM-side). The
+    100 TB path is ``approx_percentile`` (Greenwald-Khanna sketch):
+    single scan, mergeable partials, map-side combine, bounded error
+    — ``doc_percentiles_approx`` below; a unit test pins its error
+    against the exact result."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.size(F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "))
+    rows = d.select("source", F.length("text").alias("doc_len"),
+                    toks.alias("n_tokens"))
+    p = F.expr("percentile(doc_len, array(0.5, 0.9, 0.99))")
+    return (rows.groupBy("source").agg(
+        F.round(p[0], 4).alias("len_p50"),
+        F.round(p[1], 4).alias("len_p90"),
+        F.round(p[2], 4).alias("len_p99"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("tok_p50"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ))
+
+
+def doc_percentiles_approx(spark: SparkSession, sf_dir: str,
+                           accuracy: int = 10000) -> DataFrame:
+    """approx_percentile twin of q_doc_percentiles — the sketch-based
+    single-pass form that scales to unbounded groups; used by the
+    error-bound unit test."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rows = d.select("source", F.length("text").alias("doc_len"))
+    a = F.expr(f"approx_percentile(doc_len, array(0.5, 0.9, 0.99), {accuracy})")
+    return rows.groupBy("source").agg(
+        a[0].cast("double").alias("len_p50"),
+        a[1].cast("double").alias("len_p90"),
+        a[2].cast("double").alias("len_p99"),
     )

@@ -51,6 +51,10 @@ def register(name: str, oracle: str | None, survey_ref: str = "", doc: str = "")
 # gates (two+ rounds of hash-green history) are the ones rotated past the
 # cap.
 _PRIORITY: tuple[str, ...] = (
+    # new in round 5 — no driver row yet
+    "q_stream_stream_join",
+    "q_doc_percentiles",
+    "q_ann_pq",
     # never driver-checked through round 4
     "q_embed_neardup",
     "q_multimodal_meta",
@@ -82,6 +86,9 @@ _PRIORITY: tuple[str, ...] = (
 # consolidation, 1-min rollup, CDC changelog, exact dedup, winnowing)
 # stay in the sample because they gate the widest operator surface.
 _DEMOTE: tuple[str, ...] = (
+    "q_bmp_stat_reports",
+    "q_bmp_view_routes",
+    "q_peer_rib_counts",
     "q_rib_summary",
     "q_filter_case_projection",
     "q_dedup_latest",

@@ -20,6 +20,7 @@ from obmp_psql_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from obmp_psql_spark.operators.similarity import (
+    pq_topk,
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
@@ -56,8 +57,10 @@ def _vecs(spark):
                        train_iters=1),
     lambda s: embedding_neardup_pairs(_vecs(s), threshold=0.5,
                                       allow_full_cross=True),
+    lambda s: pq_topk(_vecs(s), m=4, n_codes=4, k=3, train_iters=1,
+                      max_queries=10),
 ], ids=["minhash", "ngram", "ngram_capped", "simhash_pairs",
-        "lsh", "ivf_trained", "embed_neardup"])
+        "lsh", "ivf_trained", "embed_neardup", "pq"])
 def test_operator_artifacts_released(spark, build):
     cache.release_build_artifacts()  # clean slate from other tests
     before = _cached_rdd_count(spark)

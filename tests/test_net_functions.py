@@ -337,3 +337,79 @@ def test_ivf_kmeans_training_recall_and_determinism(spark):
              for r in similarity.ivf_topk(
                  e, n_centroids=16, nprobe=3, k=5, train_iters=2).collect()}
     assert trained == again
+
+
+def test_pq_recall_and_numpy_parity(spark):
+    """PQ ADC must (a) recover a reasonable share of exact top-5 and
+    (b) match an independent numpy implementation of the same
+    algorithm (same seeding, same Lloyd rounds) on recall — the
+    differential check that the relational form IS product
+    quantization, not merely 'an approximation'."""
+    import numpy as np
+
+    from obmp_psql_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = e.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array([np.array(v, dtype=float) for v in pdf.embedding])
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = pdf.vec_id.values
+    n_q = 20
+    m, ks, sd = 8, 16, U.shape[1] // 8
+
+    pq = similarity.pq_topk(e, m=m, n_codes=ks, k=5, train_iters=2,
+                            max_queries=n_q)
+    got = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(
+        e.orderBy("vec_id").limit(n_q), e, k=5).collect()}
+    recall = len(exact & got) / len(exact)
+
+    # numpy reference: identical seeding (subvectors of the ks
+    # lowest-id vectors), 2 Lloyd rounds, ADC scoring
+    codes = np.zeros((len(U), m), dtype=int)
+    adc = np.zeros((n_q, len(U)))
+    for s in range(m):
+        X = U[:, s * sd:(s + 1) * sd]
+        C = X[:ks].copy()
+        for _ in range(2):
+            a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(ks):
+                if (a == c).any():
+                    C[c] = X[a == c].mean(0)
+        a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        codes[:, s] = a
+        adc += X[:n_q] @ C[a].T
+    true = U[:n_q] @ U.T
+    np_hits = 0
+    for qi in range(n_q):
+        t = np.argsort(-true[qi]); t = [j for j in t if j != qi][:5]
+        g = np.argsort(-adc[qi]); g = [j for j in g if j != qi][:5]
+        np_hits += len(set(t) & set(g))
+    np_recall = np_hits / (5 * n_q)
+
+    assert recall > 0.1, recall
+    # same algorithm -> same ballpark; allow float-tie divergence
+    assert abs(recall - np_recall) < 0.15, (recall, np_recall)
+    # every probed query answered with a full top-k
+    assert len({q for q, _ in got}) == n_q
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The approx_percentile scale path (GK sketch, single pass,
+    mergeable partials) must stay within the sketch's rank-error
+    bound of the exact interpolated percentile that the driver gate
+    hash-checks (q_doc_percentiles)."""
+    from obmp_psql_spark.queries_text import (doc_percentiles_approx,
+                                              q_doc_percentiles)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.source: (r.len_p50, r.len_p90, r.len_p99)
+             for r in q_doc_percentiles(spark, sf).collect()}
+    approx = {r.source: (r.len_p50, r.len_p90, r.len_p99)
+              for r in doc_percentiles_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for src, ex in exact.items():
+        for e_v, a_v in zip(ex, approx[src]):
+            # small groups + accuracy=10000 -> the sketch is near-exact;
+            # allow interpolation-vs-rank-statistic slack of one value gap
+            assert abs(e_v - a_v) <= max(30.0, 0.1 * e_v), (src, ex, approx[src])
