@@ -300,3 +300,61 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_session_window",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+    flags AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+    survey_ref="T9: session windows on the streaming engine (the "
+               "streaming twin of q_sessionize's batch gaps-and-islands; "
+               "state merges adjacent sessions as events arrive)",
+    doc="REAL streaming session_window (30-min gap) in append mode; the "
+        "oracle reproduces the exact finalization cut (session_end = "
+        "last_ts + gap <= max_ts - watermark delay); unfinalized tail "
+        "sessions stay in state",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session state: unlike tumbling windows, session
+    ranges GROW and MERGE as events arrive, so the state store keys
+    are (user, open-session) and the engine merges overlapping
+    candidates per batch — semantics no batch window can emulate
+    incrementally without rescanning the key's history."""
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ev = normalize_ts(src)
+    agg = (ev.withWatermark("ts", "10 minutes")
+           .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select(F.col("session_window.start").alias("session_start"),
+                   F.col("session_window.end").alias("session_end"),
+                   "user_id", "n_events"))
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

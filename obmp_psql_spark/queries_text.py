@@ -973,3 +973,62 @@ def doc_percentiles_approx(spark: SparkSession, sf_dir: str,
         a[1].cast("double").alias("len_p90"),
         a[2].cast("double").alias("len_p99"),
     )
+
+
+@register(
+    "q_doc_tfidf",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             ROUND(tf.tf * ln((CAST((SELECT n FROM nd) AS DOUBLE) + 1.0)
+                              / (dfq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfq USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    survey_ref="training-data text analysis: TF-IDF term weighting + "
+               "per-doc top-k salient terms (corpus-statistics layer "
+               "above token counting)",
+    doc="explode -> (doc, term) tf -> term df -> smoothed tf-idf -> "
+        "top-3 terms per doc; all JVM-side, two keyed shuffles",
+)
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF at corpus scale: one explode pass, tf via (doc, term)
+    hash agg (map-side combinable), df via a second agg over the tf
+    table (already one row per (doc, term) — no double counting),
+    corpus size joined in as a broadcast scalar so the plan stays
+    lazy/one-pass. The per-doc top-k window bounds the output."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    tok = (d.select("doc_id", F.explode(toks).alias("term"))
+           .filter(F.length("term") > 0))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.broadcast(d.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    scored = (tf.join(df_, "term").crossJoin(nd)
+              .select("doc_id", "term", "tf", "df",
+                      F.round(F.col("tf") * F.log((F.col("__n") + 1.0)
+                                                  / (F.col("df") + 1.0)), 6)
+                       .alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                        F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "tfidf", "rank"))

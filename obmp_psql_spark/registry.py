@@ -45,15 +45,17 @@ def register(name: str, oracle: str | None, survey_ref: str = "", doc: str = "")
 
 
 # Explicit presentation order. The correctness driver samples a prefix of
-# the registry (50 of 68 as of round 4), so queries that have never had a
+# the registry (50 of 73 as of round 5), so queries that have never had a
 # driver row must come first. Queries listed here lead, in this order; any
-# registered name not listed follows in registration order. Long-green BMP
+# registered name not listed follows in registration order. Long-green
 # gates (two+ rounds of hash-green history) are the ones rotated past the
 # cap.
 _PRIORITY: tuple[str, ...] = (
     # new in round 5 — no driver row yet
     "q_stream_stream_join",
+    "q_stream_session_window",
     "q_doc_percentiles",
+    "q_doc_tfidf",
     "q_ann_pq",
     # never driver-checked through round 4
     "q_embed_neardup",
@@ -79,16 +81,19 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Rotated past the driver's 50-query sampling cap this round. Every name
-# here is triple-green (hash-identical to the DuckDB oracle in rounds 2,
-# 3, and 4), so skipping a round costs nothing; demoting exactly 18 makes
-# room for the 18 queries above that lack recent driver rows. The
-# triple-green queries NOT listed here (LPM, RPKI containment, retention,
-# consolidation, 1-min rollup, CDC changelog, exact dedup, winnowing)
-# stay in the sample because they gate the widest operator surface.
+# here is multi-round green (hash-identical to the DuckDB oracle in at
+# least rounds 2-4), so skipping a round costs nothing; demoting exactly
+# 23 makes room for the 23 in-sample queries that are new or lack recent
+# driver rows. The green queries NOT listed here (LPM, RPKI containment,
+# retention, consolidation, 1-min rollup, exact dedup, winnowing, the
+# ingest/txn/l3vpn/ls pipelines) stay in the sample because they gate the
+# widest operator surface.
 _DEMOTE: tuple[str, ...] = (
     "q_bmp_stat_reports",
     "q_bmp_view_routes",
     "q_peer_rib_counts",
+    "q_bmp_cdc_log",
+    "q_bmp_peer_state",
     "q_rib_summary",
     "q_filter_case_projection",
     "q_dedup_latest",
