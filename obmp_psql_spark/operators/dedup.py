@@ -88,6 +88,89 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.array(*[family_min(i) for i in range(num_hashes)])
 
 
+def minhash_bands(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) LSH band table for a document set — the
+    sharable MinHash index artifact: ``minhash_lsh_pairs`` self-joins
+    it, ``incremental_minhash_pairs`` maintains it as a store table
+    across streaming micro-batches. One explode + one groupBy per
+    call; every hash is computed JVM-side inside codegen."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    sig = sh.groupBy("__id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ])
+    return sig.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *[
+                        F.col(f"__h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_pairs(
+    store, new_docs: DataFrame, id_col: str, text_col: str, *,
+    batch_id: int, bands_table: str = "doc_bands",
+    pairs_table: str = "doc_pairs",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> None:
+    """Streaming near-duplicate detection: maintain the MinHash band
+    index incrementally as documents arrive.
+
+    Per micro-batch: band the NEW docs only (the expensive shingle +
+    signature work is O(batch), never O(corpus)), equi-join them
+    against the persisted index UNION themselves for candidate pairs,
+    then atomically append both the new bands and the new pairs in
+    one store transaction keyed by ``batch_id`` — a replayed batch is
+    skipped entirely (exactly-once, same guard as the BMP sink).
+
+    Correctness: every candidate pair involves at least one new doc
+    (old-old pairs were emitted when their younger member arrived),
+    so appending new-vs-(old ∪ new) pairs each batch yields exactly
+    the batch-built pair set, with no cross-batch dedup needed beyond
+    the within-batch least/greatest normalization.
+
+    Scale: the index table is append-only parquet keyed by
+    (band, bucket); the join is a hash equi-join with AQE skew
+    handling; nothing rescans old documents, only their (small) band
+    rows. This is the streaming form of ``minhash_lsh_pairs``.
+    """
+    if store.last_txn_version("minhash_index") >= batch_id:
+        return  # replayed batch: skip before doing the banding work
+    nb = minhash_bands(new_docs, id_col, text_col, num_hashes=num_hashes,
+                       bands=bands, shingle_n=shingle_n).localCheckpoint()
+    old = store.read(bands_table, nb.schema)
+    full = old.unionByName(nb)
+    a = nb.alias("a")
+    b = full.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.__id") != F.col("b.__id")))
+        .select(F.least("a.__id", "b.__id").alias("id_a"),
+                F.greatest("a.__id", "b.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+    with store.transaction("minhash_index", batch_id) as txn:
+        txn.append(bands_table, nb)
+        txn.append(pairs_table, pairs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -115,30 +198,8 @@ def minhash_lsh_pairs(
     skew (a viral duplicate cluster) is handled by AQE skew-join.
     Returns columns (id_a, id_b).
     """
-    rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingle(F.col(text_col), shingle_n)).alias("__s"),
-    )
-    sig = sh.groupBy("__id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ])
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *[
-                        F.col(f"__h{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ])).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
+    banded = minhash_bands(df, id_col, text_col, num_hashes=num_hashes,
+                           bands=bands, shingle_n=shingle_n)
     # the band table feeds both sides of the self-join; materialize it
     # once or the full explode + 16-way min-md5 signature aggregation
     # runs twice (at scale the signature table is a build-once artifact;

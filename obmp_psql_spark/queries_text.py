@@ -1032,3 +1032,37 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").cast("long").alias("doc_id"), "term",
                     F.col("tf").cast("long").alias("tf"),
                     F.col("df").cast("long").alias("df"), "tfidf", "rank"))
+
+
+@register(
+    "q_stream_doc_dedup",
+    oracle=_MINHASH_ORACLE,
+    survey_ref="training-data dedup x streaming: incremental MinHash index "
+               "maintenance through the transactional store (the streaming "
+               "form of q_minhash_lsh; exactly-once via batch txn actions)",
+    doc="documents arrive in two micro-batches; each batch bands only its "
+        "own docs, joins them against the persisted index, and commits "
+        "bands+pairs atomically (a replayed batch is a no-op); the "
+        "accumulated pair set must equal the batch-built oracle",
+)
+def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_minhash_pairs
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mhidx_"))
+        c = (_corpus(spark, sf_dir)
+             .withColumn("text", F.lower(F.col("text"))))
+        b1 = c.filter(F.col("doc_id") % 2 == 0)
+        b2 = c.filter(F.col("doc_id") % 2 == 1)
+        kw = dict(num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N)
+        incremental_minhash_pairs(store, b1, "doc_id", "text", batch_id=0, **kw)
+        incremental_minhash_pairs(store, b2, "doc_id", "text", batch_id=1, **kw)
+        incremental_minhash_pairs(store, b1, "doc_id", "text", batch_id=0, **kw)  # replay: no-op
+        return (store.read("doc_pairs"),)
+    (pairs,) = _cached_pipeline("mhidx", spark, sf_dir, build)
+    return pairs.select("id_a", "id_b")
