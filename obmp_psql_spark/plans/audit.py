@@ -29,6 +29,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row aggregate (high-watermark) broadcast for the relative
     # retention window — the scalar-subquery pattern
     "q_retention_purge": "broadcast 1-row watermark aggregate",
+    # 1-row corpus-size aggregate broadcast into the idf expression —
+    # the same scalar-subquery pattern
+    "q_doc_tfidf": "broadcast 1-row corpus-count aggregate (idf)",
 }
 
 
