@@ -395,17 +395,24 @@ def pq_topk(
     cents = spark.createDataFrame(cents.collect(), cents.schema)
 
     def assign(c):
-        """nearest centroid per (vector, subspace) under L2."""
+        """nearest centroid per (vector, subspace) under L2.
+
+        ``min_by`` aggregation instead of a window: scalar agg buffer
+        (double, int) stays on the fast HashAggregate path with
+        map-side partial min — no sort, one shuffle. Ties between
+        identical (duplicate-seed) centroids pick arbitrarily, which
+        cannot change ADC scores (equal centroids => equal LUT rows).
+        The subvector is re-attached by (struct) min_by alongside the
+        cid so no second join is needed."""
         d2 = F.aggregate(F.zip_with(F.col("__sv"), F.col("__cv"),
                                     lambda x, y: (x - y) * (x - y)),
                          F.lit(0.0), lambda acc, x: acc + x)
         scored = (sub.join(F.broadcast(c), "__sub")
                   .select("__id", "__sub", "__sv", "__cid", d2.alias("__d2")))
-        w = W.partitionBy("__id", "__sub").orderBy(F.col("__d2").asc(),
-                                                   F.col("__cid").asc())
-        return (scored.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") == 1)
-                .select("__id", "__sub", "__sv", "__cid"))
+        picked = scored.groupBy("__id", "__sub").agg(
+            F.min_by("__cid", F.col("__d2")).alias("__cid"),
+            F.first("__sv").alias("__sv"))
+        return picked.select("__id", "__sub", "__sv", "__cid")
 
     for _ in range(train_iters):
         means = (
