@@ -358,3 +358,76 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM ev WHERE event_type = 'purchase'),
+    -- the engine's global watermark is the MIN over both input
+    -- streams' per-stream watermarks (each max event time - delay)
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 10 MINUTE AS w),
+    m AS (
+      SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+    )
+    SELECT * FROM m
+    UNION ALL
+    SELECT c.click_id, NULL, c.user_id, c.click_ts, NULL
+    FROM c
+    WHERE c.click_id NOT IN (SELECT click_id FROM m)
+      AND c.click_ts + INTERVAL 10 MINUTE <= (SELECT w FROM wm)
+    """,
+    survey_ref="T7/T9 extension: LEFT OUTER stream-stream join — "
+               "null-extension is a watermark-gated side effect of state "
+               "eviction, the hardest streaming-join semantics to get right",
+    doc="left-outer clicks x purchases within 10 min on the streaming "
+        "engine; the oracle reproduces the exact null-emission cut "
+        "(unmatched left rows emit null-extended only once their join "
+        "window is fully below the watermark; later rows stay in state)",
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike the inner join (match-driven emission), the left join
+    must PROVE a left row can never match before emitting it
+    null-extended — that proof is the watermark passing the row's
+    join-window end, so the engine emits it on state eviction. The
+    oracle's finalization cut (click_ts + 10 min <= max_ts - delay)
+    is exactly that eviction condition."""
+    name = f"stream_sslj_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        s = (spark.readStream.schema(batch_schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        return normalize_ts(s)
+
+    clicks = (src().filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "10 minutes"))
+    purchases = (src().filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "10 minutes"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
