@@ -1066,3 +1066,86 @@ def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (store.read("doc_pairs"),)
     (pairs,) = _cached_pipeline("mhidx", spark, sf_dir, build)
     return pairs.select("id_a", "id_b")
+
+
+@register(
+    "q_doc_pack",
+    oracle=r"""
+    WITH rows_ AS (
+      SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens, tok_offset,
+           CAST(FLOOR(tok_offset / 512) AS BIGINT) AS seq_id,
+           CAST(FLOOR((tok_offset + n_tokens - 1) / 512) AS BIGINT) AS seq_id_end
+    FROM (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM rows_)
+    """,
+    survey_ref="training-data pipeline: sequence packing (concat-and-chunk "
+               "token layout — each doc's byte span in the packed training "
+               "sequences, GPT-style document concatenation)",
+    doc="per-source token-offset cumsum -> 512-token sequence ids "
+        "(seq_id..seq_id_end span per doc); deterministic layout plan "
+        "for a packed-pretraining writer",
+)
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing layout for pretraining: concatenate documents in
+    deterministic (source, doc_id) order and chunk every 512 tokens;
+    emit each doc's offset and the sequence ids it spans. The cumsum
+    window partitions by SOURCE (the shard key), so parallelism is
+    per-shard — the scale-correct form; a single global ordering
+    would serialize the window on one partition. A writer task can
+    then build sequence s of shard k from exactly the docs with
+    seq_id <= s <= seq_id_end, no coordination needed."""
+    from pyspark.sql.window import Window as W
+
+    budget = 512
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.size(F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "))
+    rows = d.select("source", F.col("doc_id").cast("long").alias("doc_id"),
+                    toks.cast("long").alias("n_tokens"))
+    w = (W.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    return (rows
+            .withColumn("tok_offset",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .select("source", "doc_id", "n_tokens", "tok_offset",
+                    (F.col("tok_offset") / budget).cast("long").alias("seq_id"),
+                    ((F.col("tok_offset") + F.col("n_tokens") - 1) / budget)
+                    .cast("long").alias("seq_id_end")))
+
+
+@register(
+    "q_events_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(user_id % 10) AS BIGINT) AS g_bucket
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id % 10)
+    """,
+    survey_ref="multi-level aggregation (ROLLUP grouping sets + GROUPING "
+               "markers — the subtotal family; single-pass expand+agg plan)",
+    doc="rollup over (event_type, user bucket) with grouping() markers vs "
+        "DuckDB ROLLUP; one shuffle, Expand feeds partial aggregation",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = ev.select("event_type",
+                   (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+                   "value")
+    return (ev.rollup("event_type", "user_bucket")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+                  .cast("double").alias("sum_value"),
+                 F.grouping("event_type").cast("long").alias("g_type"),
+                 F.grouping("user_bucket").cast("long").alias("g_bucket"))
+            .select("event_type", "user_bucket", "n_events", "sum_value",
+                    "g_type", "g_bucket"))
