@@ -463,3 +463,77 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_stream_full_join",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+          FROM ev WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 10 MINUTE AS w),
+    m AS (
+      SELECT c.click_id, p.purchase_id, c.user_id AS any_user_id,
+             c.click_ts, p.purchase_ts
+      FROM c JOIN p ON c.user_id = p.p_user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+    )
+    SELECT * FROM m
+    UNION ALL
+    SELECT c.click_id, NULL, c.user_id, c.click_ts, NULL
+    FROM c
+    WHERE c.click_id NOT IN (SELECT click_id FROM m)
+      AND c.click_ts + INTERVAL 10 MINUTE <= (SELECT w FROM wm)
+    UNION ALL
+    SELECT NULL, p.purchase_id, p.p_user_id, NULL, p.purchase_ts
+    FROM p
+    WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+      AND p.purchase_ts <= (SELECT w FROM wm)
+    """,
+    survey_ref="T7/T9 extension: FULL OUTER stream-stream join — "
+               "both sides null-extend on their own state-eviction cuts",
+    doc="full-outer clicks x purchases within 10 min; the oracle "
+        "reproduces BOTH null-emission cuts: unmatched clicks once "
+        "click_ts + 10 min clears the watermark, unmatched purchases "
+        "once purchase_ts itself does (their candidate window is "
+        "[purchase_ts - 10 min, purchase_ts], so eviction is earlier)",
+)
+@_with_stream_partitions
+def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_ssfj_{uuid.uuid4().hex[:8]}"
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        s = (spark.readStream.schema(batch_schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        return normalize_ts(s)
+
+    clicks = (src().filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "10 minutes"))
+    purchases = (src().filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "10 minutes"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select("click_id", "purchase_id",
+             F.coalesce("user_id", "p_user_id").alias("any_user_id"),
+             "click_ts", "purchase_ts")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
