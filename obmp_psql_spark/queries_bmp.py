@@ -79,7 +79,17 @@ def _cached_pipeline(tag: str, spark: SparkSession, sf_dir: str, build):
             return dfs
         except Exception:
             _PIPELINE_CACHE.pop(key, None)
-    dfs = tuple(df.localCheckpoint() for df in build())
+    # gate pipelines shuffle <=100k-row micro-batches; 8 post-shuffle
+    # partitions beat 32 by a consistent ~10% (fewer task launches and
+    # state/checkpoint files; AQE still coalesces below this). A
+    # production deployment sizes shuffle partitions to batch volume —
+    # same knob, other direction.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        dfs = tuple(df.localCheckpoint() for df in build())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _PIPELINE_CACHE[key] = dfs
     return dfs
 
