@@ -737,3 +737,36 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
         )
     )
+
+
+@register(
+    "q_rolling_window",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_10min,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE) AS sum_10min
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="W-family completion: time-RANGE window frames (rolling "
+               "per-key aggregates over an event-time interval — the "
+               "sliding analog of A1's fixed buckets)",
+    doc="per-user rolling 10-minute count/sum via rangeBetween on "
+        "event-time micros; one shuffle on the partition key",
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames need a numeric ordering in Spark — order by
+    unix_micros(ts) with a -600s*1e6 lower bound, which is exactly
+    DuckDB's INTERVAL frame on the timestamp. Scale: one hash
+    shuffle on user_id; the frame scan is a per-partition
+    two-pointer sweep, no self-join."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+        F.round(F.sum(F.col("value").cast("decimal(38,10)")).over(w), 4)
+         .cast("double").alias("sum_10min"))
