@@ -770,3 +770,75 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_10min"),
         F.round(F.sum(F.col("value").cast("decimal(38,10)")).over(w), 4)
          .cast("double").alias("sum_10min"))
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events GROUP BY 1
+    """,
+    survey_ref="skew mitigation (SURVEY §4): two-phase salted aggregation — "
+               "a hot key spreads over n_salt reducers in phase 1, "
+               "recombines in phase 2; results identical to a plain groupBy",
+    doc="salted_agg over event_type (5 hot keys, the skew shape a plain "
+        "groupBy would bottleneck on one reducer per key) vs plain SQL "
+        "GROUP BY — proving phase composition is exact",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL accumulation makes the two-phase sum bit-identical to
+    the single-phase oracle (double addition would be order-dependent
+    across salt groups)."""
+    from .operators.skew import salted_agg
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    rows = ev.select("event_type", "user_id",
+                     F.col("value").cast("decimal(38,10)").alias("dval"))
+    out = salted_agg(
+        rows, ["event_type"],
+        {"n_events": ("user_id", "count"),
+         "sum_value": ("dval", "sum"),
+         "min_user": ("user_id", "min"),
+         "max_user": ("user_id", "max")},
+        n_salt=16)
+    return out.select("event_type",
+                      F.col("n_events").cast("long").alias("n_events"),
+                      F.col("sum_value").cast("double").alias("sum_value"),
+                      "min_user", "max_user")
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(avg(value), 6) AS DOUBLE) AS mean_v,
+           CAST(ROUND(stddev_samp(value), 6) AS DOUBLE) AS sd_v,
+           CAST(ROUND(var_samp(value), 6) AS DOUBLE) AS var_v,
+           CAST(ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS DOUBLE) AS cov_vu,
+           CAST(ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS DOUBLE) AS corr_vu,
+           -- DuckDB skewness is the bias-corrected sample G1; Spark's
+           -- is the population g1 = m3/m2^1.5. Convert: g1 = G1 * (n-2)
+           -- / sqrt(n*(n-1)).
+           CAST(ROUND(skewness(value) * (COUNT(value) - 2)
+                      / sqrt(COUNT(value) * (COUNT(value) - 1.0)), 6) AS DOUBLE) AS skew_v
+    FROM events GROUP BY 1
+    """,
+    survey_ref="statistical-moment aggregate family (avg/stddev/var/covar/"
+               "corr/skewness — single-pass mergeable moment sketches)",
+    doc="per-type second/third moments + cross-covariance/correlation vs "
+        "DuckDB; rounded to 6dp to absorb engine-order float noise",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = F.col("user_id").cast("double")
+    return (ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).cast("double").alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).cast("double").alias("sd_v"),
+        F.round(F.var_samp("value"), 6).cast("double").alias("var_v"),
+        F.round(F.covar_samp(F.col("value"), u), 6).cast("double").alias("cov_vu"),
+        F.round(F.corr(F.col("value"), u), 6).cast("double").alias("corr_vu"),
+        F.round(F.skewness("value"), 6).cast("double").alias("skew_v")))

