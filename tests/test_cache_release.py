@@ -108,3 +108,37 @@ def test_scope_is_exception_safe(spark):
                               num_hashes=8, bands=2).count()
             raise RuntimeError("boom")
     assert _cached_rdd_count(spark) == before
+
+
+def test_incremental_minhash_equals_batch_any_split(spark):
+    """Property: for ANY partition of the corpus into ordered batches,
+    the incrementally-maintained pair set equals the batch-built one
+    (every cross-batch pair emitted exactly once, replays no-ops)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from obmp_psql_spark.operators.dedup import (incremental_minhash_pairs,
+                                                 minhash_lsh_pairs)
+    from obmp_psql_spark.state import TxnStateStore
+
+    docs = _docs(spark).withColumn("text", F.lower(F.col("text")))
+    batch_expr = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    expected = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2).collect()}
+    cache.release_build_artifacts()
+
+    store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mh_prop_"))
+    for b in range(3):
+        part = docs.filter(batch_expr == b)
+        incremental_minhash_pairs(store, part, "doc_id", "text",
+                                  batch_id=b, num_hashes=8, bands=2)
+    # replay every batch: all must be no-ops
+    for b in range(3):
+        part = docs.filter(batch_expr == b)
+        incremental_minhash_pairs(store, part, "doc_id", "text",
+                                  batch_id=b, num_hashes=8, bands=2)
+    got = {(r.id_a, r.id_b) for r in store.read("doc_pairs").collect()}
+    assert got == expected
+    # and exactly once: no duplicate physical rows either
+    assert store.read("doc_pairs").count() == len(expected)
