@@ -306,3 +306,50 @@ def test_enrich_irr_broadcast_is_size_gated(spark):
     out = {r.prefix: r.irr_origin_as
            for r in G.enrich_irr(glob, info_route, None).collect()}
     assert out["10.7.0.0"] == 65007
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """100 TB semi-join reduction: a selective filter on the dim side
+    of a shuffle join makes Catalyst inject a bloom filter
+    (``InjectRuntimeFilter``) that prunes the fact scan BEFORE the
+    shuffle — the fact side ships only rows whose key might match,
+    so shuffle volume tracks the dim selectivity, not the fact size.
+
+    In production this fires automatically once the fact side exceeds
+    ``spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold``
+    (default 10GB — i.e. exactly the 100 TB fact tables this engine
+    targets); the test lowers the threshold so the local fixture
+    qualifies, and pins both the plan shape (``might_contain`` over a
+    ``bloom_filter_agg`` subquery on the fact scan) and value parity
+    with the unfiltered join.
+    """
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    spark.range(0, 50_000).selectExpr(
+        "id % 1000 as k", "id as payload").write.parquet(fact_path)
+    spark.range(0, 1000).selectExpr(
+        "id as k", "concat('seg', id % 7) as seg").write.parquet(dim_path)
+
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", "1KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter("seg = 'seg3'")
+        joined = fact.join(dim, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        n = joined.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "10GB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    # parity: bloom pruning is lossless (false positives only re-admit
+    # rows the join itself drops)
+    expect = spark.read.parquet(fact_path).join(
+        spark.read.parquet(dim_path).filter("seg = 'seg3'"), "k").count()
+    assert n == expect and n > 0
