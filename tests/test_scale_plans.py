@@ -353,3 +353,34 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
     expect = spark.read.parquet(fact_path).join(
         spark.read.parquet(dim_path).filter("seg = 'seg3'"), "k").count()
     assert n == expect and n > 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Retention/chunk design counterpart to the bloom-filter gate: when
+    the fact table is disk-partitioned on the join key family (the
+    date/interval partitioning the state store's chunked tables use for
+    metadata-only retention drops), a selective dim filter triggers
+    dynamic partition pruning — the fact scan's PartitionFilters gain a
+    ``dynamicpruningexpression`` and untouched partitions are never
+    listed, let alone read. At 100 TB this is the difference between
+    scanning two days and scanning three years.
+    """
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    spark.range(0, 20_000).selectExpr(
+        "id", "cast(id % 30 as int) as day").write \
+        .partitionBy("day").parquet(fact_dir)
+    spark.createDataFrame(
+        [(i, "hot" if i in (3, 7) else "cold") for i in range(30)],
+        "day int, tag string").write.parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter("tag = 'hot'")
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # 2 of 30 day-partitions qualify: 20000/30 rounds to 667 ids for
+    # day<20 (ids 3,7 mod 30) — pin exact parity with a broadcast-free
+    # recount instead of a magic number
+    expect = fact.filter("day in (3, 7)").count()
+    assert joined.count() == expect and expect > 0
