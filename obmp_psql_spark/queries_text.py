@@ -1149,3 +1149,60 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.grouping("user_bucket").cast("long").alias("g_bucket"))
             .select("event_type", "user_bucket", "n_events", "sum_value",
                     "g_type", "g_bucket"))
+
+
+@register(
+    "q_doc_chunk",
+    oracle=r"""
+    WITH rows_ AS (
+      SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), n AS (
+      SELECT *, CASE WHEN n_tokens <= 128 THEN 1
+                     ELSE CAST(CEIL((n_tokens - 128) / 96.0) AS BIGINT) + 1
+                END AS n_chunks
+      FROM rows_
+    )
+    SELECT source, doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 96 AS BIGINT) AS start_tok,
+           CAST(LEAST(i * 96 + 128, n_tokens) AS BIGINT) AS end_tok,
+           CAST(LEAST(i * 96 + 128, n_tokens) - i * 96 AS BIGINT) AS n_chunk_tokens
+    FROM (SELECT source, doc_id, n_tokens, unnest(range(n_chunks)) AS i FROM n)
+    """,
+    survey_ref="training-data pipeline: context-window chunking (sliding "
+               "token windows with overlap — the long-document split step "
+               "that feeds fixed-context training; dual of q_doc_pack's "
+               "short-document packing)",
+    doc="128-token windows at stride 96 (32-token overlap) per document; "
+        "sequence+posexplode, narrow plan — zero shuffles, scales as a "
+        "pure map over the corpus",
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into fixed
+    128-token windows at stride 96 so every chunk fits a training
+    context and consecutive chunks share a 32-token overlap. The
+    chunk count and spans are derived purely from per-doc token
+    counts — `sequence` + `posexplode` keeps the whole plan narrow
+    (no shuffle, no window), so at 100 TB it is a single map pass
+    whose output is bounded by n_tokens/stride per doc. Reference
+    analog: none (builder-brief pipeline op); packing counterpart is
+    q_doc_pack."""
+    window, stride = 128, 96
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.size(F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "))
+    rows = d.select("source", F.col("doc_id").cast("long").alias("doc_id"),
+                    toks.cast("long").alias("n_tokens"))
+    n_chunks = (F.when(F.col("n_tokens") <= window, F.lit(1).cast("long"))
+                .otherwise(F.ceil((F.col("n_tokens") - window) / F.lit(float(stride)))
+                           .cast("long") + 1))
+    start = F.col("chunk_id") * stride
+    end = F.least(start + window, F.col("n_tokens"))
+    return (rows
+            .withColumn("chunk_id",
+                        F.explode(F.sequence(F.lit(0).cast("long"),
+                                             n_chunks - 1)))
+            .select("source", "doc_id", "chunk_id",
+                    start.alias("start_tok"), end.alias("end_tok"),
+                    (end - start).alias("n_chunk_tokens")))

@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_rolling_window",
     "q_salted_agg",
     "q_stats_moments",
+    "q_doc_chunk",
     # never driver-checked through round 4
     "q_embed_neardup",
     "q_multimodal_meta",
@@ -97,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
 # ingest/txn/l3vpn/ls pipelines) stay in the sample because they gate the
 # widest operator surface.
 _DEMOTE: tuple[str, ...] = (
+    "q_doc_winnow",
     "q_bmp_stat_reports",
     "q_bmp_view_routes",
     "q_peer_rib_counts",

@@ -384,3 +384,46 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # recount instead of a magic number
     expect = fact.filter("day in (3, 7)").count()
     assert joined.count() == expect and expect > 0
+
+
+def test_doc_chunk_multi_window_spans_and_narrow_plan(spark, tmp_path):
+    """The driver fixtures cap documents at ~100 tokens, so the
+    multi-chunk branch of q_doc_chunk never fires there — pin it here
+    with synthetic long docs against an independent Python reference,
+    and pin the scale claim: chunking is a pure map (zero Exchanges).
+    """
+    from obmp_psql_spark.queries_text import q_doc_chunk
+
+    docs = [
+        ("s1", 1, " ".join(f"t{i}" for i in range(128))),   # == window
+        ("s1", 2, " ".join(f"t{i}" for i in range(129))),   # window+1
+        ("s1", 3, " ".join(f"t{i}" for i in range(224))),   # exact 2 strides
+        ("s2", 4, " ".join(f"t{i}" for i in range(500))),   # long tail
+        ("s2", 5, ""),                                      # empty doc
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "source string, doc_id long, text string") \
+        .write.parquet(sf + "/documents.parquet")
+
+    out = q_doc_chunk(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: no shuffle at any scale
+
+    got = {(r.source, r.doc_id, r.chunk_id):
+           (r.start_tok, r.end_tok, r.n_chunk_tokens) for r in out.collect()}
+
+    def ref_chunks(n, window=128, stride=96):
+        n_chunks = 1 if n <= window else -(-(n - window) // stride) + 1
+        return {i: (i * stride, min(i * stride + window, n),
+                    min(i * stride + window, n) - i * stride)
+                for i in range(n_chunks)}
+
+    # tokenizer parity: split on whitespace; empty text -> [''] = 1 token
+    lens = {(s, d): len(t.split()) if t.split() else 1 for s, d, t in docs}
+    expect = {(s, d, i): v for (s, d), n in lens.items()
+              for i, v in ref_chunks(n).items()}
+    assert got == expect
+    # the 500-token doc must produce ceil((500-128)/96)+1 = 5 chunks,
+    # last one short and overlapping its predecessor
+    assert sum(1 for k in got if k[1] == 4) == 5
+    assert got[("s2", 4, 4)] == (384, 500, 116)
