@@ -1206,3 +1206,69 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "doc_id", "chunk_id",
                     start.alias("start_tok"), end.alias("end_tok"),
                     (end - start).alias("n_chunk_tokens")))
+
+
+@register(
+    "q_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, source,
+             t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+      FROM (SELECT doc_id, source, t, unnest(range(len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ), train AS (
+      SELECT DISTINCT gram FROM g WHERE source <> 'src0'
+    ), ev AS (
+      SELECT doc_id, gram FROM g WHERE source = 'src0'
+    )
+    SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS contamination_ppm
+    FROM ev e LEFT JOIN train t USING (gram)
+    GROUP BY e.doc_id
+    """,
+    survey_ref="training-data pipeline: benchmark-contamination detection "
+               "(eval-set n-gram overlap against the training corpus — the "
+               "decontamination audit step; cross-corpus, unlike the "
+               "within-corpus dedup family)",
+    doc="per-eval-doc fraction of word 3-grams present anywhere in the "
+        "training split (src0 as the held-out benchmark); distinct train "
+        "grams -> left equi-join -> integer-ppm fraction",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit: for each document of a held-out eval set
+    (source 'src0'), the fraction of its distinct word 3-grams that
+    appear anywhere in the training split (every other source) —
+    the n-gram-overlap decontamination check from the GPT-3 /
+    Llama training reports, run in reverse as an audit.
+
+    Scale shape: the training corpus (the 100 TB side) reduces to
+    DISTINCT gram — one hash-aggregate shuffle with map-side partial
+    combine, no pair blowup possible (each eval gram matches at most
+    one distinct train gram, so the join output is bounded by the
+    eval side). The eval side is small by construction and
+    broadcast-eligible; the fraction is integer ppm (floor), exact
+    on both engines — no float rounding in the gate.
+    """
+    from .operators.dedup import shingle
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = d.select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(shingle(F.col("text"), 3))).alias("gram"))
+    train = grams.filter(F.col("source") != "src0").select("gram").distinct()
+    ev = grams.filter(F.col("source") == "src0").select("doc_id", "gram")
+    hit = train.withColumn("__hit", F.lit(1))
+    return (ev.join(hit, "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                  .alias("n_matched"))
+            .select("doc_id", "n_grams", "n_matched",
+                    F.expr("n_matched * 1000000L div n_grams")
+                     .alias("contamination_ppm")))

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_salted_agg",
     "q_stats_moments",
     "q_doc_chunk",
+    "q_contamination",
     # never driver-checked through round 4
     "q_embed_neardup",
     "q_multimodal_meta",
@@ -98,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
 # ingest/txn/l3vpn/ls pipelines) stay in the sample because they gate the
 # widest operator surface.
 _DEMOTE: tuple[str, ...] = (
+    "q_cdc_changelog",
     "q_doc_winnow",
     "q_bmp_stat_reports",
     "q_bmp_view_routes",
