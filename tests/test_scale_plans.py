@@ -427,3 +427,30 @@ def test_doc_chunk_multi_window_spans_and_narrow_plan(spark, tmp_path):
     # last one short and overlapping its predecessor
     assert sum(1 for k in got if k[1] == 4) == 5
     assert got[("s2", 4, 4)] == (384, 500, 116)
+
+
+def test_contamination_short_and_fully_contained_docs(spark, tmp_path):
+    """Fixture docs never exercise the q_contamination edges: an eval
+    doc with <3 tokens (zero 3-grams — must vanish from the output on
+    BOTH engines, not divide by zero) and a fully-contained eval doc
+    (exactly 1_000_000 ppm)."""
+    from obmp_psql_spark.queries_text import q_contamination
+
+    docs = [
+        ("src0", 1, "alpha beta gamma delta"),   # grams partially in train
+        ("src0", 2, "only two"),                 # < 3 tokens: no output row
+        ("src0", 3, "zeta eta theta"),           # fully contained
+        ("src1", 4, "alpha beta gamma something else entirely"),
+        ("src1", 5, "zeta eta theta"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "source string, doc_id long, text string") \
+        .write.parquet(sf + "/documents.parquet")
+
+    got = {r.doc_id: (r.n_grams, r.n_matched, r.contamination_ppm)
+           for r in q_contamination(spark, sf).collect()}
+    # doc 1: grams {a b g, b g d}; train has only {a b g} -> 1/2
+    # doc 2: no 3-grams -> absent
+    # doc 3: gram {z e t} present in train -> 1/1
+    assert got == {1: (2, 1, 500000), 3: (1, 1, 1000000)}
