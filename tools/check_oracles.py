@@ -80,9 +80,11 @@ def main() -> int:
             )
 
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir)
             cols = sdf.columns
@@ -117,7 +119,7 @@ def main() -> int:
             continue
         print(f"{name} MATCH {len(rows)}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+    print(f"\n{n_run - len(failures)}/{n_run} ok; failures: {failures}")
     return 1 if failures else 0
 
 
