@@ -454,3 +454,41 @@ def test_contamination_short_and_fully_contained_docs(spark, tmp_path):
     # doc 2: no 3-grams -> absent
     # doc 3: gram {z e t} present in train -> 1/1
     assert got == {1: (2, 1, 500000), 3: (1, 1, 1000000)}
+
+
+def test_doc_chunk_tiling_invariants_full_sweep(spark, tmp_path):
+    """Exhaustive boundary sweep: one doc per token count 1..300
+    (crossing every window/stride boundary: n=window, window±1,
+    window+stride, exact-multiple ends). Invariants per doc:
+    chunks start at multiples of the stride, tile [0, n) with no gap,
+    every chunk is non-empty and <= window, and the count matches the
+    closed form."""
+    from obmp_psql_spark.queries_text import q_doc_chunk
+
+    window, stride = 128, 96
+    docs = [("s", n, " ".join("x" * 1 for _ in range(n)))
+            for n in range(1, 301)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "source string, doc_id long, text string") \
+        .write.parquet(sf + "/documents.parquet")
+
+    rows = q_doc_chunk(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(1, 301))
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        expect_count = 1 if n <= window else -(-(n - window) // stride) + 1
+        assert len(chunks) == expect_count, n
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.start_tok == i * stride
+            assert c.end_tok == min(i * stride + window, n)
+            assert 0 < c.n_chunk_tokens <= window
+        # no gap: each chunk starts inside or at the end of its
+        # predecessor, and the last chunk reaches the doc end
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur.start_tok <= prev.end_tok
+        assert chunks[-1].end_tok == n
