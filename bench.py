@@ -83,9 +83,11 @@ def main() -> None:
     # (pipeline memo cleared, so nothing is reused) and min-of-2 —
     # min approximates the noise-free time without changing what is
     # measured. Costs ~15s of bench wall, only for the three gates.
+    cold: dict[str, float] = {}
     if not names:
         from obmp_psql_spark.queries_bmp import _PIPELINE_CACHE
         for name in head:
+            cold[name] = timings[name]  # first cold build, kept for the JSON
             _PIPELINE_CACHE.clear()
             release_build_artifacts()
             t0 = time.perf_counter()
@@ -103,6 +105,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # methodology is self-documenting: every query in `queries` is a
+    # single run EXCEPT the names in min_of_2_queries, whose first
+    # (cold-JIT) run is preserved in timings_cold — cross-round
+    # comparisons can use either series apples-to-apples
+    if cold:
+        out["min_of_2_queries"] = head
+        out["timings_cold"] = cold
     # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
     # ip_rib; q_bmp_rib_merge pushes one synthesized message per
     # events-row through the real two-batch merge pipeline
@@ -116,6 +125,9 @@ def main() -> None:
         if timings.get("q_bmp_txn_store", 0) > 0:
             out["ingest_rate_durable_msgs_per_sec"] = round(
                 n_msgs / timings["q_bmp_txn_store"])
+        if cold.get("q_bmp_rib_merge", 0) > 0:
+            out["ingest_rate_cold_msgs_per_sec"] = round(
+                n_msgs / cold["q_bmp_rib_merge"])
     print(json.dumps(out))
 
 

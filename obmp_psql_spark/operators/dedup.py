@@ -150,25 +150,37 @@ def incremental_minhash_pairs(
     handling; nothing rescans old documents, only their (small) band
     rows. This is the streaming form of ``minhash_lsh_pairs``.
     """
-    if store.last_txn_version("minhash_index") >= batch_id:
+    # one replay-version counter per index: two indexes sharing a store
+    # must not skip each other's batches as replays
+    app = f"minhash_index:{bands_table}:{pairs_table}"
+    if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing the banding work
+    # persist (not localCheckpoint): the band table feeds both the index
+    # append and the pair join, but the handle must not outlive the
+    # micro-batch — a long-running stream would otherwise accumulate
+    # unreleasable checkpointed blocks. Consumption completes inside
+    # this call (the txn writes are actions), so the operator owns the
+    # lifetime and frees it in the finally.
     nb = minhash_bands(new_docs, id_col, text_col, num_hashes=num_hashes,
-                       bands=bands, shingle_n=shingle_n).localCheckpoint()
-    old = store.read(bands_table, nb.schema)
-    full = old.unionByName(nb)
-    a = nb.alias("a")
-    b = full.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.__id") != F.col("b.__id")))
-        .select(F.least("a.__id", "b.__id").alias("id_a"),
-                F.greatest("a.__id", "b.__id").alias("id_b"))
-        .dropDuplicates()
-    )
-    with store.transaction("minhash_index", batch_id) as txn:
-        txn.append(bands_table, nb)
-        txn.append(pairs_table, pairs)
+                       bands=bands, shingle_n=shingle_n).persist()
+    try:
+        old = store.read(bands_table, nb.schema)
+        full = old.unionByName(nb)
+        a = nb.alias("a")
+        b = full.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.__id") != F.col("b.__id")))
+            .select(F.least("a.__id", "b.__id").alias("id_a"),
+                    F.greatest("a.__id", "b.__id").alias("id_b"))
+            .dropDuplicates()
+        )
+        with store.transaction(app, batch_id) as txn:
+            txn.append(bands_table, nb)
+            txn.append(pairs_table, pairs)
+    finally:
+        nb.unpersist()
 
 
 def minhash_lsh_pairs(

@@ -398,19 +398,22 @@ def pq_topk(
         """nearest centroid per (vector, subspace) under L2.
 
         ``min_by`` aggregation instead of a window: scalar agg buffer
-        (double, int) stays on the fast HashAggregate path with
-        map-side partial min — no sort, one shuffle. Ties between
-        identical (duplicate-seed) centroids pick arbitrarily, which
-        cannot change ADC scores (equal centroids => equal LUT rows).
-        The subvector is re-attached by (struct) min_by alongside the
-        cid so no second join is needed."""
+        stays on the fast HashAggregate path with map-side partial min
+        — no sort, one shuffle. The min_by key is struct(__d2, __cid)
+        so distance ties (duplicate/tied seed subvectors) break on the
+        lowest centroid id deterministically: an arbitrary split would
+        change the per-centroid means of the NEXT Lloyd round and make
+        training nondeterministic across runs. The subvector is
+        re-attached by min_by alongside the cid so no second join is
+        needed."""
         d2 = F.aggregate(F.zip_with(F.col("__sv"), F.col("__cv"),
                                     lambda x, y: (x - y) * (x - y)),
                          F.lit(0.0), lambda acc, x: acc + x)
         scored = (sub.join(F.broadcast(c), "__sub")
                   .select("__id", "__sub", "__sv", "__cid", d2.alias("__d2")))
         picked = scored.groupBy("__id", "__sub").agg(
-            F.min_by("__cid", F.col("__d2")).alias("__cid"),
+            F.min_by("__cid", F.struct(F.col("__d2"), F.col("__cid")))
+             .alias("__cid"),
             F.first("__sv").alias("__sv"))
         return picked.select("__id", "__sub", "__sv", "__cid")
 

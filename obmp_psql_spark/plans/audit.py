@@ -26,6 +26,14 @@ BNLJ_WHITELIST: dict[str, str] = {
     # item scan — the brute-force exact-top-k baseline
     "q_ann_topk": "broadcast bounded probe set vs item scan",
     "q_multimodal_retrieval": "broadcast bounded probe set vs item scan",
+    # the recall companions re-run their approximate operator AND the
+    # exact baseline: both sides inherit the bounded broadcast shapes
+    # above (probe sets are bounded by the dumped approximate result,
+    # which is itself probe-limited at construction)
+    "q_ann_pq_recall": "broadcast bounded probe set (<=50) vs item scan",
+    "q_ann_ivf_recall": "broadcast centroids + bounded probe set (<=200)",
+    "q_ann_arrow_recall": "broadcast bounded probe set (<=10) vs item scan",
+    "q_multimodal_recall": "broadcast bounded probe set (<=5) vs item scan",
     # 1-row aggregate (high-watermark) broadcast for the relative
     # retention window — the scalar-subquery pattern
     "q_retention_purge": "broadcast 1-row watermark aggregate",

@@ -13,6 +13,7 @@ DuckDB share byte-identical constants.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -885,30 +886,47 @@ FROM tok_stats s LEFT JOIN per_doc p USING (doc_id)
     oracle=_REPETITION_ORACLE,
     survey_ref="training-data text analysis: repetition signals "
                "(distinct-token and top-bigram fractions, Gopher-style filters)",
-    doc="explode bigrams -> per-doc top-count fraction; one shuffle "
-        "pair (doc,bigram) then per-doc — map-side combine applies",
+    doc="all array-domain: per-doc top-bigram count via sorted-array "
+        "run-length aggregate — ZERO shuffles, narrow scan-stage plan "
+        "(the r5 explode+double-groupBy form shuffled twice for the "
+        "same per-row result)",
 )
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     toks = d.select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.split(norm, " ").alias("t"))
-    tok_stats = toks.select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"))
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(F.transform(
+    # bigram array, guarded so size<2 yields [] (F.sequence(0, -1)
+    # would otherwise generate a DESCENDING sequence)
+    bg = F.when(
+        F.size("t") >= 2,
+        F.transform(
             F.sequence(F.lit(0), F.size("t") - 2),
             lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
                                   F.element_at(F.col("t"), i + 2)),
-        )).alias("bg"))
-    per_doc = (bigrams.groupBy("doc_id", "bg").count()
-               .groupBy("doc_id")
-               .agg(F.max("count").alias("top_c"), F.sum("count").alias("n_bg")))
-    out = tok_stats.join(per_doc, "doc_id", "left")
-    return out.select(
+        )).otherwise(F.array().cast("array<string>"))
+    # top bigram count without leaving the row: sort the bigram array
+    # and fold a (prev, run, best) accumulator — equal neighbors extend
+    # the run, best tracks the max. O(n log n) per doc, no explode, no
+    # groupBy: the whole query is a single scan-stage projection that
+    # partitions trivially at any corpus size. '' sentinel is safe: a
+    # bigram always contains the joining space.
+    init = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    stats = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.aggregate(F.sort_array(bg), init, step)["best"]
+         .cast("long").alias("top_c"),
+        F.size(bg).cast("long").alias("n_bg"))
+    return stats.select(
         "doc_id", "n_tokens",
         F.when(F.col("n_tokens") > 0,
                F.col("n_distinct").cast("double") / F.col("n_tokens"))
@@ -1272,3 +1290,207 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_grams", "n_matched",
                     F.expr("n_matched * 1000000L div n_grams")
                      .alias("contamination_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# recall oracles: hash-checkable driver rows for the approximate ANN paths
+# ---------------------------------------------------------------------------
+# PQ / IVF / Arrow-BLAS / multimodal retrieval cannot hash-match a SQL
+# oracle on their raw output (quantized or last-ulp-float by design), so
+# through round 5 they were rows-only driver entries. Recall CAN be
+# hash-matched: each companion below runs the approximate search, dumps
+# its (query_id, neighbor_id) set to a parquet handoff under
+# spark-warehouse/aux/, and returns integer recall-ppm per query
+# against the EXACT cosine top-k it computes itself; the DuckDB oracle
+# reads the same handoff and measures the same recall against its own
+# independently-computed exact top-k. A green hash therefore proves
+# (a) Spark and DuckDB agree bit-for-bit on the exact top-k sets
+# (same float cross-check q_ann_topk pins) and (b) both measured the
+# identical approximate result — no float row ever enters the hash
+# (recall is integer ppm with a floor division, exact in both engines).
+#
+# The handoff path embeds the sf-dir basename: the oracle string is
+# static and always reads the sf0.01 artifact, so a bench run at
+# sf0.1 writes a sibling path and cannot clobber what the driver's
+# oracle reads. The dump is re-written by the Spark half of the same
+# driver run, so oracle and query always see the same bytes.
+
+_AUX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "aux")
+
+
+def _aux(name: str, sf_tag: str) -> str:
+    return os.path.join(_AUX_ROOT, f"{name}_{sf_tag}")
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _recall_vs_exact(spark: SparkSession, approx: DataFrame,
+                     items: DataFrame, name: str, sf_dir: str, k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Dump the approximate (query_id, neighbor_id) set to the oracle
+    handoff, then score it against the exact cosine top-k over
+    ``items``: one row (query_id, recall_ppm) per probe.
+
+    The handoff write is an action, so any build-once artifacts the
+    approximate operator persisted are fully consumed here — callers
+    scope the operator + this call inside ``build_artifacts()`` and
+    the returned plan reads only the handoff parquet and ``items``.
+    """
+    aux = _aux(name, _sf_tag(sf_dir))
+    (approx.select(F.col("query_id").cast("long").alias("query_id"),
+                   F.col("neighbor_id").cast("long").alias("neighbor_id"))
+     .coalesce(1).write.mode("overwrite").parquet(aux))
+    ap = spark.read.parquet(aux)
+    probes = items.join(
+        ap.select(F.col("query_id").alias(id_col)).distinct(), id_col) \
+        .select(id_col, vec_col)
+    exact = similarity.cosine_topk(
+        probes, items, query_id=id_col, item_id=id_col,
+        query_vec=vec_col, item_vec=vec_col, k=k) \
+        .select(F.col("query_id").cast("long").alias("query_id"),
+                F.col("neighbor_id").cast("long").alias("neighbor_id"))
+    hits = (ap.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("__m")))
+    return (ap.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.expr(f"coalesce(__m, 0L) * 1000000L div {k}L")
+                     .alias("recall_ppm")))
+
+
+def _recall_oracle(aux_name: str, k: int, emb_cte: str) -> str:
+    """DuckDB half of the recall handshake: read the handoff, rebuild
+    the exact top-k from ``emb_cte`` (rows (vec_id, emb double[])),
+    emit the identical integer recall-ppm rows."""
+    aux = _aux(aux_name, "sf0.01")
+    return f"""
+    WITH e AS ({emb_cte}
+    ), ap AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id
+      FROM read_parquet('{aux}/*.parquet')
+    ), q AS (
+      SELECT e.* FROM e JOIN (SELECT DISTINCT query_id FROM ap) p
+        ON e.vec_id = p.query_id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q.emb', b='e.emb')} AS cos
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    ), exact AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS r
+            FROM scored) WHERE r <= {k}
+    ), hit AS (
+      SELECT ap.query_id AS query_id, count(*) AS c
+      FROM ap JOIN exact
+        ON ap.query_id = exact.query_id
+       AND ap.neighbor_id = exact.neighbor_id
+      GROUP BY ap.query_id
+    )
+    SELECT query_id,
+           CAST(COALESCE(hit.c, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+    FROM (SELECT DISTINCT query_id FROM ap) probes
+    LEFT JOIN hit USING (query_id)
+    """
+
+
+_EMB_CTE = ("SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            " AS emb FROM embeddings")
+
+
+@register(
+    "q_ann_pq_recall",
+    oracle=_recall_oracle("q_ann_pq_recall", 5, _EMB_CTE),
+    survey_ref="training-data similarity: hash-gated recall oracle for the "
+               "PQ-ADC path (upgrades q_ann_pq's rows-only driver check)",
+    doc="pq_topk -> parquet handoff -> integer recall-ppm vs exact top-k, "
+        "measured independently by Spark and DuckDB",
+)
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cache import build_artifacts
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    with build_artifacts():
+        approx = similarity.pq_topk(fan_out(e, spark), m=8, n_codes=16,
+                                    k=5, train_iters=2, max_queries=50)
+        return _recall_vs_exact(spark, approx, e, "q_ann_pq_recall",
+                                sf_dir, k=5)
+
+
+@register(
+    "q_ann_ivf_recall",
+    oracle=_recall_oracle("q_ann_ivf_recall", 5, _EMB_CTE),
+    survey_ref="training-data similarity: hash-gated recall oracle for the "
+               "IVF path (upgrades q_ann_ivf's rows-only driver check)",
+    doc="ivf_topk -> parquet handoff -> integer recall-ppm vs exact top-k",
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cache import build_artifacts
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    with build_artifacts():
+        approx = similarity.ivf_topk(fan_out(e, spark), n_centroids=16,
+                                     nprobe=3, k=5)
+        # recall is measured on a bounded probe subset: the IVF search
+        # itself still covers every vector, but the exact-baseline side
+        # is O(probes x corpus) interpreted array math — unbounded it
+        # cost 25s at sf0.1 for a number 200 probes estimate just as well
+        approx = approx.filter(F.col("query_id") < 200)
+        return _recall_vs_exact(spark, approx, e, "q_ann_ivf_recall",
+                                sf_dir, k=5)
+
+
+@register(
+    "q_ann_arrow_recall",
+    oracle=_recall_oracle("q_ann_arrow_recall", 5, _EMB_CTE),
+    survey_ref="training-data similarity: hash-gated recall oracle for the "
+               "Arrow/BLAS brute-force path (upgrades q_ann_topk_arrow's "
+               "rows-only driver check)",
+    doc="cosine_topk_arrow -> parquet handoff -> integer recall-ppm vs "
+        "exact top-k (1e6 everywhere unless a last-ulp rank flip occurs, "
+        "in which case both engines see the same dip)",
+)
+def q_ann_arrow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    approx = similarity.cosine_topk_arrow(q, e, k=5)
+    return _recall_vs_exact(spark, approx, e, "q_ann_arrow_recall",
+                            sf_dir, k=5)
+
+
+_FEATS_CTE = ("SELECT doc_id AS vec_id, embedding AS emb FROM read_parquet('"
+              + _aux("q_multimodal_feats", "sf0.01") + "/*.parquet')")
+
+
+@register(
+    "q_multimodal_recall",
+    oracle=_recall_oracle("q_multimodal_recall", 5, _FEATS_CTE),
+    survey_ref="training-data multimodal: hash-gated recall oracle for the "
+               "feature-extraction -> retrieval composition (upgrades "
+               "q_multimodal_retrieval's rows-only driver check)",
+    doc="extracted feature vectors AND the retrieval top-k are both dumped "
+        "to parquet handoffs; DuckDB recomputes the exact top-k from the "
+        "dumped vectors and must measure the identical recall-ppm",
+)
+def q_multimodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_image_features
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payloads = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    feats_aux = _aux("q_multimodal_feats", _sf_tag(sf_dir))
+    extract_image_features(payloads, dim=16) \
+        .coalesce(1).write.mode("overwrite").parquet(feats_aux)
+    # read the dump back so Spark's exact top-k scores the byte-identical
+    # stored vectors DuckDB will read (array<double> roundtrips exactly)
+    feats = spark.read.parquet(feats_aux) \
+        .withColumnRenamed("doc_id", "vec_id")
+    q = feats.filter(F.col("vec_id") < 5)
+    approx = similarity.cosine_topk(q, feats, k=5)
+    return _recall_vs_exact(spark, approx, feats, "q_multimodal_recall",
+                            sf_dir, k=5)

@@ -44,94 +44,34 @@ def register(name: str, oracle: str | None, survey_ref: str = "", doc: str = "")
     return deco
 
 
-# Explicit presentation order. The correctness driver samples a prefix of
-# the registry (50 of 81 as of round 5), so queries that have never had a
-# driver row must come first. Queries listed here lead, in this order; any
-# registered name not listed follows in registration order. Long-green
-# gates (two+ rounds of hash-green history) are the ones rotated past the
-# cap.
-_PRIORITY: tuple[str, ...] = (
-    # new in round 5 — no driver row yet
-    "q_stream_stream_join",
-    "q_stream_session_window",
-    "q_doc_percentiles",
-    "q_doc_tfidf",
-    "q_ann_pq",
+# Presentation order = rotation policy. The correctness driver samples
+# only the FIRST 50 registry entries per round, so ordering decides which
+# queries get a fresh driver row. The rule, institutionalized in round 6:
+# sort ascending by the last round in which a query had a green driver
+# row (compiled into the generated ``_rotation.py`` — regenerate with
+# ``python tools/update_rotation.py`` at the start of each round).
+# Queries with NO driver history lead; nothing's driver signal can go
+# more than ~2 rounds stale because the stalest third always rotates
+# back into the sampled prefix.
+#
+# Tie-break inside the freshest cohort: the pipelines below gate the
+# widest operator surface (full ingest merges, the durable txn sink, the
+# LS/L3VPN CDC flows, v6 LPM/containment, streaming dedup), so when
+# sample slots remain after all staler queries, these fill them first.
+_GATE_PRIORITY: tuple[str, ...] = (
+    "q_bmp_rib_merge",
+    "q_bmp_txn_store",
+    "q_bmp_txn_bucketed",
+    "q_bmp_l3vpn_view",
+    "q_bmp_ls_links",
+    "q_bmp_ls_prefix",
+    "q_bmp_collector",
+    "q_bmp_peer_events",
+    "q_lpm_geo_join6",
+    "q_rpki_containment6",
+    "q_l3vpn_chg_stats",
+    "q_asof_enrich",
     "q_stream_doc_dedup",
-    "q_stream_stream_left_join",
-    "q_stream_stream_full_join",
-    "q_doc_pack",
-    "q_events_rollup",
-    "q_rolling_window",
-    "q_salted_agg",
-    "q_stats_moments",
-    "q_doc_chunk",
-    "q_contamination",
-    # never driver-checked through round 4
-    "q_embed_neardup",
-    "q_multimodal_meta",
-    "q_corpus_curation",
-    "q_simhash_pairs",
-    "q_doc_repetition",
-    # checked in r3 only (no r4 row): training-data / ANN set
-    "q_minhash_lsh",
-    "q_dedup_cluster",
-    "q_simhash",
-    "q_ngram_jaccard",
-    "q_lang_id",
-    "q_quality_score",
-    "q_token_stats",
-    "q_stratified_sample",
-    "q_ann_topk",
-    "q_ann_lsh",
-    # rows-only checks (no oracle) that also lack r4 rows
-    "q_ann_topk_arrow",
-    "q_ann_ivf",
-    "q_multimodal_retrieval",
-)
-
-# Rotated past the driver's 50-query sampling cap this round. Every name
-# here is multi-round green (hash-identical to the DuckDB oracle in at
-# least rounds 2-4), so skipping a round costs nothing; demoting exactly
-# 31 makes room for the 31 in-sample queries that are new or lack recent
-# driver rows. The green queries NOT listed here (LPM, RPKI containment,
-# retention, consolidation, 1-min rollup, exact dedup, winnowing, the
-# ingest/txn/l3vpn/ls pipelines) stay in the sample because they gate the
-# widest operator surface.
-_DEMOTE: tuple[str, ...] = (
-    "q_cdc_changelog",
-    "q_doc_winnow",
-    "q_bmp_stat_reports",
-    "q_bmp_view_routes",
-    "q_peer_rib_counts",
-    "q_bmp_cdc_log",
-    "q_bmp_peer_state",
-    "q_bmp_chg_stats",
-    "q_bmp_global_rib",
-    "q_chg_stats_1min",
-    "q_retention_purge",
-    "q_lpm_geo_join",
-    "q_rpki_containment",
-    "q_global_consolidation",
-    "q_dedup_exact",
-    "q_rib_summary",
-    "q_filter_case_projection",
-    "q_dedup_latest",
-    "q_top1_per_group",
-    "q_chg_stats_2min",
-    "q_conditional_sums",
-    "q_peer_update_rates",
-    "q_left_join_names",
-    "q_self_join_pairs",
-    "q_anti_join_missing",
-    "q_distinct_pairs",
-    "q_gap_detection",
-    "q_lww_merge",
-    "q_time_guard_flush",
-    "q_sessionize",
-    "q_pivot_status",
-    "q_net_functions",
-    "q_regex_filter",
 )
 
 
@@ -142,17 +82,21 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import queries_net  # noqa: F401
     from . import queries_stream  # noqa: F401
     from . import queries_text  # noqa: F401
-    ordered: dict[str, QuerySpec] = {}
-    for name in _PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, spec in _REGISTRY.items():
-        if name not in ordered and name not in _DEMOTE:
-            ordered[name] = spec
-    for name in _DEMOTE:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    return ordered
+    from ._rotation import LAST_DRIVER_ROW
+
+    reg_order = {name: i for i, name in enumerate(_REGISTRY)}
+    gate_rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
+    max_round = max(LAST_DRIVER_ROW.values(), default=0)
+
+    def key(name: str):
+        last = LAST_DRIVER_ROW.get(name, 0)  # never-proven queries lead
+        # gate pipelines jump the queue only within the freshest cohort
+        # (they never displace a staler query's rotation slot)
+        gate = gate_rank.get(name, len(_GATE_PRIORITY)) \
+            if last == max_round else len(_GATE_PRIORITY)
+        return (last, gate, reg_order[name])
+
+    return {name: _REGISTRY[name] for name in sorted(_REGISTRY, key=key)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

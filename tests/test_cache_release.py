@@ -129,6 +129,7 @@ def test_incremental_minhash_equals_batch_any_split(spark):
     cache.release_build_artifacts()
 
     store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mh_prop_"))
+    before = _cached_rdd_count(spark)
     for b in range(3):
         part = docs.filter(batch_expr == b)
         incremental_minhash_pairs(store, part, "doc_id", "text",
@@ -138,7 +139,33 @@ def test_incremental_minhash_equals_batch_any_split(spark):
         part = docs.filter(batch_expr == b)
         incremental_minhash_pairs(store, part, "doc_id", "text",
                                   batch_id=b, num_hashes=8, bands=2)
+    # the per-batch band persist must not outlive the call: a
+    # long-running stream would otherwise accumulate blocks forever
+    assert _cached_rdd_count(spark) == before
     got = {(r.id_a, r.id_b) for r in store.read("doc_pairs").collect()}
     assert got == expected
     # and exactly once: no duplicate physical rows either
     assert store.read("doc_pairs").count() == len(expected)
+
+
+def test_incremental_minhash_two_indexes_one_store(spark):
+    """Two indexes maintained in the same store must keep independent
+    replay-version counters — batch 0 of the second index must not be
+    skipped as a replay of the first's batch 0."""
+    import tempfile
+
+    from obmp_psql_spark.operators.dedup import incremental_minhash_pairs
+    from obmp_psql_spark.state import TxnStateStore
+
+    docs = _docs(spark)
+    store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mh_two_"))
+    incremental_minhash_pairs(store, docs, "doc_id", "text",
+                              batch_id=0, num_hashes=8, bands=2)
+    incremental_minhash_pairs(store, docs, "doc_id", "text",
+                              batch_id=0, num_hashes=8, bands=2,
+                              bands_table="alt_bands",
+                              pairs_table="alt_pairs")
+    base = {(r.id_a, r.id_b) for r in store.read("doc_pairs").collect()}
+    alt = {(r.id_a, r.id_b) for r in store.read("alt_pairs").collect()}
+    assert alt == base  # same corpus, same params => same pairs
+    assert store.read("alt_bands").count() == store.read("doc_bands").count()

@@ -492,3 +492,75 @@ def test_doc_chunk_tiling_invariants_full_sweep(spark, tmp_path):
         for prev, cur in zip(chunks, chunks[1:]):
             assert cur.start_tok <= prev.end_tok
         assert chunks[-1].end_tok == n
+
+
+def test_doc_repetition_zero_shuffle_and_runlength_parity(spark, tmp_path):
+    """The r6 rewrite computes the top-bigram count inside the row (a
+    sorted-array run-length fold) — pin the scale claim (zero
+    Exchanges: the query is a pure scan-stage projection) and the fold
+    itself against a Python Counter on docs with real repetition,
+    which the near-uniform fixtures barely exercise."""
+    from collections import Counter
+
+    from obmp_psql_spark.queries_text import q_doc_repetition
+
+    docs = [
+        ("s", 1, "a b a b a b c"),        # 'a b' x3 of 6 bigrams
+        ("s", 2, "x x x x x"),            # single repeated bigram
+        ("s", 3, "one two three four"),   # all distinct
+        ("s", 4, "solo"),                 # 1 token: no bigrams
+        ("s", 5, ""),                     # empty text
+        ("s", 6, "  spaced   out  text "),  # whitespace collapse
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "source string, doc_id long, text string") \
+        .write.parquet(sf + "/documents.parquet")
+
+    out = q_doc_repetition(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow at any corpus size
+
+    got = {r.doc_id: (r.n_tokens, round(r.distinct_token_frac, 6),
+                      round(r.top_bigram_frac, 6)) for r in out.collect()}
+
+    def ref(text):
+        toks = text.strip().lower().split()
+        toks = toks if toks else [""]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max(Counter(bgs).values()) if bgs else 0
+        return (len(toks),
+                round(len(set(toks)) / len(toks), 6),
+                round(top / len(bgs), 6) if bgs else 0.0)
+
+    assert got == {d: ref(t) for _, d, t in docs}
+
+
+def test_aqe_min_partition_floor_preserves_parallelism(spark):
+    """Plan gate for the round-5 ingest fix: AQE's default 1MB
+    ``coalescePartitions.minPartitionSize`` collapses sub-MB shuffles
+    to ONE post-shuffle partition, serializing whole stages on one
+    core (measured 15.3k -> 18.6k msg/s when the 64k floor landed).
+    This pins the floor's effect at runtime, not just the config
+    string: the same aggregation keeps multiple post-shuffle
+    partitions under the session floor and collapses to one when the
+    floor is lifted back to the Spark default — so the test fails if
+    ``get_spark`` ever loses the floor OR if a Spark upgrade changes
+    the coalescing semantics underneath it."""
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    assert spark.conf.get(key) == "64k"  # session default from get_spark
+
+    def n_parts():
+        agg = spark.range(0, 120_000).selectExpr(
+            "id % 40000 as k", "id as v").groupBy("k") \
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        return agg.select(F.spark_partition_id().alias("p")) \
+            .distinct().count()
+
+    with_floor = n_parts()
+    spark.conf.set(key, "1MB")
+    try:
+        without_floor = n_parts()
+    finally:
+        spark.conf.set(key, "64k")
+    assert without_floor == 1    # the default-config failure mode
+    assert with_floor > 1        # the floor keeps the stage parallel

@@ -38,7 +38,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
-        return f"{v:.6g}"
+        # 12 significant digits, not 6: gate queries round to 4 decimal
+        # places, so at magnitude >=1e3 a 6-sig-digit collapse could
+        # hash-match values the driver's comparison would distinguish.
+        # 12 still absorbs last-ulp noise the registry's DECIMAL
+        # accumulation convention is designed to avoid anyway.
+        return f"{v:.12g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, bytes):

@@ -1,0 +1,84 @@
+"""Generate a larger synthetic scale factor from sf0.1 for the
+linear-scaling probe (tools/bench_scale.py).
+
+/root/testdata is read-only and tops out at sf0.1, but the O(churn)
+claims (bucketed merge, band join, incremental consolidation) need at
+least one decade of measured scaling to rule out an accidental
+quadratic. This derives a 10x dataset into a writable dir:
+
+- ``events``: 10 shifted copies — event_id/user_id offsets GROW THE
+  KEY SPACE (the ingest merge keys on user_id-derived hashes, so
+  per-key churn stays constant and output grows linearly, the shape a
+  real 10x feed has; naive duplication would instead multiply per-key
+  updates and measure the wrong thing), ts offset keeps LWW ordering
+  deterministic per copy.
+- ``documents``: 10 copies with a per-copy marker token interleaved
+  every two tokens. This rewrites nearly every 3-gram shingle, so
+  documents from different copies share no MinHash bands and the
+  near-duplicate PAIR count grows ~linearly with the corpus — clones
+  across copies would instead densify every LSH bucket and produce a
+  quadratic pair blowup in the DATA, masking what the probe measures
+  (quadratic behavior in the OPERATOR).
+- other tables: copied as-is (the probe queries don't scan them).
+
+Usage: python tools/make_sf_scale.py [dst=/tmp/sf1] [copies=10]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> None:
+    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        out = f"{dst}/{t}.parquet"
+        if t == "events":
+            sql = " UNION ALL ".join(
+                f"SELECT event_id + {i}::BIGINT * 100000000 AS event_id, "
+                f"ts + INTERVAL ({i}) SECOND AS ts, "
+                f"user_id + {i}::BIGINT * 10000000 AS user_id, "
+                f"event_type, value, props "
+                f"FROM read_parquet('{src}')"
+                for i in range(copies))
+        elif t == "documents":
+            sql = " UNION ALL ".join(
+                (f"SELECT doc_id, text, lang, source, n_chars "
+                 f"FROM read_parquet('{src}')") if i == 0 else
+                (f"SELECT doc_id + {i}::BIGINT * 1000000 AS doc_id, "
+                 f"regexp_replace(text, '(\\S+ \\S+) ', "
+                 f"'\\1 c{i}m ', 'g') AS text, "
+                 f"lang, source, n_chars FROM read_parquet('{src}')")
+                for i in range(copies))
+        elif t == "embeddings":
+            sql = " UNION ALL ".join(
+                f"SELECT vec_id + {i}::BIGINT * 1000000 AS vec_id, "
+                f"embedding, label FROM read_parquet('{src}')"
+                for i in range(copies))
+        else:
+            shutil.copyfile(src, out)
+            print(f"{t}: copied")
+            continue
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, "
+                    f"ROW_GROUP_SIZE 122880)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')") \
+            .fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
