@@ -1494,3 +1494,152 @@ def q_multimodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.cosine_topk(q, feats, k=5)
     return _recall_vs_exact(spark, approx, feats, "q_multimodal_recall",
                             sf_dir, k=5)
+
+
+# ---------------------------------------------------------------------------
+# dedup APPLY: collapse near-dup clusters to one representative doc
+# ---------------------------------------------------------------------------
+
+_DEDUP_APPLY_ORACLE = f"""
+WITH RECURSIVE {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SHINGLE_N - 1})) AS g(i)
+),
+mh AS (
+  SELECT doc_id, {_minhash_cols}
+  FROM sh GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_band_exprs} FROM mh
+),
+banded AS (
+{_band_union}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (
+  SELECT id, min(lab) AS component FROM reach GROUP BY id
+),
+gs AS (
+  SELECT component, count(*) AS group_size FROM comp GROUP BY component
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.source,
+       CAST(CASE WHEN comp.id IS NULL THEN 1
+                 ELSE gs.group_size END AS BIGINT) AS group_size
+FROM corpus c
+LEFT JOIN comp ON comp.id = c.doc_id
+LEFT JOIN gs ON gs.component = comp.component
+WHERE comp.id IS NULL OR comp.id = comp.component
+"""
+
+
+@register(
+    "q_dedup_apply",
+    oracle=_DEDUP_APPLY_ORACLE,
+    survey_ref="training-data dedup: cluster-collapse removal — the step "
+               "that actually shrinks the corpus (pairs -> components -> "
+               "keep min-id representative, drop the rest)",
+    doc="minhash pairs -> connected components -> anti-join the "
+        "non-representatives out of the corpus; survivors keep their "
+        "duplicate-group size (1 for unpaired docs)",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the dedup story q_minhash_lsh/q_dedup_cluster start:
+    the output IS the deduplicated corpus. Scale shape: components is
+    O(docs-in-pairs) rows (pairs only, never the whole corpus); the
+    removal is a broadcast-eligible left_anti against the full scan —
+    the 100 TB side is touched once, and the representative join adds
+    one bounded hash join. No new shuffle over the corpus beyond the
+    anti/left joins on doc_id."""
+    from .operators.dedup import connected_components
+
+    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
+    pairs = minhash_lsh_pairs(c, "doc_id", "text",
+                              num_hashes=_NUM_HASHES, bands=_BANDS,
+                              shingle_n=_SHINGLE_N)
+    comp = connected_components(pairs)  # (id, component=min id)
+    gs = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size"))
+    reps = (comp.filter(F.col("id") == F.col("component"))
+            .join(gs, "component")
+            .select(F.col("id").alias("doc_id"), "group_size"))
+    dupes = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias("doc_id"))
+    return (c.join(dupes, "doc_id", "left_anti")
+            .join(reps, "doc_id", "left")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "source",
+                    F.coalesce("group_size", F.lit(1)).cast("long")
+                     .alias("group_size")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle: global reshuffle + shard assignment
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = 7
+_SHUF_SHARDS = 16
+
+
+@register(
+    "q_doc_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hx,
+             CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % {_SHUF_SHARDS}
+               AS shard
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    survey_ref="training-data pipeline: deterministic epoch shuffle — "
+               "seeded global reshuffle + shard assignment (the data-order "
+               "randomization every training run needs, reproducible from "
+               "the epoch seed alone)",
+    doc="md5(seed:doc_id) ordering: shard = 16-bit hash prefix mod "
+        "n_shards, pos = rank within shard — engine-portable hash, no RNG "
+        "state; changing the seed is a full decorrelated reshuffle",
+)
+def q_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE hash-partition shuffle on the shard id, then a
+    per-shard sort — exactly the write path of sharded training data
+    (each shard sorts independently; n_shards is sized >> executor
+    count in production so the window never serializes). The hash
+    order also length-decorrelates batches, which q_doc_pack's
+    per-shard packing then consumes."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"),
+                       F.col("doc_id").cast("string")))
+    s = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        h.alias("__hx"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+         % _SHUF_SHARDS).alias("shard"))
+    from pyspark.sql.window import Window as _W
+    w = _W.partitionBy("shard").orderBy("__hx", "doc_id")
+    return s.select("doc_id", F.col("shard").cast("long").alias("shard"),
+                    F.row_number().over(w).cast("long").alias("pos"))

@@ -23,12 +23,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PROBES = ["q_bmp_rib_merge", "q_bmp_txn_store", "q_bmp_txn_bucketed",
-          "q_minhash_lsh", "q_bmp_global_rib"]
+PROBES = os.environ.get(
+    "SCALE_PROBES",
+    "q_bmp_rib_merge,q_bmp_txn_store,q_bmp_txn_bucketed,"
+    "q_minhash_lsh,q_bmp_global_rib").split(",")
 
 
 def main() -> None:
     big = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    decades = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf1.json"
     small = "/root/testdata/sf0.1"
     from obmp_psql_spark.operators.cache import release_build_artifacts
     from obmp_psql_spark.queries_bmp import _PIPELINE_CACHE
@@ -61,17 +65,20 @@ def main() -> None:
             results[name][tag] = round(best, 3)
         r = results[name]
         r["ratio"] = round(r["sf1"] / r["sf0.1"], 2)
-        r["alpha"] = round(math.log10(r["sf1"] / r["sf0.1"]), 2)
+        r["alpha"] = round(
+            math.log10(r["sf1"] / r["sf0.1"]) / decades, 2)
         print(f"{name}: {r}", flush=True)
 
     out = {
         "metric": "decade_scaling_alpha",
         "probes": results,
-        "note": "alpha=log10(t_sf1/t_sf0.1); 1.0=linear, 2.0=quadratic; "
-                "min-of-2 cold builds per scale on local[32]",
+        "scale_factor": round(10 ** decades),
+        "note": "alpha=log10(t_big/t_sf0.1)/decades; 1.0=linear, "
+                "2.0=quadratic; min-of-2 cold builds per scale on "
+                "local[32]; 'sf1' key = the big dir",
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_sf1.json")
+        os.path.abspath(__file__))), out_name)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
