@@ -40,6 +40,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row corpus-size aggregate broadcast into the idf expression —
     # the same scalar-subquery pattern
     "q_doc_tfidf": "broadcast 1-row corpus-count aggregate (idf)",
+    "q_domain_mix": "broadcast 1-row total/source-count aggregate (rates)",
 }
 
 

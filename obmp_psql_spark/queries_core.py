@@ -842,3 +842,47 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(F.col("value"), u), 6).cast("double").alias("cov_vu"),
         F.round(F.corr(F.col("value"), u), 6).cast("double").alias("corr_vu"),
         F.round(F.skewness("value"), 6).cast("double").alias("skew_v")))
+
+
+# ---------------------------------------------------------------------------
+# semi-structured JSON extraction over the event stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_events_json",
+    oracle="""
+    WITH j AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM j GROUP BY event_type
+    """,
+    survey_ref="semi-structured columns: JSON path extraction inside the "
+               "scan projection (every event feed carries a props blob; "
+               "the reference stores them as jsonb-ish text columns)",
+    doc="get_json_object('$.k') -> typed column -> per-type aggregate; "
+        "extraction stays JVM-side in the scan stage, one shuffle for "
+        "the aggregate",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the JSON parse is a per-row projection fused into
+    the scan (whole-stage codegen, no UDF); only (event_type, k)
+    survive to the exchange, so shuffle bytes are two columns no
+    matter how wide the props blob gets."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    j = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"))

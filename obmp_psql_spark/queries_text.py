@@ -1309,11 +1309,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical approximate result — no float row ever enters the hash
 # (recall is integer ppm with a floor division, exact in both engines).
 #
-# The handoff path embeds the sf-dir basename: the oracle string is
-# static and always reads the sf0.01 artifact, so a bench run at
+# The handoff path embeds the sf-dir basename, and the oracle is
+# registered as a callable(sf_dir) resolved per scale: a bench run at
 # sf0.1 writes a sibling path and cannot clobber what the driver's
-# oracle reads. The dump is re-written by the Spark half of the same
-# driver run, so oracle and query always see the same bytes.
+# sf0.01 oracle reads, while the pytest parity harness at sf0.001
+# resolves its own path. The dump is re-written by the Spark half of
+# the same comparison run, so oracle and query always see the same
+# bytes.
 
 _AUX_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -1363,11 +1365,15 @@ def _recall_vs_exact(spark: SparkSession, approx: DataFrame,
                      .alias("recall_ppm")))
 
 
-def _recall_oracle(aux_name: str, k: int, emb_cte: str) -> str:
+def _recall_oracle(aux_name: str, k: int, emb_cte: str,
+                   sf_dir: str) -> str:
     """DuckDB half of the recall handshake: read the handoff, rebuild
     the exact top-k from ``emb_cte`` (rows (vec_id, emb double[])),
-    emit the identical integer recall-ppm rows."""
-    aux = _aux(aux_name, "sf0.01")
+    emit the identical integer recall-ppm rows. The handoff path is
+    sf-tagged, so the oracle is registered as a callable(sf_dir) and
+    resolved per scale — the driver contract sees the static sf0.01
+    string via registry.DRIVER_SF_DIR."""
+    aux = _aux(aux_name, _sf_tag(sf_dir))
     return f"""
     WITH e AS ({emb_cte}
     ), ap AS (
@@ -1407,7 +1413,7 @@ _EMB_CTE = ("SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 @register(
     "q_ann_pq_recall",
-    oracle=_recall_oracle("q_ann_pq_recall", 5, _EMB_CTE),
+    oracle=lambda sf: _recall_oracle("q_ann_pq_recall", 5, _EMB_CTE, sf),
     survey_ref="training-data similarity: hash-gated recall oracle for the "
                "PQ-ADC path (upgrades q_ann_pq's rows-only driver check)",
     doc="pq_topk -> parquet handoff -> integer recall-ppm vs exact top-k, "
@@ -1425,7 +1431,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_ivf_recall",
-    oracle=_recall_oracle("q_ann_ivf_recall", 5, _EMB_CTE),
+    oracle=lambda sf: _recall_oracle("q_ann_ivf_recall", 5, _EMB_CTE, sf),
     survey_ref="training-data similarity: hash-gated recall oracle for the "
                "IVF path (upgrades q_ann_ivf's rows-only driver check)",
     doc="ivf_topk -> parquet handoff -> integer recall-ppm vs exact top-k",
@@ -1447,7 +1453,8 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_arrow_recall",
-    oracle=_recall_oracle("q_ann_arrow_recall", 5, _EMB_CTE),
+    oracle=lambda sf: _recall_oracle("q_ann_arrow_recall", 5,
+                                     _EMB_CTE, sf),
     survey_ref="training-data similarity: hash-gated recall oracle for the "
                "Arrow/BLAS brute-force path (upgrades q_ann_topk_arrow's "
                "rows-only driver check)",
@@ -1463,13 +1470,15 @@ def q_ann_arrow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                             sf_dir, k=5)
 
 
-_FEATS_CTE = ("SELECT doc_id AS vec_id, embedding AS emb FROM read_parquet('"
-              + _aux("q_multimodal_feats", "sf0.01") + "/*.parquet')")
+def _feats_cte(sf_dir: str) -> str:
+    return ("SELECT doc_id AS vec_id, embedding AS emb FROM read_parquet('"
+            + _aux("q_multimodal_feats", _sf_tag(sf_dir)) + "/*.parquet')")
 
 
 @register(
     "q_multimodal_recall",
-    oracle=_recall_oracle("q_multimodal_recall", 5, _FEATS_CTE),
+    oracle=lambda sf: _recall_oracle("q_multimodal_recall", 5,
+                                     _feats_cte(sf), sf),
     survey_ref="training-data multimodal: hash-gated recall oracle for the "
                "feature-extraction -> retrieval composition (upgrades "
                "q_multimodal_retrieval's rows-only driver check)",
@@ -1643,3 +1652,142 @@ def q_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _W.partitionBy("shard").orderBy("__hx", "doc_id")
     return s.select("doc_id", F.col("shard").cast("long").alias("shard"),
                     F.row_number().over(w).cast("long").alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text ||
+                    ' contact bob@example.com or 555-123-4567 now'
+                  WHEN doc_id % 7 = 3 THEN text || ' mail alice@test.org'
+                  ELSE text END AS text
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones
+      FROM aug
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}',
+               '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'))
+             AS redacted_digest
+    FROM hits
+    """,
+    survey_ref="training-data scrubbing: PII detection + masking "
+               "(email/phone regex families; every LLM corpus pipeline "
+               "runs this before tokenization)",
+    doc="synthetic PII injected on a doc_id stride, then counted "
+        "(regexp_extract_all) and masked (regexp_replace) per row; the "
+        "digest pins the full redacted text through the oracle without "
+        "hashing megabytes of prose into the driver compare",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: zero shuffles — detection and masking are scan-
+    stage projections (Java regex in codegen, no UDF), so the operator
+    is embarrassingly parallel at any corpus size. The patterns here
+    are the demonstration pair; a production scrub composes more
+    families (SSN, IBAN, addresses) as additional fused projections at
+    the same zero-shuffle cost."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    aug = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact bob@example.com or"
+                              " 555-123-4567 now")))
+         .when(F.col("doc_id") % 7 == 3,
+               F.concat(F.col("text"), F.lit(" mail alice@test.org")))
+         .otherwise(F.col("text")).alias("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
+         .cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_digest"))
+
+
+# ---------------------------------------------------------------------------
+# domain mixing: resample sources toward a target distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_domain_mix",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents
+    ), rated AS (
+      SELECT d.doc_id, d.source,
+             CAST(least(1000000,
+                  (tot.n_total * 1000000)
+                    // (tot.n_sources * cnt.n_src)) AS BIGINT) AS rate_ppm
+      FROM documents d
+      CROSS JOIN tot
+      JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+            FROM documents GROUP BY source) cnt USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(rate_ppm) AS BIGINT) AS rate_ppm,
+           CAST(sum(CASE WHEN
+                 CAST(('0x' || substr(md5('mix:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000 < rate_ppm
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rated GROUP BY source
+    """,
+    survey_ref="training-data pipeline: domain/source mixing — computed "
+               "per-source acceptance rates toward a target distribution "
+               "(uniform here), applied as a deterministic hash filter "
+               "(the DoReMi/data-mixture reweighting primitive)",
+    doc="rate_ppm = min(1e6, total*1e6 div (n_sources*source_count)) — "
+        "ALL integer arithmetic so both engines agree exactly; "
+        "acceptance = md5 bucket < rate, same scheme as "
+        "q_stratified_sample but with rates computed FROM the data",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two 1-row/broadcast-size aggregates (corpus total +
+    per-source counts) joined back into the scan — the corpus is read
+    once, the filter is a scan-stage integer compare, and the output
+    aggregate is one shuffle on source. Over-represented sources get
+    rate < 1e6 (downsampled toward uniform), under-represented ones
+    cap at 1e6 (kept whole; upsampling is a repeat-expand the trainer
+    does, not the curator)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tot = F.broadcast(d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("source").alias("n_sources")))
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_src"))
+    rated = (d.select("doc_id", "source")
+             .crossJoin(tot)
+             .join(F.broadcast(per_src), "source")
+             .withColumn("rate_ppm", F.least(
+                 F.lit(1000000).cast("long"),
+                 F.expr("n_total * 1000000L div (n_sources * n_src)"))))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000000)
+    return rated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("rate_ppm").alias("rate_ppm"),
+        F.sum(F.when(bucket < F.col("rate_ppm"), 1).otherwise(0))
+         .cast("long").alias("n_kept"))

@@ -25,19 +25,34 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The driver always runs its oracle comparison at this scale; sf-dependent
+# oracles (the recall handshakes embed an sf-tagged handoff path) resolve
+# against it in the static oracle_sql() contract.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
 @dataclass
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    # str, or a callable(sf_dir) -> str for oracles whose SQL depends on
+    # the scale dir (parquet handoff paths); None => non-SQL-expressible,
+    # rows-only check
+    oracle: str | Callable[[str], str] | None
     survey_ref: str = ""  # SURVEY.md §2 operator ids this demonstrates
     doc: str = ""
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        if callable(self.oracle):
+            return self.oracle(sf_dir)
+        return self.oracle
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, survey_ref: str = "", doc: str = ""):
+def register(name: str, oracle: str | Callable[[str], str] | None,
+             survey_ref: str = "", doc: str = ""):
     def deco(fn):
         _REGISTRY[name] = QuerySpec(name, fn, oracle, survey_ref, doc)
         return fn
@@ -105,7 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle
+        name: spec.oracle_for(DRIVER_SF_DIR)
         for name, spec in all_specs().items()
         if spec.oracle is not None
     }

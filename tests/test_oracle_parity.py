@@ -24,5 +24,5 @@ def test_query_matches_oracle(spark, name):
     if spec.oracle is None:
         assert df.count() >= 0  # rows-only smoke for non-SQL-expressible ops
         return
-    ok, msg = compare(df, spec.oracle, SF)
+    ok, msg = compare(df, spec.oracle_for(SF), SF)
     assert ok, f"{name}: {msg}"

@@ -69,12 +69,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    import __spark_entry__ as entry
+    import __spark_entry__ as entry  # noqa: F401 (driver-contract import)
+    from obmp_psql_spark.registry import all_specs
     from obmp_psql_spark.session import get_spark
 
     spark = get_spark()
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    specs = all_specs()
+    qs = {n: s.fn for n, s in specs.items()}
+    # resolve sf-dependent oracles (recall handoff paths) at THIS sf,
+    # exactly as the parity tests do; at the driver's sf0.01 this
+    # matches the static oracle_sql() contract strings
+    oracles = {n: s.oracle_for(sf_dir) for n, s in specs.items()
+               if s.oracle is not None}
 
     con = duckdb.connect()
     for t in TABLES:
