@@ -564,3 +564,117 @@ def test_aqe_min_partition_floor_preserves_parallelism(spark):
         spark.conf.set(key, "64k")
     assert without_floor == 1    # the default-config failure mode
     assert with_floor > 1        # the floor keeps the stage parallel
+
+
+def test_pii_redact_zero_shuffle_and_masking(spark, tmp_path):
+    """q_pii_redact must stay a pure scan-stage projection (zero
+    Exchanges) and actually scrub: no email/phone pattern survives in
+    any redacted text, counts match a Python re reference, and
+    masking is idempotent (re-redacting a redacted text is a no-op)."""
+    import hashlib
+    import re
+
+    from obmp_psql_spark.queries_text import (_EMAIL_RE, _PHONE_RE,
+                                              q_pii_redact)
+
+    docs = [
+        ("s", 0, "plain words here"),                       # %7==0: +both
+        ("s", 3, "more words"),                             # %7==3: +email
+        ("s", 5, "untouched text"),
+        ("s", 7, "x y z"),                                  # %7==0: +both
+        ("s", 10, "contains 999-123-4567 already"),         # own phone
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "source string, doc_id long, text string") \
+        .write.parquet(sf + "/documents.parquet")
+
+    out = q_pii_redact(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    def aug(d, t):
+        if d % 7 == 0:
+            return t + " contact bob@example.com or 555-123-4567 now"
+        if d % 7 == 3:
+            return t + " mail alice@test.org"
+        return t
+
+    got = {r.doc_id: r for r in out.collect()}
+    for _, d, t in docs:
+        a = aug(d, t)
+        emails, phones = re.findall(_EMAIL_RE, a), re.findall(_PHONE_RE, a)
+        assert (got[d].n_emails, got[d].n_phones) == (len(emails), len(phones))
+        red = re.sub(_PHONE_RE, "<PHONE>",
+                     re.sub(_EMAIL_RE, "<EMAIL>", a))
+        assert got[d].redacted_digest == hashlib.md5(red.encode()).hexdigest()
+        # nothing left to scrub, and masking is idempotent
+        assert not re.search(_EMAIL_RE, red)
+        assert not re.search(_PHONE_RE, red)
+        assert re.sub(_PHONE_RE, "<PHONE>",
+                      re.sub(_EMAIL_RE, "<EMAIL>", red)) == red
+
+
+def test_doc_shuffle_is_permutation_and_seed_decorrelated(spark):
+    """Epoch-shuffle invariants the oracle can't see: per-shard
+    positions are exactly 1..len(shard) (a permutation), every doc
+    appears once, and the realized shard order is reproducible."""
+    from obmp_psql_spark.queries_text import q_doc_shuffle
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_doc_shuffle(spark, sf).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic: same seed -> identical assignment on a re-run
+    again = {(r.doc_id, r.shard, r.pos)
+             for r in q_doc_shuffle(spark, sf).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_domain_mix_rate_invariants(spark, tmp_path):
+    """Domain-mixing math: over-represented sources get downsampled
+    toward the uniform share, under-represented ones keep everything
+    (rate capped at 1e6), and kept counts track rate_ppm."""
+    from obmp_psql_spark.queries_text import q_domain_mix
+
+    docs = ([("big", i) for i in range(800)]
+            + [("mid", 1000 + i) for i in range(150)]
+            + [("tiny", 2000 + i) for i in range(50)])
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(s, d, f"text {d}") for s, d in docs],
+        "source string, doc_id long, text string") \
+        .write.parquet(sf + "/documents.parquet")
+
+    got = {r.source: r for r in q_domain_mix(spark, sf).collect()}
+    # uniform target share = 1000/3 ≈ 333 docs per source: only "big"
+    # (800) exceeds it and gets downsampled; "mid" (150) and "tiny"
+    # (50) are under-represented -> rate capped at 1e6, kept whole
+    assert got["big"].rate_ppm == 1000 * 1_000_000 // (3 * 800)
+    assert got["mid"].rate_ppm == 1_000_000
+    assert got["mid"].n_kept == 150
+    assert got["tiny"].rate_ppm == 1_000_000
+    assert got["tiny"].n_kept == 50
+    r = got["big"]
+    assert 0 < r.n_kept <= r.n_docs
+    # realized rate within 5 points of requested (md5 uniformity)
+    assert abs(r.n_kept / r.n_docs - r.rate_ppm / 1e6) < 0.05
+
+
+def test_events_json_scan_pruned_and_partial_agg(spark):
+    """The props blob must die in the scan: the parquet read prunes to
+    exactly (event_type, props) — never ts/user_id/value — and a
+    map-side partial HashAggregate sits below the exchange, so only
+    fixed-width agg buffers shuffle regardless of blob width."""
+    from obmp_psql_spark.queries_core import q_events_json
+
+    df = q_events_json(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
+    # partial + final (countDistinct adds expand rounds; >= 2 proves
+    # map-side combine exists before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(event_type" in plan
