@@ -191,6 +191,10 @@ def cosine_topk_arrow(
             f"more than max_queries={max_queries} rows — this path is for "
             f"bounded probe sets. Use ivf_topk/lsh_topk for large query sides "
             f"or raise max_queries deliberately.")
+    spark0 = queries.sparkSession
+    if not q_rows:  # empty probe set: empty result, not a numpy axis error
+        return spark0.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -200,6 +204,8 @@ def cosine_topk_arrow(
     def score(batches):
         ids, mat = bc.value
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to score
+                continue
             iv = np.array(list(pdf[item_vec]), dtype=np.float64)
             iv /= np.linalg.norm(iv, axis=1, keepdims=True)
             sims = iv @ mat.T  # (batch, n_queries)
@@ -359,7 +365,11 @@ def pq_topk(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__raw"),
     )
-    dims = base.select(F.size("__raw").alias("s")).head()["s"]
+    head = base.select(F.size("__raw").alias("s")).head()
+    if head is None:  # empty corpus: empty result, not a NoneType crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rank int")
+    dims = head["s"]
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     sd = dims // m

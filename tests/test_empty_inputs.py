@@ -1,0 +1,81 @@
+"""Empty-input robustness: every dedup/similarity operator and the
+ingest merge must return an empty result — never crash — on empty
+inputs. At scale, empty inputs are routine (empty micro-batches after
+a filter, empty partitions, a source with no new data); round 6 found
+two driver-side crashes here (pq_topk's dims head() and
+cosine_topk_arrow's numpy normalization on a 0-row probe set)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from obmp_psql_spark.operators import dedup as D
+from obmp_psql_spark.operators import similarity as S
+
+
+def _docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _vecs(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+
+def _pairs(spark):
+    return spark.createDataFrame([], "id_a long, id_b long")
+
+
+@pytest.mark.parametrize("build", [
+    lambda s: D.minhash_lsh_pairs(_docs(s), "doc_id", "text",
+                                  num_hashes=8, bands=2),
+    lambda s: D.simhash_fingerprints(_docs(s), "doc_id", "text"),
+    lambda s: D.simhash_neardup_pairs(_docs(s), "doc_id", "text",
+                                      bits=32, bands=4),
+    lambda s: D.ngram_jaccard_pairs(_docs(s), "doc_id", "text",
+                                    threshold=0.1),
+    lambda s: D.connected_components(_pairs(s)),
+    lambda s: S.cosine_topk(_vecs(s), _vecs(s)),
+    lambda s: S.cosine_topk_arrow(_vecs(s), _vecs(s), k=3),
+    lambda s: S.lsh_topk(_vecs(s), dims=4, n_planes=2),
+    lambda s: S.ivf_topk(_vecs(s), n_centroids=4, nprobe=2),
+    lambda s: S.pq_topk(_vecs(s), m=2, n_codes=2),
+    lambda s: S.embedding_neardup_pairs(_vecs(s), threshold=0.9,
+                                        allow_full_cross=True),
+], ids=["minhash", "simhash_fp", "simhash_pairs", "ngram", "cc",
+        "cosine", "cosine_arrow", "lsh", "ivf", "pq", "neardup"])
+def test_operator_empty_input_returns_empty(spark, build):
+    from obmp_psql_spark.operators.cache import (build_artifacts)
+    with build_artifacts():
+        assert build(spark).count() == 0
+
+
+def test_arrow_topk_empty_items_side(spark):
+    """Probe set non-empty but item side empty: per-batch guard must
+    skip empty Arrow batches instead of feeding numpy a 0-row frame."""
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = S.cosine_topk_arrow(q, _vecs(spark), k=3)
+    assert out.count() == 0
+
+
+def test_ingest_merge_empty_batch_is_noop(spark):
+    """An empty micro-batch through the RIB merge must leave the state
+    byte-identical (and emit an empty CDC log)."""
+    from obmp_psql_spark.ingest import apply_unicast_prefix
+    from obmp_psql_spark.queries_bmp import _messages
+    from obmp_psql_spark.schemas import TABLE_SCHEMAS
+    from tests.conftest import SF_SMALL
+
+    empty_state = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
+    msgs = _messages(spark, SF_SMALL).drop("event_id")
+    # real state from a real batch, then an empty batch on top
+    state, _ = apply_unicast_prefix(empty_state, msgs.limit(20))
+    state = state.localCheckpoint()
+    assert state.count() > 0
+    new_state, log = apply_unicast_prefix(state, msgs.limit(0))
+    assert log.count() == 0
+    before = {tuple(r) for r in state.collect()}
+    after = {tuple(r) for r in new_state.collect()}
+    assert after == before
