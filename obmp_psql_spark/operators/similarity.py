@@ -361,6 +361,23 @@ def pq_topk(
     against exact cosine_topk.
     """
     spark = df.sparkSession
+    # codebook training shuffles are codebook-sized (m*n_codes-ish
+    # groups), not corpus-sized: 8 post-shuffle partitions beat the
+    # session default 32 by ~2x wall at gate scale (fewer task
+    # launches across the 2-3 assign/means stages per Lloyd round) —
+    # the same micro-batch sizing call _cached_pipeline makes. The
+    # conf is scoped and restored; production sizes it to n_codes.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
+                             train_iters, max_queries)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
+                  train_iters, max_queries) -> DataFrame:
     base = df.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__raw"),
@@ -439,8 +456,11 @@ def pq_topk(
         )
         cents = spark.createDataFrame(means.collect(), means.schema)
 
-    # encode the corpus: (id, subspace, code) — the stored index
+    # encode the corpus: (id, subspace, code) — the stored index.
+    # count() fills the persist NOW, while the scoped 8-partition conf
+    # is active; the ADC search below then scans the cached codes.
     codes = owned_persist(assign(cents).select("__id", "__sub", "__cid"))
+    codes.count()
 
     # probe set: LUT of partial dots per (query, subspace, centroid)
     probes = (sub.join(F.broadcast(
