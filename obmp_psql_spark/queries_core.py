@@ -886,3 +886,112 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
         F.countDistinct("k").alias("n_distinct_k"))
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit: constraint checks as a single multi-metric scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dq_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS dup_keys,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_custkey,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nonpositive_price
+      FROM orders
+    ), l AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc_range
+      FROM lineitem
+    ), orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem li
+      LEFT JOIN orders oo ON li.l_orderkey = oo.o_orderkey
+      WHERE oo.o_orderkey IS NULL
+    )
+    SELECT * FROM (
+      SELECT 'orders' AS tbl, 'dup_pk' AS violation, dup_keys AS n,
+             n_rows FROM o
+      UNION ALL
+      SELECT 'orders', 'null_custkey', null_custkey, n_rows FROM o
+      UNION ALL
+      SELECT 'orders', 'nonpositive_totalprice', nonpositive_price,
+             n_rows FROM o
+      UNION ALL
+      SELECT 'lineitem', 'quantity_out_of_range', qty_range, n_rows FROM l
+      UNION ALL
+      SELECT 'lineitem', 'discount_out_of_range', disc_range, n_rows FROM l
+      UNION ALL
+      SELECT 'lineitem', 'orphan_orderkey', orphans.n, l.n_rows
+      FROM orphans, l
+    )
+    """,
+    survey_ref="data-quality audit: PK uniqueness, null, range, and "
+               "referential-integrity constraints as one multi-metric pass "
+               "(the validation stage every ingest/training pipeline runs "
+               "before trusting a snapshot)",
+    doc="one aggregate scan per table + one anti-join for orphans; "
+        "violations reported as (tbl, violation, n, n_rows) rows",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each table contributes ONE full scan aggregated
+    map-side into a handful of counters (no row survives the scan
+    stage), and the referential check is a hash anti-join that the
+    runtime bloom filter prunes at production fact sizes. Constraints
+    compose as additional conditional-sum columns at zero extra scan
+    cost."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("dup_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long").alias("nonpositive_price"))
+    li = t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when((F.col("l_quantity") <= 0)
+                     | (F.col("l_quantity") > 50), 1).otherwise(0))
+        .cast("long").alias("qty_range"),
+        F.sum(F.when((F.col("l_discount") < 0)
+                     | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("long").alias("disc_range"))
+    orphans = (t["lineitem"].select("l_orderkey")
+               .join(t["orders"].select("o_orderkey"),
+                     F.col("l_orderkey") == F.col("o_orderkey"),
+                     "left_anti")
+               .agg(F.count(F.lit(1)).alias("n")))
+
+    # unpivot each 1-row aggregate with explode(map) so every table is
+    # scanned exactly ONCE (a union of per-violation branches would
+    # re-run the aggregate per branch)
+    def unpivot(agg_df, tbl, mapping):
+        m = F.create_map(*[x for k, c in mapping
+                           for x in (F.lit(k), F.col(c).cast("long"))])
+        return (agg_df.select("n_rows", F.explode(m))
+                .select(F.lit(tbl).alias("tbl"),
+                        F.col("key").alias("violation"),
+                        F.col("value").alias("n"),
+                        F.col("n_rows").cast("long").alias("n_rows")))
+
+    o_rows = unpivot(o, "orders", [
+        ("dup_pk", "dup_keys"),
+        ("null_custkey", "null_custkey"),
+        ("nonpositive_totalprice", "nonpositive_price")])
+    li_rows = unpivot(li, "lineitem", [
+        ("quantity_out_of_range", "qty_range"),
+        ("discount_out_of_range", "disc_range")])
+    orphan_row = (orphans.crossJoin(li.select("n_rows"))
+                  .select(F.lit("lineitem").alias("tbl"),
+                          F.lit("orphan_orderkey").alias("violation"),
+                          F.col("n").cast("long").alias("n"),
+                          F.col("n_rows").cast("long").alias("n_rows")))
+    return o_rows.unionByName(li_rows).unionByName(orphan_row)
