@@ -1,0 +1,59 @@
+"""Registry rotation mechanics: the generated staleness map must order
+the driver's sampled prefix correctly — never-proven queries first,
+then stalest driver rows, with gate pipelines only jumping the queue
+inside the freshest cohort."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_registry_orders_by_staleness():
+    from obmp_psql_spark._rotation import LAST_DRIVER_ROW
+    from obmp_psql_spark.registry import _GATE_PRIORITY, all_specs
+
+    names = list(all_specs())
+    max_round = max(LAST_DRIVER_ROW.values())
+    rounds = [LAST_DRIVER_ROW.get(n, 0) for n in names]
+    # staleness is non-decreasing through the registry
+    assert rounds == sorted(rounds), \
+        "registry not ordered by last-driver-row round"
+    # never-proven queries (new this round) lead
+    fresh_new = [n for n in names if n not in LAST_DRIVER_ROW]
+    assert names[:len(fresh_new)] == fresh_new
+    # inside the freshest cohort, gate pipelines come first, in order
+    cohort = [n for n in names if LAST_DRIVER_ROW.get(n, 0) == max_round]
+    gates_in_cohort = [n for n in _GATE_PRIORITY if n in cohort]
+    assert cohort[:len(gates_in_cohort)] == gates_in_cohort
+
+
+def test_update_rotation_tool_compiles_green_rows(tmp_path):
+    """The generator counts hash-green rows and rows-only executions,
+    ignores failures, and keeps the max round per query."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_a": {"hash_match": True, "err": None, "spark_rows": 5},
+        "q_b": {"hash_match": False, "err": "boom", "spark_rows": 0},
+        "q_c": {"hash_match": None, "err": "no_oracle", "spark_rows": 9},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_a": {"hash_match": False, "err": "regressed", "spark_rows": 5},
+        "q_b": {"hash_match": True, "err": None, "spark_rows": 3},
+    }))
+    # run the tool against the fixture dir by copying it there (it
+    # resolves the repo root relative to its own location: tools/..)
+    import shutil
+    (tmp_path / "tools").mkdir()
+    tool = shutil.copy("tools/update_rotation.py",
+                       tmp_path / "tools" / "update_rotation.py")
+    (tmp_path / "obmp_psql_spark").mkdir()
+    out = subprocess.run([sys.executable, str(tool)], cwd=tmp_path,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    ns: dict = {}
+    exec((tmp_path / "obmp_psql_spark" / "_rotation.py").read_text(), ns)
+    got = ns["LAST_DRIVER_ROW"]
+    # q_a green in r1 only (r2 failed -> keeps r1); q_b green in r2;
+    # q_c rows-only counts as a driver row
+    assert got == {"q_a": 1, "q_b": 2, "q_c": 1}
