@@ -12,13 +12,18 @@ quadratic. This derives a 10x dataset into a writable dir:
   real 10x feed has; naive duplication would instead multiply per-key
   updates and measure the wrong thing), ts offset keeps LWW ordering
   deterministic per copy.
-- ``documents``: 10 copies with a per-copy marker token interleaved
-  every two tokens. This rewrites nearly every 3-gram shingle, so
-  documents from different copies share no MinHash bands and the
-  near-duplicate PAIR count grows ~linearly with the corpus — clones
-  across copies would instead densify every LSH bucket and produce a
-  quadratic pair blowup in the DATA, masking what the probe measures
-  (quadratic behavior in the OPERATOR).
+- ``documents``: 10 copies with a (copy, doc, position)-unique marker
+  token interleaved every two tokens. This rewrites nearly every
+  3-gram shingle, so documents from different copies share no MinHash
+  bands and the near-duplicate PAIR count grows ~linearly with the
+  corpus — clones across copies would instead densify every LSH
+  bucket and produce a quadratic pair blowup in the DATA, masking
+  what the probe measures (quadratic behavior in the OPERATOR). The
+  marker must vary per doc AND position: an earlier constant-per-copy
+  marker made up half of every doc's token multiset, which collapsed
+  SimHash fingerprints within a copy into shared buckets and measured
+  alpha=1.4 on q_simhash_pairs — a property of that degenerate corpus
+  (boilerplate-dominated documents), not of the banded join.
 - other tables: copied as-is (the probe queries don't scan them).
 
 Usage: python tools/make_sf_scale.py [dst=/tmp/sf1] [copies=10]
@@ -56,12 +61,14 @@ def main() -> None:
                 f"FROM read_parquet('{src}')"
                 for i in range(copies))
         elif t == "documents":
+            marker = ("' c{i}x' || CAST((doc_id * 7 + j) % 997 AS VARCHAR)")
             sql = " UNION ALL ".join(
                 (f"SELECT doc_id, text, lang, source, n_chars "
                  f"FROM read_parquet('{src}')") if i == 0 else
                 (f"SELECT doc_id + {i}::BIGINT * 1000000 AS doc_id, "
-                 f"regexp_replace(text, '(\\S+ \\S+) ', "
-                 f"'\\1 c{i}m ', 'g') AS text, "
+                 f"array_to_string(list_transform(string_split(text, ' '), "
+                 f"(tk, j) -> tk || CASE WHEN j % 2 = 0 THEN "
+                 f"{marker.format(i=i)} ELSE '' END), ' ') AS text, "
                  f"lang, source, n_chars FROM read_parquet('{src}')")
                 for i in range(copies))
         elif t == "embeddings":
