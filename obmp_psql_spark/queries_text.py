@@ -1791,3 +1791,67 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rate_ppm").alias("rate_ppm"),
         F.sum(F.when(bucket < F.col("rate_ppm"), 1).otherwise(0))
          .cast("long").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# prefix dedup: boilerplate-prefix duplicate groups
+# ---------------------------------------------------------------------------
+
+_PREFIX_TOKENS = 20
+
+
+@register(
+    "q_prefix_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split({_NORM.format(col='text')}, ' ') AS t
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+             md5(array_to_string(t[1:{_PREFIX_TOKENS}], ' ')) AS prefix_key
+      FROM toks
+    ), g AS (
+      SELECT prefix_key,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+      FROM p GROUP BY prefix_key
+    )
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id, g.group_size,
+           g.keep_doc_id,
+           CAST(p.doc_id = g.keep_doc_id AS BOOLEAN) AS is_kept
+    FROM p JOIN g USING (prefix_key)
+    WHERE g.group_size > 1
+    """,
+    survey_ref="training-data dedup: prefix-key duplicate groups — "
+               "crawl corpora duplicate on shared boilerplate openings "
+               "(cookie banners, templates) that full-document hashing "
+               "misses and MinHash over-matches; the first-N-tokens key "
+               "is the standard cheap catch",
+    doc="md5 of the first 20 normalized tokens -> hash groupBy -> "
+        "groups >1 with a min-id representative; one shuffle, "
+        "map-side combinable",
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the key is a fixed-width md5 computed in the scan
+    (slice + concat, no explode), so the groupBy shuffles 16 bytes per
+    doc regardless of document length; the duplicate-group side is
+    count-filtered (>1) and tiny relative to the corpus, so the join
+    back broadcasts (observed at gate scale) or hash-joins on the
+    already-shuffled key."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    p = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat_ws(" ", F.slice(F.split(norm, " "), 1,
+                                       _PREFIX_TOKENS))).alias("prefix_key"))
+    g = (p.groupBy("prefix_key")
+         .agg(F.count(F.lit(1)).alias("group_size"),
+              F.min("doc_id").alias("keep_doc_id"))
+         .filter(F.col("group_size") > 1))
+    return (p.join(g, "prefix_key")
+            .select("doc_id",
+                    F.col("group_size").cast("long").alias("group_size"),
+                    F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+                    (F.col("doc_id") == F.col("keep_doc_id"))
+                    .alias("is_kept")))
