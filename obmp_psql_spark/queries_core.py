@@ -877,9 +877,12 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive to the exchange, so shuffle bytes are two columns no
     matter how wide the props blob gets."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a single
+    # malformed blob ({"k": "oops"}) would otherwise abort the whole
+    # query — broken values must degrade to NULL like missing keys do
     j = ev.select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k"))
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"))
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").alias("sum_k"),

@@ -678,3 +678,26 @@ def test_events_json_scan_pruned_and_partial_agg(spark):
     # map-side combine exists before the shuffle)
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(event_type" in plan
+
+
+def test_events_json_malformed_props_yield_null(spark, tmp_path):
+    """Real feeds carry broken blobs: malformed JSON, wrong types, and
+    missing keys must extract as NULL (excluded from sum/min/max,
+    counted in n) — never error the scan."""
+    rows = [
+        (1, "a", '{"k": 5}'),
+        (2, "a", '{"k": "not-a-number"}'),   # wrong type -> NULL cast
+        (3, "a", 'not json at all'),          # malformed -> NULL
+        (4, "a", '{"other": 1}'),             # key missing -> NULL
+        (5, "a", None),                       # null blob -> NULL
+        (6, "b", '{"k": 7}'),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, props string") \
+        .write.parquet(sf + "/events.parquet")
+
+    from obmp_psql_spark.queries_core import q_events_json
+    got = {r.event_type: (r.n, r.sum_k, r.min_k, r.max_k, r.n_distinct_k)
+           for r in q_events_json(spark, sf).collect()}
+    assert got == {"a": (5, 5, 5, 5, 1), "b": (1, 7, 7, 7, 1)}
