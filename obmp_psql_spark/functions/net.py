@@ -29,12 +29,15 @@ from pyspark.sql import types as T
 def ipv4_to_long(ip: Column) -> Column:
     """Dotted-quad string -> BIGINT. (ref F4: IpAddr.getIpBits,
     src/test/java/org/openbmp/ConsumerRunnableAppTest.java:35-39)"""
+    # try_cast: addresses arrive from external feeds, and under ANSI
+    # mode a garbage octet would abort the job — malformed -> NULL
+    # (NULL bounds never match a containment/LPM predicate)
     o = F.split(ip, r"\.")
     return (
-        o.getItem(0).cast("long") * 16777216
-        + o.getItem(1).cast("long") * 65536
-        + o.getItem(2).cast("long") * 256
-        + o.getItem(3).cast("long")
+        o.getItem(0).try_cast("long") * 16777216
+        + o.getItem(1).try_cast("long") * 65536
+        + o.getItem(2).try_cast("long") * 256
+        + o.getItem(3).try_cast("long")
     )
 
 
@@ -55,7 +58,10 @@ def host(prefix: Column) -> Column:
 
 
 def masklen(prefix: Column) -> Column:
-    return F.coalesce(F.split(prefix, "/").getItem(1).cast("int"), F.lit(32))
+    # try_cast so a malformed mask ('10/xx') falls into the coalesce
+    # default like a missing one, instead of raising under ANSI mode
+    return F.coalesce(F.split(prefix, "/").getItem(1).try_cast("int"),
+                      F.lit(32))
 
 
 def ip_family(ip: Column) -> Column:
@@ -83,8 +89,9 @@ def asn_dot_to_long(asn: Column) -> Column:
     parts = F.split(asn, r"\.")
     return F.when(
         F.size(parts) == 2,
-        parts.getItem(0).cast("long") * 65536 + parts.getItem(1).cast("long"),
-    ).otherwise(asn.cast("long"))
+        parts.getItem(0).try_cast("long") * 65536
+        + parts.getItem(1).try_cast("long"),
+    ).otherwise(asn.try_cast("long"))
 
 
 # ---------------------------------------------------------------------------

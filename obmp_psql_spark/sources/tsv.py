@@ -21,12 +21,18 @@ from ..schemas import MESSAGE_SCHEMAS
 
 
 def _coerce(raw: Column, dtype: T.DataType) -> Column:
+    # try_cast / try_to_timestamp throughout: this parses EXTERNAL wire
+    # bytes, and under ANSI mode (the Spark 4 default) a plain cast
+    # aborts the whole micro-batch on the first malformed field. The
+    # reference's consumer logs-and-tolerates bad fields
+    # (ConsumerRunnable.java parse guards); here a broken field
+    # degrades to NULL and the row survives for dead-lettering.
     if isinstance(dtype, T.StringType):
         return F.coalesce(raw, F.lit(""))  # ParseNullAsEmpty
     if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
         empty_as_zero = F.when(F.length(F.trim(raw)) == 0, F.lit("0")) \
                          .otherwise(raw)  # ParseLongEmptyAsZero
-        return empty_as_zero.cast(dtype)
+        return empty_as_zero.try_cast(dtype)
     if isinstance(dtype, T.BooleanType):
         return (
             F.when(F.lower(raw).isin("1", "true", "t"), F.lit(True))
@@ -34,8 +40,8 @@ def _coerce(raw: Column, dtype: T.DataType) -> Column:
             .otherwise(F.lit(None).cast("boolean"))
         )
     if isinstance(dtype, T.TimestampType):
-        return F.to_timestamp(raw)  # ParseTimestamp (UTC session)
-    return raw.cast(dtype)
+        return F.try_to_timestamp(raw)  # ParseTimestamp (UTC session)
+    return raw.try_cast(dtype)
 
 
 def parse_tsv(raw: DataFrame, msg_type: str, value_col: str = "value") -> DataFrame:

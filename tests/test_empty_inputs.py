@@ -79,3 +79,53 @@ def test_ingest_merge_empty_batch_is_noop(spark):
     before = {tuple(r) for r in state.collect()}
     after = {tuple(r) for r in new_state.collect()}
     assert after == before
+
+
+def test_tsv_parse_malformed_fields_degrade_to_null(spark):
+    """Under ANSI mode (Spark 4 default) a plain cast ABORTS the
+    micro-batch on the first malformed wire field. The parser must
+    instead degrade broken numerics/timestamps to NULL (reference
+    behavior: log-and-tolerate) so one bad message can't stall the
+    stream."""
+    from obmp_psql_spark.schemas import MESSAGE_SCHEMAS
+    from obmp_psql_spark.sources.tsv import parse_tsv
+
+    schema = MESSAGE_SCHEMAS["unicast_prefix"]
+    n = len(schema.fields)
+    # every field garbage except action/hash-ish strings
+    garbage = "\t".join(["add"] + ["not!a@number"] * (n - 1))
+    raw = spark.createDataFrame([(garbage,)], "value string")
+    row = parse_tsv(raw, "unicast_prefix").collect()[0]
+    # the row survives; string fields keep the junk, numeric and
+    # timestamp fields are NULL
+    import pyspark.sql.types as T
+    for f in schema.fields:
+        v = row[f.name]
+        if isinstance(f.dataType, T.StringType):
+            assert v is not None
+        elif isinstance(f.dataType, (T.LongType, T.IntegerType,
+                                     T.ShortType, T.TimestampType)):
+            assert v is None, f.name
+
+
+def test_net_parsers_malformed_inputs_yield_null(spark):
+    """ipv4_to_long / masklen / asn_dot_to_long on garbage must yield
+    NULL (or the documented default), never raise under ANSI mode."""
+    from obmp_psql_spark.functions import net
+
+    df = spark.createDataFrame(
+        [("999.x.0.o", "10.0.0.0/xx", "not.asn"),
+         ("10.0.0.1", "10.0.0.0/8", "64512.100")],
+        "ip string, pref string, asn string")
+    rows = df.select(
+        net.ipv4_to_long(F.col("ip")).alias("ipl"),
+        net.masklen(F.col("pref")).alias("ml"),
+        net.asn_dot_to_long(F.col("asn")).alias("asn"),
+    ).collect()
+    bad, good = rows
+    assert bad.ipl is None
+    assert bad.ml == 32          # malformed mask -> host default
+    assert bad.asn is None
+    assert good.ipl == 167772161
+    assert good.ml == 8
+    assert good.asn == 64512 * 65536 + 100
