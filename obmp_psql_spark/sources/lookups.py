@@ -23,7 +23,7 @@ def _with_bounds(df: DataFrame, prefix_col: str = "ip") -> DataFrame:
     start, end = net.ipv4_prefix_bounds(F.col(prefix_col))
     is_v4 = ~F.col(prefix_col).contains(":")
     m6 = F.when(F.col(prefix_col).contains("/"),
-                F.split(F.col(prefix_col), "/").getItem(1).cast("int")) \
+                F.split(F.col(prefix_col), "/").getItem(1).try_cast("int")) \
          .otherwise(F.lit(128))
     v6 = net.ipv6_to_longs(F.when(~is_v4, net.host(F.col(prefix_col))))
     sh, sl, eh, el = net.ipv6_bounds_longs(v6["hi"], v6["lo"], m6)
@@ -57,8 +57,8 @@ def load_geo_dbip_csv(spark: SparkSession, path: str) -> DataFrame:
         F.when(F.col("ip").contains(":"), 6).otherwise(4)
          .cast("short").alias("family"),
         "ip", "country", "stateprov", "city",
-        F.col("latitude").cast("double").alias("latitude"),
-        F.col("longitude").cast("double").alias("longitude"),
+        F.col("latitude").try_cast("double").alias("latitude"),
+        F.col("longitude").try_cast("double").alias("longitude"),
         F.lit(0.0).alias("timezone_offset"),
         "timezone_name",
         F.lit("").alias("isp_name"),
@@ -89,8 +89,8 @@ def load_geo_maxmind_csv(spark: SparkSession, locations_path: str,
     blocks = spark.read.csv(list(block_paths), header=True).select(
         F.col("network").alias("ip"),
         F.col("geoname_id"),
-        F.col("latitude").cast("double").alias("latitude"),
-        F.col("longitude").cast("double").alias("longitude"),
+        F.col("latitude").try_cast("double").alias("latitude"),
+        F.col("longitude").try_cast("double").alias("longitude"),
     )
     joined = blocks.join(F.broadcast(loc), "geoname_id")
     geo = joined.select(
@@ -135,9 +135,9 @@ def load_rpki_roas_json(spark: SparkSession, path: str,
     roas = raw.select(F.explode("roas").alias("r")).select(
         F.col("r.prefix").alias("prefix"),
         net.masklen(F.col("r.prefix")).cast("short").alias("prefix_len"),
-        F.col("r.maxLength").cast("short").alias("prefix_len_max"),
+        F.col("r.maxLength").try_cast("short").alias("prefix_len_max"),
         F.regexp_replace(F.col("r.asn").cast("string"), "^AS", "")
-         .cast("long").alias("origin_as"),
+         .try_cast("long").alias("origin_as"),
         F.lit(now or dt.datetime.utcnow()).alias("timestamp"),
     ).dropDuplicates(["prefix", "prefix_len_max", "origin_as"])
     out = _with_bounds(roas, "prefix").drop("masklen")

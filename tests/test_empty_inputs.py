@@ -129,3 +129,22 @@ def test_net_parsers_malformed_inputs_yield_null(spark):
     assert good.ipl == 167772161
     assert good.ml == 8
     assert good.asn == 64512 * 65536 + 100
+
+
+def test_geo_csv_malformed_latlong_survives(spark, tmp_path):
+    """A junk latitude ('N/A') in a DB-IP row must load as NULL, not
+    abort the whole CSV under ANSI mode."""
+    csv = tmp_path / "dbip.csv"
+    csv.write_text(
+        '10.0.0.0,10.0.0.255,NA,US,WA,Seattle,N/A,bogus,UTC\n'
+        '10.1.0.0,10.1.0.255,NA,US,OR,Portland,45.52,-122.68,UTC\n')
+    from obmp_psql_spark.sources.lookups import load_geo_dbip_csv
+
+    rows = load_geo_dbip_csv(spark, str(csv)).collect()
+    assert len(rows) >= 2
+    by_city = {}
+    for r in rows:
+        by_city.setdefault(r.city, r)
+    assert by_city["Seattle"].latitude is None
+    assert by_city["Seattle"].longitude is None
+    assert abs(by_city["Portland"].latitude - 45.52) < 1e-9
