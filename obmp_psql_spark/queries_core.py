@@ -998,3 +998,64 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("n").cast("long").alias("n"),
                           F.col("n_rows").cast("long").alias("n_rows")))
     return o_rows.unionByName(li_rows).unionByName(orphan_row)
+
+
+# ---------------------------------------------------------------------------
+# approximate count-distinct, driver-gated via the handshake pattern
+# ---------------------------------------------------------------------------
+
+def _hll_aux(sf_dir: str) -> str:
+    import os as _os
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "spark-warehouse", "aux")
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    return _os.path.join(root, f"q_approx_distinct_{tag}")
+
+
+def _hll_oracle(sf_dir: str) -> str:
+    return f"""
+    WITH ap AS (
+      SELECT event_type, CAST(approx_n AS BIGINT) AS approx_n
+      FROM read_parquet('{_hll_aux(sf_dir)}/*.parquet')
+    ), ex AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_n, approx_n,
+           CAST(abs(approx_n - exact_n) * 1000000 // exact_n AS BIGINT)
+             AS err_ppm
+    FROM ex JOIN ap USING (event_type)
+    """
+
+
+@register(
+    "q_approx_distinct_gate",
+    oracle=_hll_oracle,
+    survey_ref="A5/A10 scale path: HLL++ approx count-distinct with a "
+               "driver-gated error bound — the recall-handshake pattern "
+               "generalized to approximate aggregates (SURVEY known-hard "
+               "#4: exact countDistinct on 100 TB is shuffle-heavy; the "
+               "sketch is mergeable/map-side-combinable, and this gate "
+               "PROVES its deviation instead of documenting it)",
+    doc="Spark computes HLL++ estimates, dumps them to a parquet "
+        "handoff, and returns integer err-ppm vs its own exact count; "
+        "DuckDB recomputes the exact side independently and must land "
+        "on identical err-ppm rows (HLL++ is deterministic: hash-based, "
+        "merge-order-independent)",
+)
+def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_n"))
+    aux = _hll_aux(sf_dir)
+    approx.coalesce(1).write.mode("overwrite").parquet(aux)
+    ap = spark.read.parquet(aux)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n"))
+    return (exact.join(ap, "event_type")
+            .select("event_type",
+                    F.col("exact_n").cast("long").alias("exact_n"),
+                    F.col("approx_n").cast("long").alias("approx_n"),
+                    F.expr("abs(approx_n - exact_n) * 1000000L "
+                           "div exact_n").alias("err_ppm")))

@@ -701,3 +701,15 @@ def test_events_json_malformed_props_yield_null(spark, tmp_path):
     got = {r.event_type: (r.n, r.sum_k, r.min_k, r.max_k, r.n_distinct_k)
            for r in q_events_json(spark, sf).collect()}
     assert got == {"a": (5, 5, 5, 5, 1), "b": (1, 7, 7, 7, 1)}
+
+
+def test_approx_distinct_error_within_sketch_bound(spark):
+    """The HLL++ estimates the gate hands off must actually be close:
+    rsd=0.01 gives a ~1% standard error, so 5% (50000 ppm) is a
+    generous hard ceiling at fixture cardinalities."""
+    from obmp_psql_spark.queries_core import q_approx_distinct_gate
+
+    rows = q_approx_distinct_gate(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.err_ppm <= 50_000, (r.event_type, r.err_ppm)
