@@ -1059,3 +1059,58 @@ def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("approx_n").cast("long").alias("approx_n"),
                     F.expr("abs(approx_n - exact_n) * 1000000L "
                            "div exact_n").alias("err_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# dead-letter split over the real wire parser
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dead_letter",
+    oracle=_ev("""
+    SELECT CASE WHEN event_id % 17 = 0 AND event_id % 13 = 0
+                  THEN 'null:ts,asn'
+                WHEN event_id % 17 = 0 THEN 'null:ts'
+                WHEN event_id % 13 = 0 THEN 'null:asn'
+                ELSE 'valid' END AS reason,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ev GROUP BY 1
+    """),
+    survey_ref="S2 + ingest robustness: dead-letter quarantine — wire "
+               "rows whose required fields fail to parse are split out "
+               "with a reason instead of aborting the batch (ANSI-safe "
+               "parser) or silently vanishing",
+    doc="events rendered to TSV wire strings with a deterministic "
+        "corruption pattern (every 17th ts, every 13th asn), pushed "
+        "through the REAL parser, then split; the oracle derives the "
+        "expected quarantine counts from the corruption rule alone — a "
+        "differential test of the parser's actual null behavior",
+)
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    from .sources.tsv import parse_tsv, split_dead_letter
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wire_schema = T.StructType([
+        T.StructField("action", T.StringType()),
+        T.StructField("hash", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("asn", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ])
+    wire = ev.select(F.concat_ws(
+        "\t",
+        F.lit("add"),
+        F.concat(F.lit("h"), F.col("user_id").cast("string")),
+        F.when(F.col("event_id") % 17 == 0, F.lit("garbage"))
+         .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        F.when(F.col("event_id") % 13 == 0, F.lit("XX"))
+         .otherwise((65000 + F.col("user_id") % 50).cast("string")),
+        (F.col("event_id") % 100).cast("string"),
+    ).alias("value"))
+    parsed = parse_tsv(wire, wire_schema)
+    valid, dead = split_dead_letter(parsed, required=("ts", "asn"))
+    return (valid.select(F.lit("valid").alias("reason"))
+            .unionByName(dead.select(F.col("dl_reason").alias("reason")))
+            .groupBy("reason").agg(F.count(F.lit(1)).alias("n")))

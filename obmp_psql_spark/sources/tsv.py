@@ -44,15 +44,42 @@ def _coerce(raw: Column, dtype: T.DataType) -> Column:
     return raw.try_cast(dtype)
 
 
-def parse_tsv(raw: DataFrame, msg_type: str, value_col: str = "value") -> DataFrame:
+def parse_tsv(raw: DataFrame, msg_type: str | T.StructType,
+              value_col: str = "value") -> DataFrame:
     """Split tab-separated payload rows into the typed message schema
-    by position. ``raw`` is e.g. the Kafka value (bytes/string)."""
-    schema = MESSAGE_SCHEMAS[msg_type]
+    by position. ``raw`` is e.g. the Kafka value (bytes/string).
+    ``msg_type`` is a MESSAGE_SCHEMAS key, or a StructType directly
+    for ad-hoc wire formats."""
+    schema = msg_type if isinstance(msg_type, T.StructType) \
+        else MESSAGE_SCHEMAS[msg_type]
     fields = F.split(F.col(value_col).cast("string"), "\t")
     return raw.select(*[
         _coerce(fields.getItem(i), f.dataType).alias(f.name)
         for i, f in enumerate(schema.fields)
     ])
+
+
+def split_dead_letter(parsed: DataFrame,
+                      required: tuple[str, ...]) -> tuple[DataFrame, DataFrame]:
+    """Quarantine rows whose REQUIRED typed fields failed to parse
+    (try_cast degraded them to NULL): returns (valid, dead), where
+    ``dead`` carries a deterministic ``dl_reason`` column naming the
+    null required fields in schema order ('null:ts,asn').
+
+    Scale shape: two complementary scan-stage filters over the same
+    parse projection — no shuffle, no second parse; at 100 TB the
+    dead stream is appended to a quarantine table for replay after a
+    parser fix (the reference logs-and-drops; a lakehouse keeps the
+    bytes)."""
+    nulls = [F.when(F.col(c).isNull(), F.lit(c)) for c in required]
+    reason = F.concat_ws(",", *nulls)  # concat_ws skips nulls
+    ok = F.lit(True)
+    for c in required:
+        ok = ok & F.col(c).isNotNull()
+    valid = parsed.filter(ok)
+    dead = parsed.filter(~ok).withColumn(
+        "dl_reason", F.concat(F.lit("null:"), reason))
+    return valid, dead
 
 
 def to_tsv(df: DataFrame, msg_type: str) -> DataFrame:
