@@ -1114,3 +1114,68 @@ def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (valid.select(F.lit("valid").alias("reason"))
             .unionByName(dead.select(F.col("dl_reason").alias("reason")))
             .groupBy("reason").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q_stream_dead_letter",
+    oracle=_ev("""
+    SELECT CASE WHEN event_id % 17 = 0 AND event_id % 13 = 0
+                  THEN 'null:ts,asn'
+                WHEN event_id % 17 = 0 THEN 'null:ts'
+                WHEN event_id % 13 = 0 THEN 'null:asn'
+                ELSE 'valid' END AS reason,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ev GROUP BY 1
+    """),
+    survey_ref="S2/T5 x robustness: dead-letter quarantine through the "
+               "transactional store — per-batch parse + split committed "
+               "atomically (valid rows can never publish without their "
+               "quarantine siblings), replayed batches no-op",
+    doc="wire rows arrive in two micro-batches with the q_dead_letter "
+        "corruption pattern; each batch parses once, splits, and "
+        "commits both tables in one txn; batch 0 is replayed and must "
+        "no-op — the accumulated counts must equal the batch-derived "
+        "oracle exactly",
+)
+def q_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    from .queries_bmp import _cached_pipeline
+    from .sources.tsv import ingest_with_dead_letter
+
+    wire_schema = T.StructType([
+        T.StructField("action", T.StringType()),
+        T.StructField("hash", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("asn", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="dl_"))
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        wire = ev.select("event_id", F.concat_ws(
+            "\t",
+            F.lit("add"),
+            F.concat(F.lit("h"), F.col("user_id").cast("string")),
+            F.when(F.col("event_id") % 17 == 0, F.lit("garbage"))
+             .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+            F.when(F.col("event_id") % 13 == 0, F.lit("XX"))
+             .otherwise((65000 + F.col("user_id") % 50).cast("string")),
+            (F.col("event_id") % 100).cast("string"),
+        ).alias("value"))
+        for bid in (0, 1, 0):  # third call replays batch 0: must no-op
+            batch = wire.filter(F.col("event_id") % 2 == bid) \
+                        .select("value")
+            ingest_with_dead_letter(store, batch, wire_schema,
+                                    required=("ts", "asn"), batch_id=bid)
+        return (store.read("wire_valid"), store.read("wire_dead"))
+
+    valid, dead = _cached_pipeline("deadletter", spark, sf_dir, build)
+    return (valid.select(F.lit("valid").alias("reason"))
+            .unionByName(dead.select(F.col("dl_reason").alias("reason")))
+            .groupBy("reason").agg(F.count(F.lit(1)).alias("n")))

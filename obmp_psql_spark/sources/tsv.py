@@ -102,3 +102,34 @@ def normalize_hash(c: Column) -> Column:
     reference accepts both forms and canonicalizes with
     replaceAll("-","") (ConsumerRunnable.java:604,622)."""
     return F.lower(F.regexp_replace(c, "-", ""))
+
+
+def ingest_with_dead_letter(store, raw: DataFrame,
+                            schema: "str | T.StructType",
+                            required: tuple[str, ...], *,
+                            batch_id: int,
+                            valid_table: str = "wire_valid",
+                            dead_table: str = "wire_dead") -> None:
+    """Micro-batch wire ingest with quarantine: parse the batch once,
+    split on required-field nullability, and commit BOTH streams in
+    one store transaction keyed by ``batch_id`` — a replayed batch is
+    skipped entirely (exactly-once, same guard as the BMP sink), and
+    a crash between the two appends can never publish valid rows
+    while losing their quarantine siblings (single atomic commit).
+
+    The txn app name derives from the table names so two wire feeds
+    sharing a store keep independent replay counters (same rule as
+    ``incremental_minhash_pairs``). The parse projection is persisted
+    for the two complementary filters and released before return —
+    a long-running stream accumulates no blocks."""
+    app = f"dead_letter:{valid_table}:{dead_table}"
+    if store.last_txn_version(app) >= batch_id:
+        return  # replayed batch: skip before parsing anything
+    parsed = parse_tsv(raw, schema).persist()
+    try:
+        valid, dead = split_dead_letter(parsed, required)
+        with store.transaction(app, batch_id) as txn:
+            txn.append(valid_table, valid)
+            txn.append(dead_table, dead)
+    finally:
+        parsed.unpersist()

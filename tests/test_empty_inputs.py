@@ -148,3 +148,39 @@ def test_geo_csv_malformed_latlong_survives(spark, tmp_path):
     assert by_city["Seattle"].latitude is None
     assert by_city["Seattle"].longitude is None
     assert abs(by_city["Portland"].latitude - 45.52) < 1e-9
+
+
+def test_ingest_with_dead_letter_replay_and_release(spark, tmp_path):
+    """The dead-letter ingest must be exactly-once (replayed batch_id
+    no-ops), atomic per batch, independent per feed (derived txn app
+    name), and must release its parse persist before returning."""
+    import pyspark.sql.types as T
+
+    from obmp_psql_spark.sources.tsv import ingest_with_dead_letter
+    from obmp_psql_spark.state import TxnStateStore
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    store = TxnStateStore(spark, str(tmp_path))
+    good = spark.createDataFrame([("a\t1",), ("b\t2",)], "value string")
+    bad = spark.createDataFrame([("c\tXX",)], "value string")
+
+    def cached(spark):
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = cached(spark)
+    ingest_with_dead_letter(store, good, schema, ("n",), batch_id=0)
+    ingest_with_dead_letter(store, bad, schema, ("n",), batch_id=1)
+    ingest_with_dead_letter(store, good, schema, ("n",), batch_id=0)  # replay
+    assert cached(spark) == before  # parse persist released
+
+    assert store.read("wire_valid").count() == 2
+    dead = store.read("wire_dead").collect()
+    assert [(r.k, r.dl_reason) for r in dead] == [("c", "null:n")]
+
+    # a second feed in the same store keeps its own replay counter
+    ingest_with_dead_letter(store, bad, schema, ("n",), batch_id=0,
+                            valid_table="v2", dead_table="d2")
+    assert store.read("d2").count() == 1
