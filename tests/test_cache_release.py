@@ -29,8 +29,18 @@ from obmp_psql_spark.operators.similarity import (
 from .conftest import SF_SMALL
 
 
-def _cached_rdd_count(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _cached_rdd_ids(spark) -> set:
+    """Ids of currently-persisted RDDs.
+
+    Tests assert on SET DIFFERENCES of these ids, never absolute
+    counts: the async ContextCleaner can reap another test's cached
+    RDD concurrently in the shared session, which shrinks a count
+    mid-test and flakes an equality assertion (seen in round 6).
+    A set-difference check — "no id persisted by THIS operator
+    survives" — is immune to concurrent reaping.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(x) for x in jmap.keySet().toArray()}
 
 
 def _docs(spark):
@@ -63,25 +73,25 @@ def _vecs(spark):
         "lsh", "ivf_trained", "embed_neardup", "pq"])
 def test_operator_artifacts_released(spark, build):
     cache.release_build_artifacts()  # clean slate from other tests
-    before = _cached_rdd_count(spark)
+    before = _cached_rdd_ids(spark)
     with cache.build_artifacts():
         n = build(spark).count()
         assert n >= 0
         # the operator did persist something inside the scope
-        assert _cached_rdd_count(spark) > before
-    assert _cached_rdd_count(spark) == before
+        assert _cached_rdd_ids(spark) - before
+    assert not (_cached_rdd_ids(spark) - before)
 
 
 def test_explicit_release(spark):
     cache.release_build_artifacts()
-    before = _cached_rdd_count(spark)
+    before = _cached_rdd_ids(spark)
     pairs = minhash_lsh_pairs(_docs(spark), "doc_id", "text",
                               num_hashes=8, bands=2)
     pairs.count()
-    assert _cached_rdd_count(spark) > before
+    assert _cached_rdd_ids(spark) - before
     freed = cache.release_build_artifacts()
     assert freed >= 1
-    assert _cached_rdd_count(spark) == before
+    assert not (_cached_rdd_ids(spark) - before)
 
 
 def test_release_before_consume_still_correct(spark):
@@ -101,13 +111,13 @@ def test_release_before_consume_still_correct(spark):
 
 def test_scope_is_exception_safe(spark):
     cache.release_build_artifacts()
-    before = _cached_rdd_count(spark)
+    before = _cached_rdd_ids(spark)
     with pytest.raises(RuntimeError, match="boom"):
         with cache.build_artifacts():
             minhash_lsh_pairs(_docs(spark), "doc_id", "text",
                               num_hashes=8, bands=2).count()
             raise RuntimeError("boom")
-    assert _cached_rdd_count(spark) == before
+    assert not (_cached_rdd_ids(spark) - before)
 
 
 def test_incremental_minhash_equals_batch_any_split(spark):
@@ -129,7 +139,7 @@ def test_incremental_minhash_equals_batch_any_split(spark):
     cache.release_build_artifacts()
 
     store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mh_prop_"))
-    before = _cached_rdd_count(spark)
+    before = _cached_rdd_ids(spark)
     for b in range(3):
         part = docs.filter(batch_expr == b)
         incremental_minhash_pairs(store, part, "doc_id", "text",
@@ -141,7 +151,7 @@ def test_incremental_minhash_equals_batch_any_split(spark):
                                   batch_id=b, num_hashes=8, bands=2)
     # the per-batch band persist must not outlive the call: a
     # long-running stream would otherwise accumulate blocks forever
-    assert _cached_rdd_count(spark) == before
+    assert not (_cached_rdd_ids(spark) - before)
     got = {(r.id_a, r.id_b) for r in store.read("doc_pairs").collect()}
     assert got == expected
     # and exactly once: no duplicate physical rows either

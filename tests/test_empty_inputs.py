@@ -167,14 +167,18 @@ def test_ingest_with_dead_letter_replay_and_release(spark, tmp_path):
     good = spark.createDataFrame([("a\t1",), ("b\t2",)], "value string")
     bad = spark.createDataFrame([("c\tXX",)], "value string")
 
-    def cached(spark):
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    # Compare RDD-id SETS, not absolute counts: the async ContextCleaner
+    # may reap another test's cached RDD mid-test in the shared session,
+    # which would shrink an absolute count and flake the assertion.
+    def cached_ids(spark):
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(x) for x in jmap.keySet().toArray()}
 
-    before = cached(spark)
+    before = cached_ids(spark)
     ingest_with_dead_letter(store, good, schema, ("n",), batch_id=0)
     ingest_with_dead_letter(store, bad, schema, ("n",), batch_id=1)
     ingest_with_dead_letter(store, good, schema, ("n",), batch_id=0)  # replay
-    assert cached(spark) == before  # parse persist released
+    assert not (cached_ids(spark) - before)  # parse persist released
 
     assert store.read("wire_valid").count() == 2
     dead = store.read("wire_dead").collect()
