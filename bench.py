@@ -128,7 +128,40 @@ def main() -> None:
         if cold.get("q_bmp_rib_merge", 0) > 0:
             out["ingest_rate_cold_msgs_per_sec"] = round(
                 n_msgs / cold["q_bmp_rib_merge"])
-    print(json.dumps(out))
+
+    # The driver archives only the LAST ~2000 chars of stdout; the full
+    # 97-query JSON line overflowed that window in round 6 and the
+    # archived artifact became unparseable ("parsed": null). So: write
+    # the COMPLETE result to a committed per-round file, and print a
+    # compact final line (headline rates + slowest queries, capped well
+    # under the window) that always parses.
+    round_n = os.environ.get("BENCH_ROUND")
+    if round_n is None:
+        import glob
+        import re
+        done = [int(m.group(1)) for f in glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", f))]
+        round_n = (max(done) + 1) if done else 0
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_LOCAL_r{int(round_n):02d}.json")
+    with open(local_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["full_timings"] = os.path.basename(local_path)
+    compact["queries"] = {}
+    budget = 1900 - len(json.dumps(compact, separators=(",", ":")))
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        entry = len(name) + len(repr(timings[name])) + 4
+        if budget - entry < 0:
+            break
+        compact["queries"][name] = timings[name]
+        budget -= entry
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
