@@ -153,7 +153,17 @@ def incremental_minhash_pairs(
     # one replay-version counter per index: two indexes sharing a store
     # must not skip each other's batches as replays
     app = f"minhash_index:{bands_table}:{pairs_table}"
-    if store.last_txn_version(app) >= batch_id:
+    last = store.last_txn_version(app)
+    if last < 0 and (bands_table, pairs_table) == ("doc_bands", "doc_pairs"):
+        # one-time migration: stores written before the per-index app key
+        # committed every batch under the shared legacy name. That counter
+        # semantically belongs to the default index (other table names
+        # never had correct replay isolation under it), so seed the
+        # default index's replay check from it — otherwise the first
+        # delivered batch after an upgrade would reprocess the whole
+        # history and append duplicate band/pair rows.
+        last = store.last_txn_version("minhash_index")
+    if last >= batch_id:
         return  # replayed batch: skip before doing the banding work
     # persist (not localCheckpoint): the band table feeds both the index
     # append and the pair join, but the handle must not outlive the

@@ -361,19 +361,15 @@ def pq_topk(
     against exact cosine_topk.
     """
     spark = df.sparkSession
-    # codebook training shuffles are codebook-sized (m*n_codes-ish
-    # groups), not corpus-sized: 8 post-shuffle partitions beat the
-    # session default 32 by ~2x wall at gate scale (fewer task
-    # launches across the 2-3 assign/means stages per Lloyd round) —
-    # the same micro-batch sizing call _cached_pipeline makes. The
-    # conf is scoped and restored; production sizes it to n_codes.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
-                             train_iters, max_queries)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # training/encode shuffles are small (codebook-sized after map-side
+    # partial agg); AQE's coalescePartitions (64KB floor, session.py)
+    # right-sizes their reducer counts. An earlier revision toggled the
+    # session-global spark.sql.shuffle.partitions to 8 around training —
+    # removed: re-measured at parity post-AQE-floor, and a session-conf
+    # mutation silently re-plans any CONCURRENT query on the session
+    # (advisor flag, round 6).
+    return _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
+                         train_iters, max_queries)
 
 
 def _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
@@ -457,8 +453,8 @@ def _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
         cents = spark.createDataFrame(means.collect(), means.schema)
 
     # encode the corpus: (id, subspace, code) — the stored index.
-    # count() fills the persist NOW, while the scoped 8-partition conf
-    # is active; the ADC search below then scans the cached codes.
+    # count() fills the persist NOW so the ADC search below scans the
+    # cached codes instead of re-running assignment per downstream use.
     codes = owned_persist(assign(cents).select("__id", "__sub", "__cid"))
     codes.count()
 

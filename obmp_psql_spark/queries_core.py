@@ -853,7 +853,11 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH j AS (
       SELECT event_type,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             -- TRY_CAST over the *string* extraction: malformed values
+             -- ({"k": "oops"}, {"k": 1.5}) must degrade to NULL exactly
+             -- like Spark's get_json_object + try_cast does, instead of
+             -- aborting the oracle run
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
     )
     SELECT event_type,
@@ -1023,8 +1027,11 @@ def _hll_oracle(sf_dir: str) -> str:
       FROM events GROUP BY event_type
     )
     SELECT event_type, exact_n, approx_n,
-           CAST(abs(approx_n - exact_n) * 1000000 // exact_n AS BIGINT)
-             AS err_ppm
+           -- nullif guard: a group whose user_id values are all NULL has
+           -- exact_n = 0 (count distinct ignores NULLs) and must yield
+           -- NULL err_ppm, not a divide-by-zero error (same on Spark)
+           CAST(abs(approx_n - exact_n) * 1000000
+                // nullif(exact_n, 0) AS BIGINT) AS err_ppm
     FROM ex JOIN ap USING (event_type)
     """
 
@@ -1049,7 +1056,8 @@ def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_n"))
     aux = _hll_aux(sf_dir)
-    approx.coalesce(1).write.mode("overwrite").parquet(aux)
+    from .queries_text import publish_aux
+    publish_aux(approx, aux)
     ap = spark.read.parquet(aux)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_n"))
@@ -1057,8 +1065,10 @@ def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     F.col("exact_n").cast("long").alias("exact_n"),
                     F.col("approx_n").cast("long").alias("approx_n"),
+                    # nullif: all-NULL user_id group => exact_n 0 => NULL
+                    # err_ppm instead of an ANSI divide-by-zero abort
                     F.expr("abs(approx_n - exact_n) * 1000000L "
-                           "div exact_n").alias("err_ppm")))
+                           "div nullif(exact_n, 0)").alias("err_ppm")))
 
 
 # ---------------------------------------------------------------------------

@@ -1326,6 +1326,40 @@ def _aux(name: str, sf_tag: str) -> str:
     return os.path.join(_AUX_ROOT, f"{name}_{sf_tag}")
 
 
+def publish_aux(df: DataFrame, path: str) -> None:
+    """Atomically publish a handshake handoff dump at ``path``.
+
+    The handoff paths are deterministic (name + sf tag) because the
+    DuckDB oracle string embeds them at resolution time — but a plain
+    ``mode("overwrite")`` write is delete-then-write, so a concurrent
+    run at the same sf (driver + check_oracles/bench) could read a
+    half-written dump and produce a spurious mismatch. Instead: write
+    to a fresh versioned directory, then atomically swap a symlink at
+    ``path`` onto it (``os.replace`` of a symlink is atomic on POSIX).
+    Readers on either engine always glob one COMPLETE version, and
+    because every dump's content is deterministic for given code +
+    data, whichever complete version they see scores identically.
+    The two newest versions are kept so a reader mid-scan of the
+    previous version never loses files under it; older ones are
+    reaped best-effort.
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    vdir = f"{path}.v{_time.time_ns()}_{os.getpid()}"
+    df.coalesce(1).write.parquet(vdir)
+    if os.path.lexists(path) and not os.path.islink(path):
+        _shutil.rmtree(path, ignore_errors=True)  # pre-symlink layout
+    tmp = f"{path}.lnk.{os.getpid()}"
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(os.path.basename(vdir), tmp)
+    os.replace(tmp, path)
+    for old in sorted(_glob.glob(f"{path}.v*"))[:-2]:
+        _shutil.rmtree(old, ignore_errors=True)
+
+
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
@@ -1344,9 +1378,10 @@ def _recall_vs_exact(spark: SparkSession, approx: DataFrame,
     the returned plan reads only the handoff parquet and ``items``.
     """
     aux = _aux(name, _sf_tag(sf_dir))
-    (approx.select(F.col("query_id").cast("long").alias("query_id"),
-                   F.col("neighbor_id").cast("long").alias("neighbor_id"))
-     .coalesce(1).write.mode("overwrite").parquet(aux))
+    publish_aux(
+        approx.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id")),
+        aux)
     ap = spark.read.parquet(aux)
     probes = items.join(
         ap.select(F.col("query_id").alias(id_col)).distinct(), id_col) \
@@ -1493,8 +1528,7 @@ def q_multimodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select(F.col("doc_id").cast("long").alias("doc_id"),
                         F.encode(F.col("text"), "UTF-8").alias("payload"))
     feats_aux = _aux("q_multimodal_feats", _sf_tag(sf_dir))
-    extract_image_features(payloads, dim=16) \
-        .coalesce(1).write.mode("overwrite").parquet(feats_aux)
+    publish_aux(extract_image_features(payloads, dim=16), feats_aux)
     # read the dump back so Spark's exact top-k scores the byte-identical
     # stored vectors DuckDB will read (array<double> roundtrips exactly)
     feats = spark.read.parquet(feats_aux) \

@@ -179,3 +179,40 @@ def test_incremental_minhash_two_indexes_one_store(spark):
     alt = {(r.id_a, r.id_b) for r in store.read("alt_pairs").collect()}
     assert alt == base  # same corpus, same params => same pairs
     assert store.read("alt_bands").count() == store.read("doc_bands").count()
+
+
+def test_incremental_minhash_legacy_counter_migration(spark):
+    """A store whose batches committed under the pre-upgrade shared
+    'minhash_index' app key must not reprocess its history when the
+    per-index key first sees a replayed batch_id (exactly-once across
+    the upgrade); a genuinely new batch must still process."""
+    import tempfile
+
+    from obmp_psql_spark.operators.dedup import incremental_minhash_pairs
+    from obmp_psql_spark.state import TxnStateStore
+
+    docs = _docs(spark)
+    store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mh_mig_"))
+    # simulate a legacy store: batches 0..1 committed under the old key
+    with store.transaction("minhash_index", 0):
+        pass
+    with store.transaction("minhash_index", 1):
+        pass
+
+    # replayed batch under the NEW key: must no-op via the seeded counter
+    incremental_minhash_pairs(store, docs, "doc_id", "text",
+                              batch_id=1, num_hashes=8, bands=2)
+    assert "doc_bands" not in store.snapshot().tables
+
+    # a new batch processes normally
+    incremental_minhash_pairs(store, docs, "doc_id", "text",
+                              batch_id=2, num_hashes=8, bands=2)
+    assert store.read("doc_bands").count() > 0
+
+    # a NON-default index in the same legacy store must NOT inherit the
+    # legacy counter (it never had correct isolation under it)
+    incremental_minhash_pairs(store, docs, "doc_id", "text",
+                              batch_id=0, num_hashes=8, bands=2,
+                              bands_table="alt_bands",
+                              pairs_table="alt_pairs")
+    assert store.read("alt_bands").count() > 0
