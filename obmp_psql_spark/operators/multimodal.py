@@ -12,6 +12,14 @@ pil when available, fake otherwise. The Spark-side contract — schema,
 batch iteration, partitioning, UDF signature — is identical for both,
 so swapping kernels changes no plan shape.
 
+Independent of the kernel switch, netpbm payloads (P2/P3/P5/P6
+PGM/PPM) ALWAYS decode for real via the pure-Python kernel
+(``decode_netpbm``/``encode_netpbm``): pixel math — resize,
+channel statistics, pixel-histogram features — runs in-container
+with no image library, and ``q_multimodal_decode`` hash-gates the
+full encode->decode->aggregate round-trip against a closed-form
+oracle. Pillow remains the path for compressed formats (PNG/JPEG).
+
 Scale notes: binary payloads ride as Parquet BYTE_ARRAY; keep them in
 their own column family/table keyed by content hash so metadata-only
 queries never scan blobs; ``spark.sql.files.maxPartitionBytes`` sizes
@@ -75,11 +83,99 @@ def decode_image_meta(payload: bytes, kernel: str = "auto") -> dict:
     }
 
 
+def decode_netpbm(payload: bytes):
+    """Pure-Python netpbm decode: P2/P3 (ascii) and P5/P6 (binary)
+    PGM/PPM -> (format, width, height, HxWx3 uint8 array), or None if
+    the payload is not netpbm. Handles ``#`` comments, arbitrary
+    header whitespace, and 2-byte samples (maxval > 255, big-endian
+    per spec, rescaled to uint8). Grayscale broadcasts to 3 channels
+    so every decoded image presents the RGB contract downstream
+    kernels expect. Malformed/truncated netpbm raises ValueError —
+    callers that want pass-through sniff the magic first."""
+    import numpy as np
+
+    if len(payload) < 2 or payload[0:1] != b"P" or \
+            payload[1:2] not in b"2356":
+        return None
+    magic = payload[:2].decode("ascii")
+
+    # header tokenizer: fields separated by whitespace, '#' to EOL is
+    # a comment; after the LAST header field exactly one whitespace
+    # byte precedes binary raster data (P5/P6)
+    pos = 2
+    fields = []
+    n_fields = 3  # width height maxval
+    while len(fields) < n_fields:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(payload) and payload[pos] in b"#":
+            while pos < len(payload) and payload[pos] not in b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+            pos += 1
+        if pos == start:
+            raise ValueError(f"netpbm {magic}: truncated header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError:
+            raise ValueError(f"netpbm {magic}: bad header field "
+                             f"{payload[start:pos]!r}") from None
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError(f"netpbm {magic}: bad dimensions {w}x{h} "
+                         f"maxval={maxval}")
+    channels = 3 if magic in ("P3", "P6") else 1
+    n_samples = w * h * channels
+
+    if magic in ("P5", "P6"):
+        pos += 1  # the single whitespace byte after maxval
+        wide = maxval > 255
+        need = n_samples * (2 if wide else 1)
+        raster = payload[pos:pos + need]
+        if len(raster) < need:
+            raise ValueError(f"netpbm {magic}: raster truncated "
+                             f"({len(raster)}/{need} bytes)")
+        dt = ">u2" if wide else np.uint8
+        arr = np.frombuffer(raster, dtype=dt, count=n_samples)
+    else:
+        toks = payload[pos:].split()
+        if len(toks) < n_samples:
+            raise ValueError(f"netpbm {magic}: raster truncated "
+                             f"({len(toks)}/{n_samples} samples)")
+        arr = np.array([int(t) for t in toks[:n_samples]])
+    if arr.max(initial=0) > maxval:
+        raise ValueError(f"netpbm {magic}: sample exceeds maxval")
+    if maxval != 255:  # rescale to the uint8 contract
+        arr = (arr.astype(np.uint32) * 255 // maxval)
+    arr = arr.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return ("ppm" if magic in ("P3", "P6") else "pgm", w, h, arr)
+
+
+def encode_netpbm(arr) -> bytes:
+    """HxWx3 uint8 array -> binary PPM (P6) bytes. The inverse of
+    ``decode_netpbm`` for maxval=255 round-trips bit-exactly."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
 def decode_image_pixels(payload: bytes):
-    """Payload -> HxWxC uint8 pixel array (PIL kernel only)."""
+    """Payload -> HxWxC uint8 pixel array. Netpbm payloads decode via
+    the pure-Python kernel (always available); other formats need
+    Pillow. Undecodable payloads raise ValueError."""
+    decoded = decode_netpbm(payload)
+    if decoded is not None:
+        return decoded[3]
     if not HAS_PIL:
-        raise NotImplementedError(
-            "pixel decode requires PIL/libvips; install Pillow to enable")
+        raise ValueError(
+            "payload is not netpbm and Pillow is not installed; "
+            "only PGM/PPM decode without an image library")
     import io
 
     import numpy as np
@@ -150,6 +246,19 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
                     return target_w, target_h, out.getvalue()
             except Exception:
                 return 0, 0, p
+        if p[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            # real pixel math without Pillow: pure-Python netpbm decode,
+            # nearest-neighbor resample via integer index maps, P6
+            # re-encode — same contract as the PIL path
+            import numpy as np
+
+            try:
+                _, w, h, arr = decode_netpbm(p)
+            except ValueError:
+                return 0, 0, p  # corrupt netpbm passes through like PIL's
+            ys = (np.arange(target_h) * h) // target_h
+            xs = (np.arange(target_w) * w) // target_w
+            return target_w, target_h, encode_netpbm(arr[ys][:, xs])
         meta = decode_image_meta(p, kernel)
         scale = (target_w * target_h) / max(1, meta["width"] * meta["height"])
         n_out = max(1, int(len(p) * min(1.0, scale)))
@@ -166,6 +275,75 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
         batches, schema="doc_id long, width int, height int, payload binary")
 
 
+def generate_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 test-image producer: (id) -> (doc_id, payload)
+    where payload is a binary PPM whose dimensions and pixels are a
+    closed-form function of the id — ``w = 4 + id%5``, ``h = 3 +
+    id%4``, ``channel c at (x, y) = (id*(c+1) + 7*y + 11*x) % 256``.
+    An independent engine can recompute every derived statistic from
+    the formula alone, so encode->decode->aggregate pipelines become
+    exactly oracle-checkable without shipping image fixtures."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                arr = np.stack(
+                    [(did * (c + 1) + 7 * y + 11 * x) % 256
+                     for c in (0, 1, 2)], axis=2).astype(np.uint8)
+                ids.append(did)
+                payloads.append(encode_netpbm(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, schema="doc_id long, payload binary")
+
+
+def image_channel_stats(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Real pixel math over decoded images: per-image dimensions and
+    integer-ppm channel means ``sum(channel) * 1_000_000 // (w*h)``
+    (integer arithmetic end to end — hash-stable across engines).
+    Netpbm decodes via the pure-Python kernel; other formats via
+    Pillow when present. Undecodable payloads yield typed nulls."""
+    import numpy as np
+
+    def stats_one(did: int, p: bytes):
+        try:
+            arr = decode_image_pixels(p)
+        except (ValueError, OSError):  # not an image / truncated / no lib
+            return (did, None, None, None, None, None, None)
+        dec = decode_netpbm(p)
+        fmt = dec[0] if dec is not None else "other"
+        h, w = arr.shape[0], arr.shape[1]
+        sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        n = w * h
+        return (did, fmt, w, h,
+                int(sums[0]) * 1_000_000 // n,
+                int(sums[1]) * 1_000_000 // n,
+                int(sums[2]) * 1_000_000 // n)
+
+    cols = ["doc_id", "format", "width", "height",
+            "mean_r_ppm", "mean_g_ppm", "mean_b_ppm"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                [stats_one(int(d), p)
+                 for d, p in zip(pdf[id_col], pdf[payload_col])],
+                columns=cols)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        schema="doc_id long, format string, width int, height int, "
+               "mean_r_ppm long, mean_g_ppm long, mean_b_ppm long")
+
+
 def extract_image_features(df: DataFrame, dim: int = 16,
                            id_col: str = "doc_id",
                            payload_col: str = "payload") -> DataFrame:
@@ -179,19 +357,30 @@ def extract_image_features(df: DataFrame, dim: int = 16,
 
     import numpy as np
 
+    def embed_one(p: bytes):
+        if p[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            try:  # real pixel math when the payload is a decodable image
+                pix = decode_netpbm(p)[3]
+                v = np.bincount(pix.ravel() % dim,
+                                minlength=dim).astype("float64")
+                n = np.linalg.norm(v)
+                return (v / n if n else v).tolist()
+            except ValueError:
+                pass  # netpbm-looking text: fall through to the fake
+        seed = int.from_bytes(hashlib.md5(p).digest()[:4], "big")
+        arr = np.frombuffer(p, dtype=np.uint8)
+        hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+        rng = np.random.default_rng(seed)
+        v = hist + rng.standard_normal(dim) * 0.01
+        n = np.linalg.norm(v)
+        return (v / n if n else v).tolist()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, vecs = [], []
-            for did, p in zip(pdf[id_col], pdf[payload_col]):
-                seed = int.from_bytes(hashlib.md5(p).digest()[:4], "big")
-                arr = np.frombuffer(p, dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
-                rng = np.random.default_rng(seed)
-                v = hist + rng.standard_normal(dim) * 0.01
-                n = np.linalg.norm(v)
-                vecs.append((v / n if n else v).tolist())
-                ids.append(did)
-            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+            yield pd.DataFrame({
+                "doc_id": [did for did in pdf[id_col]],
+                "embedding": [embed_one(p) for p in pdf[payload_col]],
+            })
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema="doc_id long, embedding array<double>")

@@ -654,6 +654,53 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+    dims AS (SELECT did, 4 + did % 5 AS w, 3 + did % 4 AS h FROM ids),
+    px AS (
+      -- DuckDB generate_series takes no lateral column args; w<=8 and
+      -- h<=6 are bounded by construction, so a fixed grid + filter is
+      -- equivalent
+      SELECT did, w, h, yy.y AS y, xx.x AS x
+      FROM dims
+      CROSS JOIN generate_series(0, 5) AS yy(y)
+      CROSS JOIN generate_series(0, 7) AS xx(x)
+      WHERE yy.y < h AND xx.x < w
+    ),
+    sums AS (
+      SELECT did, w, h,
+             sum((did * 1 + 7 * y + 11 * x) % 256) AS s_r,
+             sum((did * 2 + 7 * y + 11 * x) % 256) AS s_g,
+             sum((did * 3 + 7 * y + 11 * x) % 256) AS s_b
+      FROM px GROUP BY did, w, h
+    )
+    SELECT did AS doc_id, 'ppm' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(s_r * 1000000 // (w * h) AS BIGINT) AS mean_r_ppm,
+           CAST(s_g * 1000000 // (w * h) AS BIGINT) AS mean_g_ppm,
+           CAST(s_b * 1000000 // (w * h) AS BIGINT) AS mean_b_ppm
+    FROM sums
+    """,
+    survey_ref="training-data multimodal: REAL pixel decode in-container — "
+               "pure-Python netpbm kernel (P2/P3/P5/P6) closes the one "
+               "NotImplementedError branch; Pillow stays the path for "
+               "compressed formats",
+    doc="deterministic P6 payloads generated per doc_id -> binary encode "
+        "-> pure-Python decode -> integer-ppm channel means; DuckDB "
+        "recomputes the means from the closed-form pixel formula alone, "
+        "so the whole encode/decode round-trip is hash-gated",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (generate_ppm_payloads,
+                                       image_channel_stats)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payloads = generate_ppm_payloads(
+        d.select(F.col("doc_id").cast("long").alias("doc_id")))
+    return image_channel_stats(payloads)
+
+
+@register(
     "q_ann_topk_arrow",
     oracle=None,  # numpy matmul sum order differs in the last ulp ->
                   # rows-only check; recall vs the exact path is

@@ -257,8 +257,8 @@ def test_multimodal_resize_and_features(spark):
 
 def test_multimodal_kernel_selection(spark):
     """Without Pillow, 'auto' resolves to the fake kernel, 'pil' is an
-    explicit ImportError, and pixel decode stays NotImplemented; with
-    Pillow the real path is covered by the skipif tests below."""
+    explicit ImportError, and non-netpbm pixel decode is a ValueError;
+    with Pillow the real path is covered by the skipif tests below."""
     import pytest
 
     from obmp_psql_spark.operators import multimodal as mm
@@ -274,8 +274,101 @@ def test_multimodal_kernel_selection(spark):
                 spark.createDataFrame([(1, b"x")],
                                       "doc_id long, payload binary"),
                 kernel="pil")
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="not netpbm"):
             mm.decode_image_pixels(b"x")
+
+
+def test_netpbm_decode_encode_roundtrip():
+    """Pure-Python netpbm kernel: P6 round-trips bit-exactly; P2/P3/P5
+    decode; comments/whitespace/16-bit/grayscale handled; malformed
+    payloads raise ValueError; non-netpbm returns None."""
+    import numpy as np
+    import pytest
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    p6 = mm.encode_netpbm(arr)
+    fmt, w, h, back = mm.decode_netpbm(p6)
+    assert (fmt, w, h) == ("ppm", 4, 5)
+    assert np.array_equal(back, arr)
+    assert mm.encode_netpbm(back) == p6  # bit-exact round-trip
+
+    # ascii P3 with comments and ragged whitespace
+    p3 = (b"P3 # comment\n# full-line comment\n 2\t2 # dims\n255\n"
+          b"1 2 3  4 5 6\n7 8 9 10 11 12")
+    fmt, w, h, a3 = mm.decode_netpbm(p3)
+    assert (fmt, w, h) == ("ppm", 2, 2)
+    assert a3[1, 1].tolist() == [10, 11, 12]
+
+    # grayscale P5 broadcasts to 3 channels; 16-bit rescales to uint8
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    _, _, _, a5 = mm.decode_netpbm(p5)
+    assert a5.shape == (2, 2, 3)
+    assert a5[0, 1].tolist() == [64, 64, 64]
+    p5w = b"P5\n1 1\n65535\n" + (32768).to_bytes(2, "big")
+    _, _, _, aw = mm.decode_netpbm(p5w)
+    assert aw[0, 0, 0] == 32768 * 255 // 65535
+
+    # P2 ascii grayscale
+    fmt, w, h, a2 = mm.decode_netpbm(b"P2\n3 1\n9\n0 4 9")
+    assert (fmt, w, h) == ("pgm", 3, 1)
+    assert a2[0, :, 0].tolist() == [0, 4 * 255 // 9, 255]
+
+    assert mm.decode_netpbm(b"\x89PNG...") is None
+    assert mm.decode_netpbm(b"") is None
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_netpbm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_netpbm(b"P3\n2 2\n255\n1 2 3")
+    with pytest.raises(ValueError, match="bad header"):
+        mm.decode_netpbm(b"P6\nxx 4\n255\n")
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        mm.decode_netpbm(b"P2\n1 1\n9\n10")
+
+    # decode_image_pixels prefers the netpbm kernel (works without PIL)
+    assert np.array_equal(mm.decode_image_pixels(p6), arr)
+
+
+def test_netpbm_real_resize_and_stats(spark):
+    """resize_images executes REAL pixel math on netpbm payloads with
+    no image library: nearest-neighbor resample, P6 re-encode; the
+    channel-stats kernel computes exact integer-ppm means."""
+    import numpy as np
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    grad = np.stack([np.tile(np.arange(8, dtype=np.uint8) * 30, (6, 1))] * 3,
+                    axis=2)
+    docs = spark.createDataFrame(
+        [(1, mm.encode_netpbm(grad)), (2, b"not an image")],
+        "doc_id long, payload binary")
+
+    rs = {r.doc_id: r for r in mm.resize_images(docs, 4, 3).collect()}
+    fmt, w, h, small = mm.decode_netpbm(bytes(rs[1].payload))
+    assert (fmt, w, h) == ("ppm", 4, 3)
+    # nearest-neighbor of the column gradient: columns 0,2,4,6 survive
+    assert small[0, :, 0].tolist() == [0, 60, 120, 180]
+    assert (rs[2].width, rs[2].height) == (4, 3)  # fake path rides on
+
+    st = {r.doc_id: r for r in mm.image_channel_stats(docs).collect()}
+    n = grad[:, :, 0].size
+    want = int(grad[:, :, 0].astype(np.int64).sum()) * 1_000_000 // n
+    assert st[1].mean_r_ppm == want
+    assert (st[1].width, st[1].height, st[1].format) == (8, 6, "ppm")
+    assert st[2].width is None and st[2].mean_b_ppm is None
+
+    # generate -> decode closes the loop the q_multimodal_decode oracle
+    # checks: stats equal the closed-form pixel formula
+    gen = mm.generate_ppm_payloads(
+        spark.createDataFrame([(11,)], "doc_id long"))
+    row = mm.image_channel_stats(gen).collect()[0]
+    w_, h_ = 4 + 11 % 5, 3 + 11 % 4
+    s = sum((11 * 1 + 7 * y + 11 * x) % 256
+            for y in range(h_) for x in range(w_))
+    assert (row.width, row.height) == (w_, h_)
+    assert row.mean_r_ppm == s * 1_000_000 // (w_ * h_)
 
 
 def _png_bytes(w: int, h: int, color) -> bytes:
