@@ -1936,3 +1936,452 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
                     (F.col("doc_id") == F.col("keep_doc_id"))
                     .alias("is_kept")))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary coverage: top-V vocab build + per-doc OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 16
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
+      FROM documents
+    ), t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c FROM t GROUP BY term
+        ORDER BY c DESC, term ASC LIMIT {_VOCAB_V})
+    ),
+    per AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov
+      FROM t LEFT JOIN vocab v ON t.term = v.term
+      GROUP BY t.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_oov,
+           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+    FROM per
+    """,
+    survey_ref="training-data text analysis: tokenizer vocabulary build "
+               "(top-V corpus tokens, deterministic tie-break) + per-doc "
+               "out-of-vocabulary rate — the coverage check run before "
+               "committing to a tokenizer",
+    doc="explode -> token-count agg -> top-V (count desc, token asc) -> "
+        "broadcast vocab left-join -> per-doc integer-ppm OOV rate",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the vocabulary agg shuffles one row per DISTINCT
+    token (map-side combined), the top-V sort is over that bounded
+    distinct set, and the resulting V-row vocab broadcasts — so the
+    second corpus pass is scan + broadcast-hash-join + per-doc agg.
+    No shuffle carries document text; oov_ppm is integer arithmetic
+    (hash-stable, no float division)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    tok = (d.select("doc_id", F.explode(toks).alias("term"))
+           .filter(F.length("term") > 0))
+    vocab = F.broadcast(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(_VOCAB_V)
+        .select("term", F.lit(1).alias("__in_vocab")))
+    return (tok.join(vocab, "term", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("__in_vocab").isNull(), 1))
+                  .alias("n_oov"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_oov").cast("long").alias("n_oov"),
+                    F.expr("n_oov * 1000000L div n_tokens")
+                     .alias("oov_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# full-text search over posting lists: conjunctive terms + phrase match
+# ---------------------------------------------------------------------------
+
+_FTS_TERMS = ("join", "vector", "window")
+
+
+@register(
+    "q_fts_conjunctive",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, count(DISTINCT term) AS nt,
+             CAST(count(*) AS BIGINT) AS score
+      FROM tok WHERE term IN {tuple(_FTS_TERMS)!r}
+      GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, score
+    FROM h WHERE nt = {len(_FTS_TERMS)}
+    """,
+    survey_ref="training-data corpus search: conjunctive (AND) term query "
+               "over posting lists — the retrieval primitive for corpus "
+               "inspection/filtering at scale",
+    doc="explode -> term IN filter -> per-doc agg keeping docs matching "
+        "ALL query terms; score = total query-term occurrences",
+)
+def q_fts_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Models the probe side of a stored inverted index: the term
+    filter lands in the scan stage (only query-term postings survive
+    to the shuffle — k tiny posting lists, not the corpus), and the
+    AND is a count-distinct-equals-k per doc, one map-side-combinable
+    agg. At 100 TB the posting-list table is the persisted artifact;
+    the per-query plan shape is exactly this filter + agg."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    return (tok.filter(F.col("term").isin(*_FTS_TERMS))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("__nt"),
+                 F.count(F.lit(1)).alias("score"))
+            .filter(F.col("__nt") == len(_FTS_TERMS))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("score").cast("long").alias("score")))
+
+
+_FTS_PHRASE = ("hash", "value")
+
+
+@register(
+    "q_fts_phrase",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, g.i AS pos, t[g.i] AS term
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = '{_FTS_PHRASE[0]}' AND b.term = '{_FTS_PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+    survey_ref="training-data corpus search: exact phrase query via a "
+               "POSITIONAL posting join (adjacent-position match) — the "
+               "operator shape LIKE '%phrase%' scans cannot give an "
+               "index at scale",
+    doc="posexplode -> per-term position lists -> self-join on "
+        "(doc, pos+1) adjacency -> occurrence counts per doc",
+)
+def q_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index probe: both join inputs are filtered
+    to ONE term's postings in the scan stage, so the adjacency join
+    moves two tiny position lists, never documents. At 100 TB the
+    (term, doc, pos) table is the stored artifact; phrase cost is
+    proportional to the rarer term's posting list — the classic
+    intersect-by-position plan."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    pos = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+    a = pos.filter(F.col("term") == _FTS_PHRASE[0]) \
+        .select("doc_id", F.col("pos").alias("__pa"))
+    b = pos.filter(F.col("term") == _FTS_PHRASE[1]) \
+        .select("doc_id", F.col("pos").alias("__pb"))
+    return (a.join(b, ["doc_id"])
+            .filter(F.col("__pb") == F.col("__pa") + 1)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_occurrences").cast("long")
+                     .alias("n_occurrences")))
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted dedup representative: keep the LONGEST cluster member
+# ---------------------------------------------------------------------------
+
+_QUALITY_REP_ORACLE = f"""
+WITH RECURSIVE {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SHINGLE_N - 1})) AS g(i)
+),
+mh AS (
+  SELECT doc_id, {_minhash_cols}
+  FROM sh GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_band_exprs} FROM mh
+),
+banded AS (
+{_band_union}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (
+  SELECT id, min(lab) AS component FROM reach GROUP BY id
+),
+mem AS (
+  SELECT comp.id AS doc_id, comp.component, length(c.text) AS n_chars
+  FROM comp JOIN corpus c ON c.doc_id = comp.id
+),
+rep AS (
+  SELECT component, doc_id AS rep_id FROM (
+    SELECT component, doc_id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id ASC) AS r
+    FROM mem) WHERE r = 1
+),
+gs AS (SELECT component, count(*) AS group_size FROM mem GROUP BY component)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(length(c.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(gs.group_size, 1) AS BIGINT) AS group_size
+FROM corpus c
+LEFT JOIN comp ON comp.id = c.doc_id
+LEFT JOIN rep ON rep.component = comp.component
+LEFT JOIN gs ON gs.component = comp.component
+WHERE comp.id IS NULL OR c.doc_id = rep.rep_id
+"""
+
+
+@register(
+    "q_dedup_quality_rep",
+    oracle=_QUALITY_REP_ORACLE,
+    survey_ref="training-data dedup: QUALITY-WEIGHTED cluster collapse — "
+               "keep the most complete member of each near-dup cluster "
+               "(longest text, deterministic tie-break) instead of the "
+               "arbitrary min-id; the rule real corpus curation uses so "
+               "truncated/mirrored copies lose to the canonical page",
+    doc="minhash pairs -> connected components -> per-component window "
+        "rank by (length desc, doc_id) -> keep rank 1 + all singletons",
+)
+def q_dedup_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same corpus-collapse plan as q_dedup_apply, different (and more
+    production-real) representative rule. Scale shape: the window
+    ranking runs over component MEMBERS only (pairs-derived, tiny
+    relative to the corpus); the full scan is touched once by the
+    final left joins on doc_id, all broadcast-eligible."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.dedup import connected_components
+
+    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
+    pairs = minhash_lsh_pairs(c, "doc_id", "text",
+                              num_hashes=_NUM_HASHES, bands=_BANDS,
+                              shingle_n=_SHINGLE_N)
+    comp = connected_components(pairs)  # (id, component=min id)
+    mem = comp.join(
+        c.select(F.col("doc_id").alias("id"),
+                 F.length("text").alias("__len")), "id")
+    w = W.partitionBy("component").orderBy(F.col("__len").desc(),
+                                           F.col("id").asc())
+    rep = (mem.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") == 1)
+           .select("component", F.col("id").alias("rep_id")))
+    gs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return (c.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .join(rep, "component", "left")
+            .join(gs, "component", "left")
+            .filter(F.col("component").isNull()
+                    | (F.col("doc_id") == F.col("rep_id")))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.length("text").cast("long").alias("n_chars"),
+                    F.coalesce("group_size", F.lit(1)).cast("long")
+                     .alias("group_size")))
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN index maintenance: incremental IVF assignments
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_ann_index",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT cid, emb FROM (
+        SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM e WHERE vec_id % 3 = 0
+      ) WHERE cid < 8
+    ),
+    d AS (
+      SELECT e.vec_id, s.cid,
+             round(list_sum(list_transform(list_zip(e.emb, s.emb),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS d2
+      FROM e CROSS JOIN seeds s
+    ),
+    a AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cid ASC) AS r
+      FROM d
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid FROM a WHERE r = 1
+    """,
+    survey_ref="training-data similarity x streaming: incremental ANN "
+               "index maintenance — vectors arrive in batches, each "
+               "assigns to the persisted codebook and appends its "
+               "inverted-list rows exactly-once (the vector-index "
+               "analog of the incremental MinHash index)",
+    doc="3 vec_id%3 batches through incremental_ivf_assignments (batch 0 "
+        "seeds the 8-centroid codebook, replayed batch no-ops); the "
+        "accumulated assignment table must equal DuckDB's one-shot "
+        "nearest-centroid computation (6dp-rounded L2, lowest-cid ties)",
+)
+def q_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import incremental_ivf_assignments
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="ivfidx_"))
+        e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        for b in range(3):
+            part = e.filter(F.col("vec_id") % 3 == b)
+            incremental_ivf_assignments(store, part, batch_id=b,
+                                        n_centroids=8)
+        incremental_ivf_assignments(  # replay: must no-op
+            store, e.filter(F.col("vec_id") % 3 == 1), batch_id=1,
+            n_centroids=8)
+        return (store.read("ivf_assignments"),)
+
+    (a,) = _cached_pipeline("ivfidx", spark, sf_dir, build)
+    return a.select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("centroid").cast("long").alias("centroid"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: adjacent-token pair counts, the tokenizer-training step
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "q_bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT t[g.i] || ' ' || t[g.i + 1] AS pair
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    counted AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, CAST(rank AS INT) AS rank FROM (
+      SELECT pair, n,
+             row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+      FROM counted) WHERE rank <= {_BPE_TOP}
+    """,
+    survey_ref="training-data tokenizer: BPE merge-candidate counting — "
+               "the top adjacent-symbol-pair frequencies that drive each "
+               "merge step of byte-pair-encoding tokenizer training",
+    doc="array-domain adjacent pairing (zip token array with its own "
+        "tail) -> explode -> pair-count agg -> global top-K with "
+        "deterministic (count desc, pair asc) ordering",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair construction happens INSIDE the row (arrays_zip of the
+    token array with its shifted self) so the explode emits exactly
+    len-1 pair rows per doc with no positional self-join; the count
+    agg is map-side combinable on the pair key and the final top-K
+    sorts only the distinct-pair table. One shuffle for the agg, one
+    tiny global sort — the same shape each BPE training iteration
+    runs at corpus scale."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    t = d.select(toks.alias("t"))
+    z = t.select(F.arrays_zip(
+        F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0)))).alias("z"))
+    pairs = z.select(F.explode("z").alias("p")) \
+        .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (counted.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _BPE_TOP)
+            .select("pair", F.col("n").cast("long").alias("n"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap: keep at most N docs per source, best-first
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 50
+
+
+@register(
+    "q_domain_cap",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM documents)
+    WHERE rank <= {_DOMAIN_CAP}
+    """,
+    survey_ref="training-data curation: per-domain document cap — bound "
+               "any single source's contribution by keeping its best N "
+               "docs (the anti-domination guard next to q_domain_mix's "
+               "rate-based mixing)",
+    doc="window rank per source by (n_chars desc, doc_id asc), keep "
+        "rank <= N; deterministic, no RNG",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one hash-partitioned window by source. For skewed
+    domains (one source = half the corpus) the rank-N cutoff is the
+    textbook case for a two-level top-N: per-partition partial top-N
+    before the final window bounds the shuffle at N rows per
+    (partition, source) — Spark plans exactly that for row_number +
+    rank filter via WindowGroupLimit pushdown."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                        F.col("doc_id").asc())
+    return (d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _DOMAIN_CAP)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "source",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("rank").cast("int").alias("rank")))

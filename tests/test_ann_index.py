@@ -1,0 +1,80 @@
+"""Incremental IVF index maintenance: batch-equivalence, exactly-once
+replay, per-index counter isolation (the vector-index analog of the
+incremental MinHash tests)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from obmp_psql_spark.operators.similarity import incremental_ivf_assignments
+from obmp_psql_spark.state import TxnStateStore
+
+from .conftest import SF_SMALL
+
+
+def _vecs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet") \
+        .select("vec_id", "embedding").limit(60)
+
+
+def _assignments(store):
+    return {(r.vec_id, r.centroid)
+            for r in store.read("ivf_assignments").collect()}
+
+
+def test_incremental_ivf_split_invariant(spark):
+    """Two different batch splits sharing the SAME first batch (which
+    fixes the codebook seeds) accumulate identical assignment sets;
+    replays are no-ops and nothing is assigned twice."""
+    v = _vecs(spark)
+    batch_expr = F.pmod(F.col("vec_id"), F.lit(3))
+
+    a = TxnStateStore(spark, tempfile.mkdtemp(prefix="ivf_sp3_"))
+    for b in range(3):
+        incremental_ivf_assignments(a, v.filter(batch_expr == b),
+                                    batch_id=b, n_centroids=4)
+    for b in range(3):  # replay every batch: all must be no-ops
+        incremental_ivf_assignments(a, v.filter(batch_expr == b),
+                                    batch_id=b, n_centroids=4)
+
+    b_ = TxnStateStore(spark, tempfile.mkdtemp(prefix="ivf_sp2_"))
+    incremental_ivf_assignments(b_, v.filter(batch_expr == 0),
+                                batch_id=0, n_centroids=4)
+    incremental_ivf_assignments(b_, v.filter(batch_expr != 0),
+                                batch_id=1, n_centroids=4)
+
+    got = _assignments(a)
+    assert got == _assignments(b_)
+    n = a.read("ivf_assignments").count()
+    assert n == v.count()  # every vector assigned...
+    assert len(got) == n   # ...exactly once (no duplicate rows)
+
+
+def test_incremental_ivf_two_indexes_one_store(spark):
+    """Two indexes in one store keep independent replay counters and
+    independent codebooks."""
+    v = _vecs(spark)
+    store = TxnStateStore(spark, tempfile.mkdtemp(prefix="ivf_two_"))
+    incremental_ivf_assignments(store, v, batch_id=0, n_centroids=4)
+    # batch 0 of a second index must not be skipped as a replay
+    incremental_ivf_assignments(store, v, batch_id=0, n_centroids=4,
+                                centroids_table="alt_cents",
+                                assign_table="alt_assign")
+    assert store.read("alt_assign").count() == v.count()
+    base = _assignments(store)
+    alt = {(r.vec_id, r.centroid)
+           for r in store.read("alt_assign").collect()}
+    assert alt == base  # same corpus, same params => same index
+
+
+def test_incremental_ivf_assignment_deterministic(spark):
+    """Re-building the same index twice yields identical rows — the
+    6dp-rounded distance + lowest-cid tie-break pins the argmin."""
+    v = _vecs(spark)
+    a = TxnStateStore(spark, tempfile.mkdtemp(prefix="ivf_a_"))
+    b = TxnStateStore(spark, tempfile.mkdtemp(prefix="ivf_b_"))
+    incremental_ivf_assignments(a, v, batch_id=0, n_centroids=4)
+    incremental_ivf_assignments(b, v, batch_id=0, n_centroids=4)
+    assert _assignments(a) == _assignments(b)

@@ -713,3 +713,42 @@ def test_approx_distinct_error_within_sketch_bound(spark):
     assert rows
     for r in rows:
         assert r.err_ppm <= 50_000, (r.event_type, r.err_ppm)
+
+
+def test_aqe_floor_keeps_gate_scale_parallelism(spark):
+    """Pins session.py's parallelism-first AQE coalescing floor
+    (coalescePartitions.minPartitionSize=64k, commit d2c92ed): with
+    Spark's default 1MB floor a low-MB shuffle collapses to a couple
+    of post-shuffle partitions and whole stages run on one or two
+    cores (measured: the ingest merge window ran ~5s single-core at
+    sf0.1). The test executes the same representative shuffle under
+    both floors and asserts the config actually buys parallelism —
+    so any config drift that loses the floor fails here."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize") == "64k"
+
+    def post_shuffle_partitions():
+        # a few-MB shuffle, the gate-scale shape: spark_partition_id
+        # evaluated in the post-agg stage counts partitions AFTER the
+        # AQE coalesce decision for the executed plan
+        df = spark.range(0, 300_000).selectExpr(
+            "id % 50000 AS k", "id AS v", "repeat('x', 64) AS pad")
+        agg = df.groupBy("k").agg(F.sum("v").alias("s"),
+                                  F.max("pad").alias("p"))
+        return agg.select(F.spark_partition_id().alias("pid")) \
+            .distinct().count()
+
+    with_floor = post_shuffle_partitions()
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        without_floor = post_shuffle_partitions()
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    # default floor: a handful of fat partitions; 64k floor: most of
+    # the initial parallelism survives
+    assert without_floor <= 8
+    assert with_floor >= 2 * without_floor

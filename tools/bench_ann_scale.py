@@ -1,23 +1,24 @@
 """Second-decade ANN scaling probe: 2k -> 20k -> 200k vectors.
 
-Round 6's BENCH_sf1_ann.json measured one decade (2k -> 20k) and
-derived three sizing policies; this probe adds the 200k decade so
-each policy becomes a measured CURVE instead of a one-decade line:
+Round 6's BENCH_sf1_ann.json measured one decade (2k -> 20k); this
+probe adds the 200k decade — and the attempt overturned round 6's
+LSH sizing policy. The n_planes ~ log2(N) rule assumes buckets
+approach 2^n_planes; a DuckDB census of the 200k corpus showed sign
+patterns saturate at the number of directional CLUSTERS in the data:
+**16 planes occupied only 32 buckets (max occupancy 11,926 vectors,
+1.72e9 candidate pairs)** — adding planes cannot split a cluster
+whose members' plane dots all share signs, so per-bucket density
+grows linearly with N and the bucket join goes data-quadratic no
+matter the plane count. The production guard is ``lsh_topk``'s
+``max_bucket_size`` (deterministic intra-bucket sharding, work
+bounded at N x cap); the uncapped 200k run is reported analytically
+from the census instead of being timed (estimated hours).
 
-- LSH: n_planes ~ log2(N) keeps per-bucket density constant (8 ->
-  12 -> 16 planes); the probe also runs one notch UNDER-scaled at
-  each big size to show the density penalty the policy avoids.
-- IVF: sqrt-N centroid count (16 -> 50 -> 158) keeps
-  per-inverted-list scan cost flat, total sub-linear.
-- PQ: fixed codebook (m=8, n_codes=16). Through 20k the wall is
-  flat (fixed plan/JIT overhead dominates); at 200k the linear
-  corpus-encode component becomes visible — the claim that stays is
-  that the SEARCH scan reads m-byte codes, never raw vectors, and
-  training cost is amortized over the index lifetime.
+IVF (sqrt-N centroids) and PQ (fixed codebook) are bounded by
+design and are timed at all three scales.
 
-All runs are single cold builds (build_artifacts released between),
-operators called directly so index parameters scale with N as a
-deployment's would — same methodology as round 6.
+Embeddings copies are PERTURBED (make_sf_scale.py) — exact copies
+would additionally pile `copies` identical vectors into each bucket.
 
 Usage: python tools/bench_ann_scale.py [out=BENCH_sf10_ann.json]
 (expects /tmp/sf1, /tmp/sf10 from tools/make_sf_scale.py)
@@ -37,8 +38,9 @@ SCALES = [
     ("20k", "/tmp/sf1"),
     ("200k", "/tmp/sf10"),
 ]
-LSH_PLANES = {"2k": 8, "20k": 12, "200k": 16}  # ~log2(N)
+LSH_PLANES = {"2k": 8, "20k": 12, "200k": 16}
 IVF_CENTROIDS = {"2k": 16, "20k": 50, "200k": 158}  # ~sqrt(N)
+LSH_CAP = 500
 
 
 def main() -> None:
@@ -46,15 +48,18 @@ def main() -> None:
     from obmp_psql_spark.operators import similarity as S
     from obmp_psql_spark.operators.cache import (build_artifacts,
                                                  release_build_artifacts)
-    from obmp_psql_spark.session import get_spark
+    from obmp_psql_spark.session import fan_out, get_spark
 
     spark = get_spark("bench-ann-scale")
     spark.range(10000).selectExpr("id % 7 k").groupBy("k").count() \
         .write.format("noop").mode("overwrite").save()
 
     def vecs(sf_dir):
-        return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-            .select("vec_id", "embedding")
+        # fan_out: the derived parquet is few-row-group, so without it
+        # the hyperplane/assignment math runs on 1-2 scan tasks
+        return fan_out(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                 .select("vec_id", "embedding"), spark)
 
     def timed(label, probes, build):
         t0 = time.perf_counter()
@@ -70,15 +75,27 @@ def main() -> None:
         v = vecs(sf_dir)
         r: dict = {}
         planes = LSH_PLANES[tag]
-        timed(f"lsh {planes} planes", r,
-              lambda: S.lsh_topk(v, dims=64, n_planes=planes, k=5))
-        if tag != "2k":  # one notch under-scaled: the density penalty
-            timed(f"lsh {planes - 4} planes (under-scaled)", r,
-                  lambda: S.lsh_topk(v, dims=64, n_planes=planes - 4, k=5))
+        if tag != "200k":
+            timed(f"lsh {planes} planes uncapped", r,
+                  lambda: S.lsh_topk(v, dims=64, n_planes=planes, k=5))
+        if tag != "2k":
+            timed(f"lsh {planes} planes cap {LSH_CAP}", r,
+                  lambda: S.lsh_topk(v, dims=64, n_planes=planes, k=5,
+                                     max_bucket_size=LSH_CAP))
         cents = IVF_CENTROIDS[tag]
-        timed(f"ivf {cents} centroids", r,
+        if tag != "200k":
+            # full corpus self-kNN: total work is N x nprobe x N/C =
+            # O(N^1.5) BY DESIGN regardless of index sizing; measured
+            # once at 200k (1125.9s) and recorded statically below
+            # rather than re-burned every probe run
+            timed(f"ivf {cents} centroids full self-join", r,
+                  lambda: S.ivf_topk(v, n_centroids=cents, nprobe=3, k=5,
+                                     train_iters=1))
+        # serving path: bounded probe set — per-query cost is the
+        # sub-linear claim (nprobe x N/C with C ~ sqrt(N))
+        timed(f"ivf {cents} centroids mq1000", r,
               lambda: S.ivf_topk(v, n_centroids=cents, nprobe=3, k=5,
-                                 train_iters=1))
+                                 train_iters=1, max_queries=1000))
         timed("pq m=8 n_codes=16", r,
               lambda: S.pq_topk(v, m=8, n_codes=16, k=5, train_iters=2,
                                 max_queries=50))
@@ -87,11 +104,19 @@ def main() -> None:
     out = {
         "metric": "ann_two_decade_scaling",
         "probes": results,
+        "ivf_200k_full_self_join_s": 1125.92,
+        "lsh_census_200k_16planes": {
+            "occupied_buckets": 32, "max_occupancy": 11926,
+            "candidate_pairs_uncapped": 1718230250,
+            "note": "sign patterns saturate at the data's cluster "
+                    "count; uncapped join is data-quadratic "
+                    "(est. hours), so the uncapped 200k run is "
+                    "reported from this census, not timed",
+        },
         "note": "single cold runs on local[32]; 2k/20k/200k vectors of "
-                "64 dims (make_sf_scale copies); LSH planes ~log2(N), "
-                "IVF centroids ~sqrt(N), PQ codebook fixed; "
-                "'under-scaled' rows show the cost the sizing policy "
-                "avoids",
+                "64 dims (perturbed copies, make_sf_scale.py); IVF "
+                "centroids ~sqrt(N), PQ codebook fixed, LSH capped via "
+                "deterministic intra-bucket sharding at 500",
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), out_name)

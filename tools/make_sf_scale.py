@@ -26,7 +26,7 @@ quadratic. This derives a 10x dataset into a writable dir:
   (boilerplate-dominated documents), not of the banded join.
 - other tables: copied as-is (the probe queries don't scan them).
 
-Usage: python tools/make_sf_scale.py [dst=/tmp/sf1] [copies=10]
+Usage: python tools/make_sf_scale.py [dst=/tmp/sf1] [copies=10] [tables]
 """
 
 from __future__ import annotations
@@ -46,10 +46,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main() -> None:
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
-    for t in TABLES:
+    for t in (only or TABLES):
         src = f"{SRC}/{t}.parquet"
         out = f"{dst}/{t}.parquet"
         if t == "events":
@@ -72,9 +73,23 @@ def main() -> None:
                  f"lang, source, n_chars FROM read_parquet('{src}')")
                 for i in range(copies))
         elif t == "embeddings":
+            # copies i>0 get a deterministic per-(copy, vector, dim)
+            # perturbation (amplitude ~ the 0.1 mean |component|).
+            # EXACT copies are degenerate at scale: every LSH bucket
+            # holds `copies` identical vectors, so at 100x the bucket
+            # join does >=copies^2 work per signature and the probe
+            # measures the duplicate pile-up, not the operator (the
+            # same trap the constant document marker hit in round 6 —
+            # observed: 16-plane LSH at 200k exact-copy vectors ran
+            # 10x+ past its scaled estimate). Perturbed copies spread
+            # across buckets like a real 100x corpus does.
             sql = " UNION ALL ".join(
-                f"SELECT vec_id + {i}::BIGINT * 1000000 AS vec_id, "
-                f"embedding, label FROM read_parquet('{src}')"
+                (f"SELECT vec_id, embedding, label "
+                 f"FROM read_parquet('{src}')") if i == 0 else
+                (f"SELECT vec_id + {i}::BIGINT * 1000000 AS vec_id, "
+                 f"list_transform(embedding, (x, j) -> CAST(x + 0.1 * "
+                 f"sin({i} * 9973 + vec_id * 131 + j) AS FLOAT)) "
+                 f"AS embedding, label FROM read_parquet('{src}')")
                 for i in range(copies))
         else:
             shutil.copyfile(src, out)
