@@ -154,7 +154,7 @@ def main() -> None:
     compact = {k: v for k, v in out.items() if k != "queries"}
     compact["full_timings"] = os.path.basename(local_path)
     compact["queries"] = {}
-    budget = 1900 - len(json.dumps(compact, separators=(",", ":")))
+    budget = 1700 - len(json.dumps(compact, separators=(",", ":")))
     for name in sorted(timings, key=lambda n: -timings[n]):
         entry = len(name) + len(repr(timings[name])) + 4
         if budget - entry < 0:
