@@ -2385,3 +2385,50 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").cast("long").alias("doc_id"), "source",
                     F.col("n_chars").cast("long").alias("n_chars"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+    dims AS (SELECT did, 4 + did % 5 AS w, 3 + did % 4 AS h FROM ids),
+    px AS (
+      -- nearest-neighbor index maps of resize_images(4, 3):
+      -- source row = y*h//3, source col = x*w//4
+      SELECT did, w, h,
+             (yy.y * h) // 3 AS sy, (xx.x * w) // 4 AS sx
+      FROM dims
+      CROSS JOIN generate_series(0, 2) AS yy(y)
+      CROSS JOIN generate_series(0, 3) AS xx(x)
+    ),
+    sums AS (
+      SELECT did,
+             sum((did * 1 + 7 * sy + 11 * sx) % 256) AS s_r,
+             sum((did * 2 + 7 * sy + 11 * sx) % 256) AS s_g,
+             sum((did * 3 + 7 * sy + 11 * sx) % 256) AS s_b
+      FROM px GROUP BY did
+    )
+    SELECT did AS doc_id, 'ppm' AS format,
+           CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST(s_r * 1000000 // 12 AS BIGINT) AS mean_r_ppm,
+           CAST(s_g * 1000000 // 12 AS BIGINT) AS mean_g_ppm,
+           CAST(s_b * 1000000 // 12 AS BIGINT) AS mean_b_ppm
+    FROM sums
+    """,
+    survey_ref="training-data multimodal: the RESIZE kernel hash-gated "
+               "end-to-end — generate -> decode -> nearest-neighbor "
+               "resample -> re-encode -> decode -> aggregate, all real "
+               "pixel math in-container (netpbm kernel)",
+    doc="deterministic P6 payloads resized to 4x3 via the pure-Python "
+        "netpbm path; DuckDB recomputes the resampled channel means "
+        "from the closed-form pixel formula + the documented NN index "
+        "maps, so a resampling off-by-one flips the hash",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (generate_ppm_payloads,
+                                       image_channel_stats, resize_images)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payloads = generate_ppm_payloads(
+        d.select(F.col("doc_id").cast("long").alias("doc_id")))
+    resized = resize_images(payloads, 4, 3)
+    return image_channel_stats(resized)
