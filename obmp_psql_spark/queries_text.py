@@ -2432,3 +2432,130 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").cast("long").alias("doc_id")))
     resized = resize_images(payloads, 4, 3)
     return image_channel_stats(resized)
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-accuracy gate: est vs true Jaccard per candidate pair
+# ---------------------------------------------------------------------------
+
+_EST_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+    for i in range(_NUM_HASHES))
+
+_MINHASH_EST_ORACLE = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SHINGLE_N - 1})) AS g(i)
+),
+mh AS (
+  SELECT doc_id, {_minhash_cols}
+  FROM sh GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_band_exprs} FROM mh
+),
+banded AS (
+{_band_union}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+ssz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN shd x ON x.doc_id = p.id_a
+  JOIN shd y ON y.doc_id = p.id_b AND y.s = x.s
+  GROUP BY p.id_a, p.id_b
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         ({_EST_AGREE_SQL}) * 1000000 // {_NUM_HASHES} AS est_ppm
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.id_a
+  JOIN mh b ON b.doc_id = p.id_b
+)
+SELECT CAST(e.id_a AS BIGINT) AS id_a, CAST(e.id_b AS BIGINT) AS id_b,
+       CAST(e.est_ppm AS BIGINT) AS est_ppm,
+       CAST(coalesce(i.i, 0) * 1000000
+            // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT) AS true_ppm,
+       CAST(abs(e.est_ppm - coalesce(i.i, 0) * 1000000
+            // (sa.n + sb.n - coalesce(i.i, 0))) AS BIGINT) AS err_ppm
+FROM est e
+LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN ssz sa ON sa.doc_id = e.id_a
+JOIN ssz sb ON sb.doc_id = e.id_b
+"""
+
+
+@register(
+    "q_minhash_est_gate",
+    oracle=_MINHASH_EST_ORACLE,
+    survey_ref="training-data dedup: MinHash ESTIMATOR-accuracy gate — "
+               "per candidate pair, the signature-agreement Jaccard "
+               "estimate vs the exact shingle-set Jaccard as integer "
+               "ppm (the recall-handshake idea applied to the sketch "
+               "itself, like q_approx_distinct_gate does for HLL++)",
+    doc="16-component signature agreement -> est_ppm; exact distinct-"
+        "shingle intersection/union -> true_ppm; both engines must land "
+        "on identical (est, true, err) rows — proving the sketch's "
+        "deviation every driver run instead of citing the textbook bound",
+)
+def q_minhash_est_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: signatures are one explode + one 16-aggregate
+    groupBy (the minhash_lsh_pairs build, shared); the estimate join
+    touches only CANDIDATE pairs (banding-bounded, never all pairs);
+    the exact-Jaccard side joins candidate pairs against the distinct
+    (doc, shingle) posting table — per-pair cost proportional to the
+    two documents' shingle counts, the same bounded unit the
+    n-gram-Jaccard operator pays. Integer-ppm arithmetic throughout."""
+    from .operators.dedup import shingle as mk_shingle
+
+    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
+    pairs = minhash_lsh_pairs(c, "doc_id", "text",
+                              num_hashes=_NUM_HASHES, bands=_BANDS,
+                              shingle_n=_SHINGLE_N)
+    sh = c.select(F.col("doc_id").alias("__id"),
+                  F.explode(mk_shingle(F.col("text"), _SHINGLE_N))
+                   .alias("__s"))
+    sig = sh.groupBy("__id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s"))))
+         .alias(f"__h{i}") for i in range(_NUM_HASHES)])
+    agree = sum(
+        F.when(F.col(f"a.__h{i}") == F.col(f"b.__h{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES))
+    est = (pairs
+           .join(sig.alias("a"), F.col("id_a") == F.col("a.__id"))
+           .join(sig.alias("b"), F.col("id_b") == F.col("b.__id"))
+           .select("id_a", "id_b",
+                   (agree * F.lit(1_000_000) / F.lit(_NUM_HASHES))
+                   .cast("long").alias("est_ppm")))
+    shd = sh.distinct()
+    ssz = shd.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (pairs
+             .join(shd.alias("x"), F.col("id_a") == F.col("x.__id"))
+             .join(shd.alias("y"), (F.col("id_b") == F.col("y.__id"))
+                   & (F.col("x.__s") == F.col("y.__s")))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__i")))
+    return (est
+            .join(inter, ["id_a", "id_b"], "left")
+            .join(ssz.select(F.col("__id").alias("id_a"),
+                             F.col("__n").alias("__na")), "id_a")
+            .join(ssz.select(F.col("__id").alias("id_b"),
+                             F.col("__n").alias("__nb")), "id_b")
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    "est_ppm",
+                    F.expr("coalesce(__i, 0L) * 1000000L "
+                           "div (__na + __nb - coalesce(__i, 0L))")
+                     .alias("true_ppm"),
+                    F.expr("abs(est_ppm - coalesce(__i, 0L) * 1000000L "
+                           "div (__na + __nb - coalesce(__i, 0L)))")
+                     .alias("err_ppm")))

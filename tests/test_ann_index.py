@@ -78,3 +78,20 @@ def test_incremental_ivf_assignment_deterministic(spark):
     incremental_ivf_assignments(a, v, batch_id=0, n_centroids=4)
     incremental_ivf_assignments(b, v, batch_id=0, n_centroids=4)
     assert _assignments(a) == _assignments(b)
+
+
+def test_minhash_estimate_within_sketch_bound(spark):
+    """The signature-agreement estimate the gate hands off must
+    actually track the exact Jaccard: with 16 hashes the standard
+    error is sqrt(J(1-J)/16) <= 0.125, so a 0.15 mean absolute error
+    (150k ppm) is a generous ceiling over banding-selected pairs
+    (which skew toward high J, where the estimator is tightest)."""
+    from pyspark.sql import functions as F
+
+    from obmp_psql_spark.queries_text import q_minhash_est_gate
+
+    rows = q_minhash_est_gate(spark, SF_SMALL)
+    stats = rows.agg(F.avg("err_ppm").alias("mean_err"),
+                     F.count(F.lit(1)).alias("n")).collect()[0]
+    assert stats.n > 0
+    assert stats.mean_err <= 150_000, stats.mean_err
