@@ -2559,3 +2559,116 @@ def q_minhash_est_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("abs(est_ppm - coalesce(__i, 0L) * 1000000L "
                            "div (__na + __nb - coalesce(__i, 0L)))")
                      .alias("err_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal: the classic model-based quality signal
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_doc_unigram_ppl",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
+      FROM documents
+    ), t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+    cf AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    n AS (SELECT sum(c) AS total FROM cf),
+    bits AS (
+      SELECT t.doc_id,
+             CAST(round((ln((SELECT total FROM n)) - ln(cf.c))
+                        / ln(2) * 1000000) AS BIGINT) AS mb
+      FROM t JOIN cf USING (term)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(mb) // count(*) AS BIGINT) AS avg_microbits
+    FROM bits GROUP BY doc_id
+    """,
+    survey_ref="training-data quality: unigram-LM surprisal per document "
+               "(mean -log2 p(token) under the corpus MLE) — the classic "
+               "model-based quality/outlier signal next to the heuristic "
+               "q_quality_score",
+    doc="corpus term counts -> per-token surprisal ROUNDED TO INTEGER "
+        "micro-bits BEFORE the per-doc sum (float sums are engine-order-"
+        "dependent; integer sums are not) -> integer mean per doc",
+)
+def q_doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one explode, one term-keyed count agg (distinct-
+    token bounded), the corpus total joined in as a broadcast scalar,
+    one doc-keyed agg. The per-token rounding is the hash-stability
+    trick: round(surprisal * 1e6) per TOKEN, then exact integer
+    sum/div — cross-row float accumulation never enters the hash."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    t = (d.select("doc_id", F.explode(toks).alias("term"))
+         .filter(F.length("term") > 0))
+    cf = t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = F.broadcast(cf.agg(F.sum("c").cast("double").alias("__total")))
+    bits = (t.join(cf, "term").crossJoin(n)
+            .select("doc_id",
+                    F.round((F.log("__total") - F.log("c"))
+                            / F.lit(float(__import__("math").log(2)))
+                            * 1_000_000).cast("long").alias("__mb")))
+    return (bits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("__mb").alias("__s"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.expr("__s div n_tokens").alias("avg_microbits")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "split-v1:"
+
+
+@register(
+    "q_train_val_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5('{_SPLIT_SALT}'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS b
+      FROM documents
+    ), labeled AS (
+      SELECT CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+             doc_id, source, n_chars
+      FROM s
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM labeled GROUP BY split
+    """,
+    survey_ref="training-data pipeline: deterministic train/val/test "
+               "split — hash-bucket assignment (stable across engines, "
+               "retries, and corpus growth: a doc never changes split "
+               "when new docs arrive, unlike randomSplit)",
+    doc="md5(salt:doc_id) % 100 -> 90/5/5 split; per-split doc/char/"
+        "source counts + id checksum pin the exact membership",
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    b = (F.conv(F.substring(F.md5(F.concat(F.lit(_SPLIT_SALT),
+                                           F.col("doc_id").cast("string"))),
+                            1, 8), 16, 10).cast("long") % 100)
+    split = (F.when(b < 90, "train").when(b < 95, "val")
+             .otherwise("test").alias("split"))
+    return (d.select(split, "doc_id", "source", "n_chars")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.sum("doc_id").cast("long").alias("id_checksum"))
+            .select("split",
+                    F.col("n_docs").cast("long").alias("n_docs"), "n_chars",
+                    F.col("n_sources").cast("long").alias("n_sources"),
+                    "id_checksum"))
