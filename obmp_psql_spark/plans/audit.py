@@ -40,6 +40,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row corpus-size aggregate broadcast into the idf expression —
     # the same scalar-subquery pattern
     "q_doc_tfidf": "broadcast 1-row corpus-count aggregate (idf)",
+    "q_doc_unigram_ppl": "broadcast 1-row corpus-total aggregate (MLE "
+                         "denominator) — same scalar-subquery pattern",
     "q_domain_mix": "broadcast 1-row total/source-count aggregate (rates)",
     # 1-row orphan-count x 1-row table-count: the DQ summary join
     "q_dq_audit": "1-row x 1-row aggregate combine (orphans + n_rows)",
