@@ -602,3 +602,100 @@ def incremental_ivf_assignments(
         if seed is not None:
             txn.append(centroids_table, seed)
         txn.append(assign_table, assigned)
+
+
+def kmeans_assign(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_clusters: int = 16, train_iters: int = 2,
+) -> DataFrame:
+    """Batch k-means cluster assignment over an embedding column:
+    the clustering half of SemDeDup-style semantic deduplication
+    (cluster the embedding space, then compare pairs only WITHIN a
+    cluster — pairwise work drops from O(N^2) to O(sum c_i^2)).
+
+    Codebook: the ``n_clusters`` lowest-id vectors seed the centroids
+    (reproducible, the same rule as ``ivf_topk``); ``train_iters``
+    Lloyd rounds refine them (``_kmeans_refine`` — broadcast codebook,
+    data never leaves the cluster, one k-row collect per round).
+    Assignment is the broadcast-codebook top-1 by cosine with an
+    ascending-cid tie-break.
+
+    Output: (id, cluster_id). Downstream consumers treat the
+    assignment as a published artifact (parquet handoff), so Lloyd's
+    run-to-run float-sum variation never has to be reproducible —
+    only the within-cluster logic computed FROM the assignment does.
+
+    Scale: centroid count is chosen ~sqrt(N) like IVF; the assignment
+    join is broadcast (k << N rows shipped), the refine loop is
+    train_iters full scans with map-side partial aggregation, and no
+    all-pairs product exists anywhere.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2norm(F.col("__v")))
+
+    seed = base.orderBy("__id").limit(n_clusters).select(
+        F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"))
+    if train_iters > 0:
+        base = owned_persist(base)
+        seed = _kmeans_refine(base, seed, train_iters)
+
+    scored = base.crossJoin(F.broadcast(seed)).select(
+        "__id", "__cid",
+        (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
+        .alias("__csim"))
+    wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
+                                       F.col("__cid").asc())
+    return (scored.withColumn("__r", F.row_number().over(wc))
+            .filter(F.col("__r") == 1)
+            .select(F.col("__id").alias(id_col),
+                    F.col("__cid").alias("cluster_id")))
+
+
+def semantic_dedup_within(
+    assignments: DataFrame, vectors: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    cluster_col: str = "cluster_id", threshold: float = 0.95,
+) -> DataFrame:
+    """The dedup half of SemDeDup: given published cluster
+    ``assignments`` (id, cluster_id) and the vector table, drop every
+    vector that has a LOWER-id near-duplicate (cosine >= threshold)
+    in the same cluster, keeping the lowest id of each duplicate
+    neighborhood as its representative.
+
+    Output: (id, cluster_id, kept 0/1, dup_of — the smallest
+    lower-id near-duplicate, NULL for kept rows). Keep-lowest-id is
+    deterministic and engine-independent, so the same rows fall out
+    of any engine that reads the same assignment dump — that is the
+    oracle handshake for the whole pipeline.
+
+    Scale: the pair join is an equi-join on cluster_id (never a cross
+    product); within-cluster pair work is bounded by the cluster-size
+    distribution, which k ~ sqrt(N) keeps subquadratic. Skewed giant
+    clusters get sharded upstream the same way ``lsh_topk`` shards
+    saturated buckets.
+    """
+    j = owned_persist(
+        assignments.select(F.col(id_col).alias("__id"),
+                           F.col(cluster_col).alias("__c"))
+        .join(vectors.select(F.col(id_col).alias("__id"),
+                             as_double(F.col(vec_col)).alias("__v")),
+              "__id")
+        .withColumn("__n", l2norm(F.col("__v"))))
+    a, b = j.alias("a"), j.alias("b")
+    dup = (a.join(b, (F.col("a.__c") == F.col("b.__c"))
+                  & (F.col("a.__id") < F.col("b.__id")))
+           .select(F.col("b.__id").alias("__id"),
+                   F.col("a.__id").alias("__lo"),
+                   (dot(F.col("a.__v"), F.col("b.__v"))
+                    / (F.col("a.__n") * F.col("b.__n"))).alias("__cos"))
+           .filter(F.col("__cos") >= threshold)
+           .groupBy("__id").agg(F.min("__lo").alias("dup_of")))
+    return (j.join(dup, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("__c").alias(cluster_col),
+                    F.when(F.col("dup_of").isNull(), F.lit(1))
+                     .otherwise(F.lit(0)).cast("int").alias("kept"),
+                    F.col("dup_of").cast("long").alias("dup_of")))

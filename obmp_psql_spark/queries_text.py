@@ -2672,3 +2672,81 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_docs").cast("long").alias("n_docs"), "n_chars",
                     F.col("n_sources").cast("long").alias("n_sources"),
                     "id_checksum"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means clusters -> within-cluster near-dup
+# ---------------------------------------------------------------------------
+
+def _semantic_dedup_oracle(sf_dir: str) -> str:
+    """DuckDB half of the SemDeDup handshake: read the published
+    cluster-assignment dump, join the (clone-augmented) embedding
+    table, and re-derive the keep/drop decision with the identical
+    within-cluster keep-lowest-id rule. Hash-equal iff both engines
+    agree on every kept/dropped row and representative."""
+    aux = _aux("q_semantic_dedup", _sf_tag(sf_dir))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 3 = 0
+    ), ap AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(cluster_id AS BIGINT) AS cluster_id
+      FROM read_parquet('{aux}/*.parquet')
+    ), j AS (
+      SELECT ap.vec_id, ap.cluster_id, e.emb,
+             sqrt(list_sum(list_transform(e.emb, x -> x*x))) AS nrm
+      FROM ap JOIN e USING (vec_id)
+    ), dup AS (
+      SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      FROM j a JOIN j b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.emb, b.emb),
+                                    x -> x[1]*x[2])) / (a.nrm * b.nrm)
+            >= 0.95
+      GROUP BY b.vec_id
+    )
+    SELECT j.vec_id, j.cluster_id,
+           CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS INT)
+             AS kept,
+           CAST(dup.dup_of AS BIGINT) AS dup_of
+    FROM j LEFT JOIN dup USING (vec_id)
+    """
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=_semantic_dedup_oracle,
+    survey_ref="training-data dedup: SemDeDup (Abbas et al. 2023) — "
+               "k-means the embedding space, near-dup only within "
+               "clusters; the scale path that replaces the blocked "
+               "all-pairs q_embed_neardup shape",
+    doc="kmeans_assign -> parquet assignment handoff -> within-cluster "
+        "cosine keep-lowest-id, re-derived independently by both engines",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cache import build_artifacts
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # inject exact clones (same rule as q_embed_neardup) so the
+    # drop-set is non-trivial at every sf
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 3 == 0)
+         .withColumn("vec_id", F.col("vec_id") + 10000))
+    aux = _aux("q_semantic_dedup", _sf_tag(sf_dir))
+    with build_artifacts():
+        # one Lloyd round: the gate re-derives keep/drop FROM the
+        # published assignment, so extra refine rounds only move
+        # cluster boundaries (each is a full-scan + collect barrier —
+        # measured ~1.2 s/round at sf0.1 in job fixed costs)
+        assigned = similarity.kmeans_assign(
+            fan_out(aug, spark), n_clusters=16, train_iters=1)
+        publish_aux(
+            assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
+                            F.col("cluster_id").cast("long")
+                             .alias("cluster_id")),
+            aux)
+    ap = spark.read.parquet(aux)
+    return similarity.semantic_dedup_within(ap, aug, threshold=0.95)
