@@ -45,6 +45,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     "q_domain_mix": "broadcast 1-row total/source-count aggregate (rates)",
     # 1-row orphan-count x 1-row table-count: the DQ summary join
     "q_dq_audit": "1-row x 1-row aggregate combine (orphans + n_rows)",
+    # 1-row published PCA model (mean + 2 components) broadcast into
+    # the projection expressions — the scalar-subquery pattern
+    "q_pca_project": "broadcast 1-row projection-model dump",
 }
 
 

@@ -2750,3 +2750,78 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             aux)
     ap = spark.read.parquet(aux)
     return similarity.semantic_dedup_within(ap, aug, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA: map-side Gram reduction -> driver eigh -> projection
+# ---------------------------------------------------------------------------
+
+def _pca_project_oracle(sf_dir: str) -> str:
+    """DuckDB half of the PCA handshake: read the published model
+    (mean + 2 sign-normalized components), project every embedding
+    with the identical centered dot products, and emit the same raw
+    coordinates + integer energy ppm. Hash-equal iff both engines
+    project bit-for-bit from the same published matrix."""
+    aux = _aux("q_pca_project", _sf_tag(sf_dir))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), w AS (
+      SELECT mean, w1, w2 FROM read_parquet('{aux}/*.parquet')
+    ), c AS (
+      SELECT e.vec_id,
+             list_transform(list_zip(e.emb, w.mean), x -> x[1] - x[2]) AS cv,
+             w.w1 AS w1, w.w2 AS w2
+      FROM e CROSS JOIN w
+    ), p AS (
+      SELECT vec_id,
+             list_sum(list_transform(list_zip(cv, w1), x -> x[1]*x[2])) AS p1,
+             list_sum(list_transform(list_zip(cv, w2), x -> x[1]*x[2])) AS p2,
+             list_sum(list_transform(cv, x -> x*x)) AS d2
+      FROM c
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, p1, p2,
+           CAST(floor((p1*p1 + p2*p2) * 1000000.0 / nullif(d2, 0.0))
+                AS BIGINT) AS energy_ppm
+    FROM p
+    """
+
+
+@register(
+    "q_pca_project",
+    oracle=_pca_project_oracle,
+    survey_ref="training-data embeddings: distributed PCA — map-side "
+               "Gram reduction (O(partitions x d^2) shuffle, row-count "
+               "independent), driver-side eigh on the d x d covariance, "
+               "published-model projection (whitening / component "
+               "pruning before ANN indexing)",
+    doc="gram partials via Arrow mapInPandas -> eigh -> sign-normalized "
+        "2-component model dump -> both engines project independently; "
+        "energy_ppm = centered variance captured, integer-floored",
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pca
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    mean, comps, _eig = pca.pca_fit(fan_out(e, spark), "embedding",
+                                    dims=_DIMS, n_components=2)
+    aux = _aux("q_pca_project", _sf_tag(sf_dir))
+    model = spark.createDataFrame(
+        [(mean, comps[0], comps[1])],
+        "mean array<double>, w1 array<double>, w2 array<double>")
+    publish_aux(model, aux)
+    w = spark.read.parquet(aux)
+    cv = F.zip_with(similarity.as_double(F.col("embedding")),
+                    F.col("mean"), lambda x, m: x - m)
+    proj = (e.crossJoin(F.broadcast(w))
+            .withColumn("__cv", cv)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    similarity.dot(F.col("__cv"), F.col("w1")).alias("p1"),
+                    similarity.dot(F.col("__cv"), F.col("w2")).alias("p2"),
+                    similarity.dot(F.col("__cv"), F.col("__cv"))
+                    .alias("__d2")))
+    return proj.select(
+        "vec_id", "p1", "p2",
+        F.expr("cast(floor((p1*p1 + p2*p2) * 1000000.0d / "
+               "nullif(__d2, 0.0d)) as bigint)").alias("energy_ppm"))
