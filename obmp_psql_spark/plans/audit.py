@@ -48,6 +48,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row published PCA model (mean + 2 components) broadcast into
     # the projection expressions — the scalar-subquery pattern
     "q_pca_project": "broadcast 1-row projection-model dump",
+    # 1-row trained logistic-regression weight dump broadcast into the
+    # scoring expression — the scalar-subquery pattern
+    "q_quality_classifier": "broadcast 1-row trained-weight dump",
 }
 
 

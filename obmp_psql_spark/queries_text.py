@@ -2825,3 +2825,102 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "p1", "p2",
         F.expr("cast(floor((p1*p1 + p2*p2) * 1000000.0d / "
                "nullif(__d2, 0.0d)) as bigint)").alias("energy_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering: distributed logistic regression
+# ---------------------------------------------------------------------------
+
+def _quality_classifier_oracle(sf_dir: str) -> str:
+    """DuckDB half of the classifier handshake: rebuild the identical
+    feature vector per document (the q_quality_score parity
+    expressions), read the published trained weights, and score with
+    the same left-associated linear form. No transcendental enters
+    the gate — the sigmoid is monotone, so the raw margin and its
+    sign carry the full decision."""
+    aux = _aux("q_quality_classifier", _sf_tag(sf_dir))
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split({_NORM.format(col='text')}, ' '),
+                                  t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+      FROM documents
+    ), x AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             1.0 AS x0,
+             ((CASE WHEN n_tokens > 0
+                    THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    ELSE 0.0 END) - 0.06) * 16.0 AS x1,
+             (CASE WHEN n_tokens > 0
+                   THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+                        / CAST(n_tokens AS DOUBLE)
+                   ELSE 0.0 END) / 16.0 AS x2,
+             CAST(n_tokens AS DOUBLE) / 256.0 AS x3
+      FROM f
+    ), s AS (
+      SELECT doc_id, x1,
+             w0*x0 + w1*x1 + w2*x2 + w3*x3 AS score
+      FROM x CROSS JOIN read_parquet('{aux}/*.parquet')
+    )
+    SELECT doc_id, score,
+           CAST(CASE WHEN score >= 0.0 THEN 1 ELSE 0 END AS INT) AS pred,
+           CAST(CASE WHEN x1 >= 0.0 THEN 1 ELSE 0 END AS INT) AS label
+    FROM s
+    """
+
+
+@register(
+    "q_quality_classifier",
+    oracle=_quality_classifier_oracle,
+    survey_ref="training-data quality filtering: CCNet/fastText-style "
+               "model-based filter — logistic regression trained by "
+               "distributed full-batch gradient descent (one aggregation "
+               "per round, weights driver-side), published weights score "
+               "the corpus JVM-side",
+    doc="quality features -> logreg_train (6 rounds) -> 1-row weight "
+        "dump -> both engines score the identical linear margin; label "
+        "is the deterministic stopword-ratio rule the model must learn",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_features
+    from .operators.cache import build_artifacts, owned_persist
+    from .operators.classifier import logreg_train
+
+    d = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"],
+                spark)
+    feats = quality_features(F.col("text"))
+    # x1 is centered on the label boundary and rescaled to O(1)
+    # (exact float ops, mirrored in the oracle) — without this the
+    # raw ratio's ~0.06 scale needs a ~100x weight that full-batch
+    # GD can't reach in a few rounds (measured: collapsed to the
+    # majority class at 12 rounds on the raw feature)
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(1.0).alias("x0"),
+        ((feats["stopword_ratio"] - F.lit(0.06)) * F.lit(16.0)).alias("x1"),
+        (feats["avg_token_len"] / F.lit(16.0)).alias("x2"),
+        (feats["n_tokens"].cast("double") / F.lit(256.0)).alias("x3"))
+    base = base.withColumn(
+        "label", F.when(F.col("x1") >= 0.0, 1).otherwise(0).cast("int"))
+    aux = _aux("q_quality_classifier", _sf_tag(sf_dir))
+    with build_artifacts():
+        # feature extraction is regex-heavy: persist for the 12
+        # gradient scans, release once the weights are published
+        trained = owned_persist(base)
+        # 6 rounds at lr 8 reaches the same 0.997 training accuracy
+        # as 12 at lr 4 (measured at sf0.1) in half the job barriers
+        w = logreg_train(trained, ["x0", "x1", "x2", "x3"], "label",
+                         iters=6, lr=8.0)
+        publish_aux(
+            spark.createDataFrame(
+                [tuple(w)], "w0 double, w1 double, w2 double, w3 double"),
+            aux)
+    wdf = spark.read.parquet(aux)
+    return (base.crossJoin(F.broadcast(wdf))
+            .withColumn("score", F.expr("w0*x0 + w1*x1 + w2*x2 + w3*x3"))
+            .select("doc_id", "score",
+                    F.expr("cast(case when score >= 0.0d then 1 else 0 "
+                           "end as int)").alias("pred"),
+                    "label"))
