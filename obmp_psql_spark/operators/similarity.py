@@ -604,9 +604,45 @@ def incremental_ivf_assignments(
         txn.append(assign_table, assigned)
 
 
+def _nearest_centroid_udf(cents: list):
+    """Build a vectorized Arrow UDF mapping an embedding to its
+    nearest centroid id by cosine. ``cents`` is [(cid, vector)],
+    sorted ascending by cid so numpy's first-max argmax reproduces
+    the lowest-cid tie-break.
+
+    Why a UDF here and not the crossJoin + top-1 expression the rest
+    of the file favors: scoring N vectors against C centroids as
+    DataFrame expressions materializes an N x C intermediate and
+    evaluates ``zip_with``+``aggregate`` per pair (one 64-element
+    array allocation each — 89M allocations at 200k x 447, ~27 s
+    however the top-1 is taken, window or max_by). The BLAS form is
+    one ``X @ C.T`` matmul per Arrow batch with NO N x C rows ever
+    existing JVM-side (~2 s; same reasoning as ``cosine_topk_arrow``).
+    Centroids ride the closure (k x d doubles, ~230 KB at 447 x 64)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    m = np.array([list(v) for _, v in cents], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms  # row-normalized: argmax of X @ mn.T == argmax cosine
+
+    @pandas_udf("long")
+    def best(col):  # type: ignore[no-untyped-def]
+        if not len(col):
+            return pd.Series([], dtype="int64")
+        x = np.array(list(col), dtype=np.float64)
+        return pd.Series(cids[(x @ mn.T).argmax(axis=1)])
+
+    return best
+
+
 def kmeans_assign(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_clusters: int = 16, train_iters: int = 2,
+    arrow_threshold: int = 64,
 ) -> DataFrame:
     """Batch k-means cluster assignment over an embedding column:
     the clustering half of SemDeDup-style semantic deduplication
@@ -615,43 +651,105 @@ def kmeans_assign(
 
     Codebook: the ``n_clusters`` lowest-id vectors seed the centroids
     (reproducible, the same rule as ``ivf_topk``); ``train_iters``
-    Lloyd rounds refine them (``_kmeans_refine`` — broadcast codebook,
-    data never leaves the cluster, one k-row collect per round).
-    Assignment is the broadcast-codebook top-1 by cosine with an
-    ascending-cid tie-break.
+    Lloyd rounds refine them; assignment is nearest-centroid by
+    cosine with a lowest-cid tie-break.
+
+    The scoring PATH is size-gated on the codebook, the same shape as
+    size-gated broadcasts: at C <= ``arrow_threshold`` centroids the
+    N x C expression plan (broadcast crossJoin + window top-1,
+    ``_kmeans_refine``) is cheap and avoids spinning up Python
+    workers; above it, expression dots dominate (an array allocation
+    per pair — 89M at 200k x 447, ~27 s) and assignment switches to
+    the Arrow-BLAS argmax (`_nearest_centroid_udf`: one X @ C.T
+    matmul per batch, codebook in the closure, measured 103 -> 12 s
+    for the full 200k assign pipeline; SURVEY finding #17). Both
+    paths produce identical assignments up to float ulps on exact
+    score ties.
 
     Output: (id, cluster_id). Downstream consumers treat the
-    assignment as a published artifact (parquet handoff), so Lloyd's
-    run-to-run float-sum variation never has to be reproducible —
-    only the within-cluster logic computed FROM the assignment does.
+    assignment as a published artifact (parquet handoff), so
+    run-to-run float variation never has to be reproducible — only
+    the within-cluster logic computed FROM the assignment does.
 
-    Scale: centroid count is chosen ~sqrt(N) like IVF; the assignment
-    join is broadcast (k << N rows shipped), the refine loop is
-    train_iters full scans with map-side partial aggregation, and no
-    all-pairs product exists anywhere.
+    Scale: centroid count is chosen ~sqrt(N) like IVF, putting real
+    corpora on the Arrow path; each Lloyd round is one scan of the
+    persisted vector table and no N x C rows ever exist there.
     """
+    if n_clusters <= arrow_threshold:
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            as_double(F.col(vec_col)).alias("__v"),
+        ).withColumn("__n", l2norm(F.col("__v")))
+        seed = base.orderBy("__id").limit(n_clusters).select(
+            F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
+            F.col("__n").alias("__cn"))
+        if train_iters > 0:
+            base = owned_persist(base)
+            seed = _kmeans_refine(base, seed, train_iters)
+        scored = base.crossJoin(F.broadcast(seed)).select(
+            "__id", "__cid",
+            (dot(F.col("__v"), F.col("__cv"))
+             / (F.col("__n") * F.col("__cn"))).alias("__csim"))
+        wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
+                                           F.col("__cid").asc())
+        return (scored.withColumn("__r", F.row_number().over(wc))
+                .filter(F.col("__r") == 1)
+                .select(F.col("__id").alias(id_col),
+                        F.col("__cid").alias("cluster_id")))
+
     base = df.select(
         F.col(id_col).alias("__id"),
-        as_double(F.col(vec_col)).alias("__v"),
-    ).withColumn("__n", l2norm(F.col("__v")))
-
-    seed = base.orderBy("__id").limit(n_clusters).select(
-        F.col("__id").alias("__cid"), F.col("__v").alias("__cv"),
-        F.col("__n").alias("__cn"))
+        as_double(F.col(vec_col)).alias("__v"))
     if train_iters > 0:
         base = owned_persist(base)
-        seed = _kmeans_refine(base, seed, train_iters)
 
-    scored = base.crossJoin(F.broadcast(seed)).select(
-        "__id", "__cid",
-        (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
-        .alias("__csim"))
-    wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
-                                       F.col("__cid").asc())
-    return (scored.withColumn("__r", F.row_number().over(wc))
-            .filter(F.col("__r") == 1)
-            .select(F.col("__id").alias(id_col),
-                    F.col("__cid").alias("cluster_id")))
+    cents = sorted(
+        (r["__id"], r["__v"])
+        for r in base.orderBy("__id").limit(n_clusters).collect())
+    for _ in range(train_iters):
+        best = _nearest_centroid_udf(cents)
+        top1 = base.select(best(F.col("__v")).alias("__cid"), "__v")
+        means = (
+            top1.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
+            .groupBy("__cid", "__pos").agg(F.avg("__val").alias("__m"))
+            .groupBy("__cid")
+            .agg(F.sort_array(F.collect_list(F.struct("__pos", "__m")))
+                 .alias("__s"))
+            .select("__cid",
+                    F.transform("__s", lambda x: x["__m"]).alias("__cv")))
+        cents = sorted((r["__cid"], r["__cv"]) for r in means.collect())
+
+    best = _nearest_centroid_udf(cents)
+    return base.select(F.col("__id").alias(id_col),
+                       best(F.col("__v")).alias("cluster_id"))
+
+
+def shard_oversized_clusters(assignments: DataFrame,
+                             id_col: str = "vec_id",
+                             cluster_col: str = "cluster_id",
+                             max_cluster_size: int = 500) -> DataFrame:
+    """Split any cluster larger than ``max_cluster_size`` into
+    deterministic hash shards, re-keying ``cluster_col`` to
+    ``cid * 2^16 + shard`` (shard 0 when under the cap).
+
+    This is the SemDeDup analog of ``lsh_topk``'s bucket cap: k-means
+    *can* split a dense directional cluster that LSH sign planes
+    saturate on (Lloyd separates by distance, not sign), but nothing
+    stops one centroid from owning a skewed share of the corpus, and
+    within-cluster pair work is quadratic in occupancy. Sharding
+    bounds it at N x cap. The policy runs entirely on the producer
+    side — consumers (and the oracle handshake) see only the final
+    blocking key in the published assignment, so capping never
+    changes the verification contract, only the candidate set (a
+    recall knob, exactly like the LSH cap)."""
+    sizes = (assignments.groupBy(cluster_col)
+             .agg(F.count(F.lit(1)).alias("__sz")))
+    n_shards = F.ceil(F.col("__sz") / F.lit(max_cluster_size)).cast("long")
+    return (assignments.join(F.broadcast(sizes), cluster_col)
+            .select(F.col(id_col),
+                    (F.col(cluster_col).cast("long") * F.lit(65536)
+                     + F.pmod(F.xxhash64(F.col(id_col)), n_shards))
+                    .alias(cluster_col)))
 
 
 def semantic_dedup_within(

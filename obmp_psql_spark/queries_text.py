@@ -2743,6 +2743,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured ~1.2 s/round at sf0.1 in job fixed costs)
         assigned = similarity.kmeans_assign(
             fan_out(aug, spark), n_clusters=16, train_iters=1)
+        # cap within-cluster pair work (the published key carries the
+        # shard, so the oracle contract is unchanged — see
+        # shard_oversized_clusters)
+        assigned = similarity.shard_oversized_clusters(
+            assigned, max_cluster_size=500)
         publish_aux(
             assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
                             F.col("cluster_id").cast("long")

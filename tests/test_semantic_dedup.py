@@ -54,3 +54,38 @@ def test_no_threshold_no_drops(spark):
         rows = semantic_dedup_within(assigned, aug,
                                      threshold=1.5).collect()
     assert rows and all(r.kept == 1 and r.dup_of is None for r in rows)
+
+
+def test_shard_oversized_clusters(spark):
+    """Clusters over the cap split into bounded hash shards; clusters
+    under the cap keep one shard; ids never move between clusters."""
+    from obmp_psql_spark.operators.similarity import shard_oversized_clusters
+    rows = [(i, 1) for i in range(120)] + [(1000 + i, 2) for i in range(20)]
+    a = spark.createDataFrame(rows, "vec_id long, cluster_id long")
+    out = shard_oversized_clusters(a, max_cluster_size=50).collect()
+    assert len(out) == 140
+    big = {r.cluster_id for r in out if r.vec_id < 1000}
+    small = {r.cluster_id for r in out if r.vec_id >= 1000}
+    assert all(c // 65536 == 1 for c in big)
+    assert small == {2 * 65536}            # under cap -> single shard 0
+    assert 1 < len(big) <= 3               # ceil(120/50) = 3 shards
+    from collections import Counter
+    occ = Counter(r.cluster_id for r in out if r.vec_id < 1000)
+    assert max(occ.values()) <= 90         # hash-balanced, well under 120
+
+
+def test_arrow_and_expression_paths_agree(spark):
+    """The size-gated scoring paths (expression crossJoin+window vs
+    Arrow argmax) must produce the same assignment on well-separated
+    data (ties up to float ulps aside)."""
+    from obmp_psql_spark.operators.similarity import kmeans_assign
+    aug = _aug(spark, n=60)
+    with build_artifacts():
+        expr = {(r.vec_id, r.cluster_id) for r in
+                kmeans_assign(aug, n_clusters=4, train_iters=1,
+                              arrow_threshold=1000).collect()}
+        arrow = {(r.vec_id, r.cluster_id) for r in
+                 kmeans_assign(aug, n_clusters=4, train_iters=1,
+                               arrow_threshold=0).collect()}
+    agree = len(expr & arrow) / len(expr)
+    assert agree >= 0.98, f"paths agree on only {agree:.1%}"
