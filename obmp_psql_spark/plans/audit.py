@@ -51,6 +51,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row trained logistic-regression weight dump broadcast into the
     # scoring expression — the scalar-subquery pattern
     "q_quality_classifier": "broadcast 1-row trained-weight dump",
+    # 1-row LM totals (corpus total + smoothed target denominator)
+    # broadcast into the per-token LLR — the scalar-subquery pattern
+    "q_dsir_select": "broadcast 1-row LM-totals aggregate",
 }
 
 

@@ -2929,3 +2929,98 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("cast(case when score >= 0.0d then 1 else 0 "
                            "end as int)").alias("pred"),
                     "label"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection: target-vs-raw unigram log-likelihood ratio
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
+      FROM documents
+    ), t AS (SELECT doc_id, source, term FROM tok WHERE length(term) > 0),
+    cf AS (
+      SELECT term, count(*) AS c_all,
+             count(*) FILTER (WHERE source = 'src0') AS c_tgt
+      FROM t GROUP BY term
+    ),
+    tot AS (
+      SELECT sum(c_all) AS t_all,
+             sum(c_tgt) + count(*) AS t_tgt_denom
+      FROM cf
+    ), mb AS (
+      SELECT t.doc_id,
+             CAST(round((ln(cf.c_tgt + 1)
+                         - ln(CAST(tot.t_tgt_denom AS DOUBLE))
+                         - ln(cf.c_all)
+                         + ln(CAST(tot.t_all AS DOUBLE)))
+                        / ln(2) * 1000000) AS BIGINT) AS mb
+      FROM t
+      JOIN cf USING (term)
+      CROSS JOIN tot
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(mb) AS BIGINT) AS llr_microbits,
+           CAST(CASE WHEN sum(mb) >= 0 THEN 1 ELSE 0 END AS INT)
+             AS selected
+    FROM mb GROUP BY doc_id
+    """,
+    survey_ref="training-data selection: DSIR-style importance scoring "
+               "(Xie et al. 2023) — per-token log2 p_target/p_raw under "
+               "add-one-smoothed unigram LMs, summed per doc; docs whose "
+               "token mix looks more target-like than corpus-average are "
+               "selected (the hashed-ngram importance-resampling recipe, "
+               "unigram instantiation)",
+    doc="one combined count agg (corpus total + FILTERed target count "
+        "per term, single shuffle) -> per-token LLR rounded to integer "
+        "micro-bits BEFORE the doc sum (engine-order-safe) -> integer "
+        "sum + >=0 selection; NO division so trunc-vs-floor semantics "
+        "never enter the hash (llr sums go negative)",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one explode (persisted — three plan branches read
+    it: term counts, totals, and the scoring join), ONE term-keyed
+    aggregate carrying both LM counts (conditional count, map-side
+    combined), 1-row LM totals broadcast as the scalar-subquery
+    pattern, one doc-keyed integer agg. Vocabulary bounds the join
+    keys."""
+    import math as _math
+
+    from .operators.cache import owned_persist
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    t = owned_persist(
+        d.select("doc_id", "source", F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0))
+    cf = t.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.count_if(F.col("source") == "src0").alias("c_tgt"))
+    tot = F.broadcast(
+        cf.agg(F.sum("c_all").cast("double").alias("__t_all"),
+               (F.sum("c_tgt") + F.count(F.lit(1))).cast("double")
+               .alias("__t_tgt_denom")))
+    mb = (t.join(cf, "term")
+          .crossJoin(tot)
+          .select("doc_id",
+                  F.round((F.log(F.col("c_tgt") + F.lit(1))
+                           - F.log("__t_tgt_denom")
+                           - F.log("c_all")
+                           + F.log("__t_all"))
+                          / F.lit(float(_math.log(2))) * 1_000_000)
+                  .cast("long").alias("__mb")))
+    return (mb.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("__mb").alias("llr_microbits"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("llr_microbits").cast("long")
+                    .alias("llr_microbits"),
+                    F.when(F.col("llr_microbits") >= 0, 1).otherwise(0)
+                    .cast("int").alias("selected")))

@@ -44,3 +44,18 @@ def test_quality_classifier_beats_majority(spark):
     majority = max(sum(r.label for r in out),
                    sum(1 - r.label for r in out)) / len(out)
     assert acc >= 0.9 and acc > majority, (acc, majority)
+
+
+def test_dsir_prefers_target_domain(spark):
+    """DSIR importance selection must pick target-domain (src0) docs
+    at a substantially higher rate than the corpus average."""
+    from pyspark.sql import functions as F
+    out = all_specs()["q_dsir_select"].fn(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .select("doc_id", "source")
+    rates = {r["src0"]: (r["rate"], r["n"]) for r in
+             out.join(docs, "doc_id")
+                .groupBy((F.col("source") == "src0").alias("src0"))
+                .agg(F.avg("selected").alias("rate"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+    assert rates[True][0] > rates[False][0] + 0.2, rates
