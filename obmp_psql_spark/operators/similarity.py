@@ -294,6 +294,7 @@ def ivf_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_centroids: int = 16, nprobe: int = 2, k: int = 5,
     train_iters: int = 0, max_queries: int | None = None,
+    arrow_threshold: int = 64,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN: the other canonical scale
     path next to LSH.
@@ -332,20 +333,37 @@ def ivf_topk(
         seed = _kmeans_refine(base, seed, train_iters)
     cents = F.broadcast(seed)
 
-    # nprobe nearest centroids per vector (broadcast join + window).
-    # The assignment table is the IVF index: built ONCE and persisted
-    # (at production scale it is written out as the index artifact) —
-    # without this, both sides of the list join would re-run the
-    # centroid crossJoin + window from scratch.
-    scored_c = base.crossJoin(cents).select(
-        "__id", "__v", "__n", "__cid",
-        (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
-        .alias("__csim"))
-    wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
-    assigned = owned_persist(
-        scored_c.withColumn("__cr", F.row_number().over(wc))
-        .filter(F.col("__cr") <= nprobe)
-        .select("__id", "__v", "__n", "__cid", "__cr"))
+    # nprobe nearest centroids per vector. The assignment table is
+    # the IVF index: built ONCE and persisted (at production scale it
+    # is written out as the index artifact) — without this, both
+    # sides of the list join would re-run the assignment from
+    # scratch. The scoring path is size-gated on the codebook, same
+    # policy as kmeans_assign: the N x C expression plan (broadcast
+    # crossJoin + window) for small codebooks — cheap, Python-free,
+    # bit-exact vs the SQL oracle — and the Arrow top-nprobe argsort
+    # above `arrow_threshold` centroids, where expression dots
+    # allocate an array per (vector, centroid) pair and dominate the
+    # index build (SURVEY finding #17).
+    if n_centroids <= arrow_threshold:
+        scored_c = base.crossJoin(cents).select(
+            "__id", "__v", "__n", "__cid",
+            (dot(F.col("__v"), F.col("__cv"))
+             / (F.col("__n") * F.col("__cn"))).alias("__csim"))
+        wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
+                                           F.col("__cid").asc())
+        assigned = owned_persist(
+            scored_c.withColumn("__cr", F.row_number().over(wc))
+            .filter(F.col("__cr") <= nprobe)
+            .select("__id", "__v", "__n", "__cid", "__cr"))
+    else:
+        cent_rows = sorted((r["__cid"], r["__cv"]) for r in seed.collect())
+        topn = _nearest_centroids_udf(cent_rows, nprobe)
+        assigned = owned_persist(
+            base.select("__id", "__v", "__n",
+                        F.posexplode(topn(F.col("__v")))
+                        .alias("__r0", "__cid"))
+            .select("__id", "__v", "__n", "__cid",
+                    (F.col("__r0") + 1).cast("int").alias("__cr")))
 
     a_src = assigned
     if max_queries is not None:
@@ -637,6 +655,34 @@ def _nearest_centroid_udf(cents: list):
         return pd.Series(cids[(x @ mn.T).argmax(axis=1)])
 
     return best
+
+
+def _nearest_centroids_udf(cents: list, nprobe: int):
+    """Top-``nprobe`` variant of ``_nearest_centroid_udf`` for the
+    IVF assignment: returns the nprobe nearest centroid ids per
+    vector, cosine-descending with the lowest-cid tie-break (stable
+    argsort over ascending-cid columns). Same BLAS-per-batch shape
+    and closure-shipped codebook."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    m = np.array([list(v) for _, v in cents], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    n = min(nprobe, len(cents))
+
+    @pandas_udf("array<long>")
+    def best_n(col):  # type: ignore[no-untyped-def]
+        if not len(col):
+            return pd.Series([], dtype="object")
+        x = np.array(list(col), dtype=np.float64)
+        order = np.argsort(-(x @ mn.T), axis=1, kind="stable")[:, :n]
+        return pd.Series(list(cids[order]))
+
+    return best_n
 
 
 def kmeans_assign(
