@@ -54,6 +54,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row LM totals (corpus total + smoothed target denominator)
     # broadcast into the per-token LLR — the scalar-subquery pattern
     "q_dsir_select": "broadcast 1-row LM-totals aggregate",
+    # 1-row percentile-cut aggregate broadcast into the outlier flag —
+    # the scalar-subquery pattern
+    "q_embed_outliers": "broadcast 1-row percentile-cut aggregate",
 }
 
 

@@ -3024,3 +3024,95 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("llr_microbits"),
                     F.when(F.col("llr_microbits") >= 0, 1).otherwise(0)
                     .cast("int").alias("selected")))
+
+
+# ---------------------------------------------------------------------------
+# embedding-space outlier pruning: cosine-to-own-centroid
+# ---------------------------------------------------------------------------
+
+def _embed_outliers_oracle(sf_dir: str) -> str:
+    """DuckDB half of the outlier handshake: the dump carries each
+    vector's cluster AND that cluster's centroid (denormalized so one
+    dump is self-contained); both engines recompute cos(v, centroid)
+    with the identical expression and flag the same low band."""
+    aux = _aux("q_embed_outliers", _sf_tag(sf_dir))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), ap AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(cluster_id AS BIGINT) AS cluster_id, centroid
+      FROM read_parquet('{aux}/*.parquet')
+    ), s AS (
+      SELECT ap.vec_id, ap.cluster_id,
+             list_sum(list_transform(list_zip(e.emb, ap.centroid),
+                                     x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+                  * sqrt(list_sum(list_transform(ap.centroid, x -> x*x))))
+               AS cos_centroid
+      FROM ap JOIN e USING (vec_id)
+    ), cut AS (SELECT quantile_cont(cos_centroid, 0.05) AS p5 FROM s)
+    SELECT vec_id, cluster_id, cos_centroid,
+           CAST(CASE WHEN cos_centroid < cut.p5 THEN 1 ELSE 0 END AS INT)
+             AS is_outlier
+    FROM s CROSS JOIN cut
+    """
+
+
+@register(
+    "q_embed_outliers",
+    oracle=_embed_outliers_oracle,
+    survey_ref="training-data curation: embedding-space outlier pruning "
+               "— cosine of each vector to its own k-means centroid, low "
+               "band flagged (the prune-before-train step next to "
+               "SemDeDup; far-from-every-centroid vectors are mislabeled "
+               "or off-distribution)",
+    doc="kmeans_assign -> assignment+centroid handoff (denormalized, "
+        "self-contained) -> both engines recompute cos(v, own centroid) "
+        "and flag the identical bottom-5% band (interpolated percentile "
+        "cut — a fixed constant would be degenerate on any given "
+        "corpus's cohesion distribution)",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cache import build_artifacts
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    aux = _aux("q_embed_outliers", _sf_tag(sf_dir))
+    with build_artifacts():
+        assigned = similarity.kmeans_assign(
+            fan_out(e, spark), n_clusters=16, train_iters=1)
+        cents = (assigned.join(
+            e.select("vec_id", similarity.as_double(F.col("embedding"))
+                     .alias("__v")), "vec_id")
+            .select("cluster_id", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("cluster_id", "__p").agg(F.avg("__x").alias("__m"))
+            .groupBy("cluster_id")
+            .agg(F.sort_array(F.collect_list(F.struct("__p", "__m")))
+                 .alias("__s"))
+            .select("cluster_id",
+                    F.transform("__s", lambda x: x["__m"])
+                    .alias("centroid")))
+        publish_aux(
+            assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
+                            F.col("cluster_id").cast("long")
+                            .alias("cluster_id"))
+            .join(F.broadcast(cents), "cluster_id")
+            .select("vec_id", "cluster_id", "centroid"),
+            aux)
+    ap = spark.read.parquet(aux)
+    s = (ap.join(e.select("vec_id",
+                          similarity.as_double(F.col("embedding"))
+                          .alias("__v")), "vec_id")
+         .select("vec_id", F.col("cluster_id").cast("long")
+                 .alias("cluster_id"),
+                 (similarity.dot(F.col("__v"), F.col("centroid"))
+                  / (similarity.l2norm(F.col("__v"))
+                     * similarity.l2norm(F.col("centroid"))))
+                 .alias("cos_centroid")))
+    cut = F.broadcast(
+        s.agg(F.expr("percentile(cos_centroid, 0.05)").alias("__p5")))
+    return (s.crossJoin(cut)
+            .select("vec_id", "cluster_id", "cos_centroid",
+                    F.when(F.col("cos_centroid") < F.col("__p5"), 1)
+                    .otherwise(0).cast("int").alias("is_outlier")))

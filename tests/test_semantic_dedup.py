@@ -89,3 +89,16 @@ def test_arrow_and_expression_paths_agree(spark):
                                arrow_threshold=0).collect()}
     agree = len(expr & arrow) / len(expr)
     assert agree >= 0.98, f"paths agree on only {agree:.1%}"
+
+
+def test_embed_outliers_bottom_band(spark):
+    """The percentile cut flags ~5% of vectors, each flagged cosine
+    is below every kept cosine, and every vector gets one verdict."""
+    from obmp_psql_spark.registry import all_specs
+    rows = all_specs()["q_embed_outliers"].fn(spark, SF_SMALL).collect()
+    n = len(rows)
+    out = [r for r in rows if r.is_outlier == 1]
+    assert n > 0 and 0 < len(out) <= max(1, int(n * 0.07))
+    worst_kept = min(r.cos_centroid for r in rows if r.is_outlier == 0)
+    assert all(r.cos_centroid < worst_kept for r in out)
+    assert len({r.vec_id for r in rows}) == n
