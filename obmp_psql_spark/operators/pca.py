@@ -72,12 +72,20 @@ def pca_fit(df: DataFrame, vec_col: str, dims: int,
     the distributed partials never has to be reproducible, only the
     projection computed FROM the published matrix does — the same
     contract as ``kmeans_assign``."""
+    rows = gram_partials(df, vec_col, dims).collect()  # d^2+d+1 rows
+    return _model_from_rows(rows, dims, n_components)
+
+
+def _model_from_rows(rows, dims: int, n_components: int):
+    """(pos, val) rows -> (mean, components, eigvals). Shared by the
+    batch fit and the incremental store-backed fit — the summed
+    partials are the entire model state, so where they came from
+    (one scan or N appended batches) cannot matter."""
     import numpy as np
 
-    rows = gram_partials(df, vec_col, dims).collect()  # d^2+d+1 rows
     flat = np.zeros(1 + dims + dims * dims)
     for r in rows:
-        flat[r["pos"]] = r["val"]
+        flat[r["pos"]] += r["val"]
     n = flat[0]
     if n < 2:
         raise ValueError(f"PCA needs >= 2 rows, got {int(n)}")
@@ -95,3 +103,39 @@ def pca_fit(df: DataFrame, vec_col: str, dims: int,
         comps.append([float(x) for x in v])
     return ([float(x) for x in mean], comps,
             [float(eigvals[i]) for i in order])
+
+
+def incremental_gram_update(
+    store, new_vecs: DataFrame, vec_col: str, dims: int, *,
+    batch_id: int, partials_table: str = "pca_gram_partials",
+) -> None:
+    """Streaming PCA maintenance: append this batch's Gram partial
+    rows atomically to the transactional store — the model-state
+    analog of ``incremental_minhash_pairs`` (band rows) and
+    ``incremental_ivf_assignments`` (inverted-list rows).
+
+    Because the sufficient statistics are pure sums, batch order and
+    batch boundaries cannot change the model: any split of the corpus
+    into batches accumulates the identical (count, sums, X^T X)
+    state, and the fitted model is recovered at READ time by summing
+    whatever partials exist (``pca_fit_from_store``). A replayed
+    ``batch_id`` is skipped before any compute (exactly-once,
+    per-table txn counter), so at-least-once delivery never
+    double-counts a batch into the covariance.
+
+    Scale: per batch one mapInPandas scan + a (d^2+d+1)-row append —
+    old vectors are NEVER rescanned."""
+    with store.transaction(f"pca_gram:{partials_table}", batch_id) as txn:
+        txn.append(partials_table,
+                   gram_partials(new_vecs, vec_col, dims))
+
+
+def pca_fit_from_store(store, dims: int, n_components: int = 2,
+                       partials_table: str = "pca_gram_partials"):
+    """Recover (mean, components, eigvals) from the accumulated
+    partials — the read half of ``incremental_gram_update``."""
+    from pyspark.sql import functions as F2
+
+    rows = (store.read(partials_table)
+            .groupBy("pos").agg(F2.sum("val").alias("val")).collect())
+    return _model_from_rows(rows, dims, n_components)

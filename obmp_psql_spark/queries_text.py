@@ -2761,13 +2761,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed PCA: map-side Gram reduction -> driver eigh -> projection
 # ---------------------------------------------------------------------------
 
-def _pca_project_oracle(sf_dir: str) -> str:
+def _pca_project_oracle(sf_dir: str, name: str = "q_pca_project") -> str:
     """DuckDB half of the PCA handshake: read the published model
     (mean + 2 sign-normalized components), project every embedding
     with the identical centered dot products, and emit the same raw
     coordinates + integer energy ppm. Hash-equal iff both engines
-    project bit-for-bit from the same published matrix."""
-    aux = _aux("q_pca_project", _sf_tag(sf_dir))
+    project bit-for-bit from the same published matrix. Shared by the
+    batch fit (q_pca_project) and the incremental store-backed fit
+    (q_stream_pca) — only the aux dump name differs."""
+    aux = _aux(name, _sf_tag(sf_dir))
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -2793,25 +2795,11 @@ def _pca_project_oracle(sf_dir: str) -> str:
     """
 
 
-@register(
-    "q_pca_project",
-    oracle=_pca_project_oracle,
-    survey_ref="training-data embeddings: distributed PCA — map-side "
-               "Gram reduction (O(partitions x d^2) shuffle, row-count "
-               "independent), driver-side eigh on the d x d covariance, "
-               "published-model projection (whitening / component "
-               "pruning before ANN indexing)",
-    doc="gram partials via Arrow mapInPandas -> eigh -> sign-normalized "
-        "2-component model dump -> both engines project independently; "
-        "energy_ppm = centered variance captured, integer-floored",
-)
-def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import pca
-
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    mean, comps, _eig = pca.pca_fit(fan_out(e, spark), "embedding",
-                                    dims=_DIMS, n_components=2)
-    aux = _aux("q_pca_project", _sf_tag(sf_dir))
+def _publish_and_project(spark: SparkSession, e: DataFrame,
+                         mean, comps, name: str, sf_dir: str) -> DataFrame:
+    """Publish a fitted 2-component model and return the projection
+    plan both engines score (the Spark half of _pca_project_oracle)."""
+    aux = _aux(name, _sf_tag(sf_dir))
     model = spark.createDataFrame(
         [(mean, comps[0], comps[1])],
         "mean array<double>, w1 array<double>, w2 array<double>")
@@ -2830,6 +2818,72 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "p1", "p2",
         F.expr("cast(floor((p1*p1 + p2*p2) * 1000000.0d / "
                "nullif(__d2, 0.0d)) as bigint)").alias("energy_ppm"))
+
+
+@register(
+    "q_pca_project",
+    oracle=_pca_project_oracle,
+    survey_ref="training-data embeddings: distributed PCA — map-side "
+               "Gram reduction (O(partitions x d^2) shuffle, row-count "
+               "independent), driver-side eigh on the d x d covariance, "
+               "published-model projection (whitening / component "
+               "pruning before ANN indexing)",
+    doc="gram partials via Arrow mapInPandas -> eigh -> sign-normalized "
+        "2-component model dump -> both engines project independently; "
+        "energy_ppm = centered variance captured, integer-floored",
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pca
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    mean, comps, _eig = pca.pca_fit(fan_out(e, spark), "embedding",
+                                    dims=_DIMS, n_components=2)
+    return _publish_and_project(spark, e, mean, comps,
+                                "q_pca_project", sf_dir)
+
+
+@register(
+    "q_stream_pca",
+    oracle=lambda sf: _pca_project_oracle(sf, "q_stream_pca"),
+    survey_ref="training-data embeddings: STREAMING PCA — incremental "
+               "Gram-partial maintenance through the transactional "
+               "store (the model-state member of the incremental-index "
+               "family next to the MinHash band index and the IVF "
+               "assignment index); vectors arrive in batches, each "
+               "appends its (count, sums, X^T X) partial atomically, "
+               "old vectors are never rescanned, and the model is "
+               "recovered at read time from the summed partials",
+    doc="3 batches -> incremental_gram_update (exactly-once txn, "
+        "replay no-op) -> pca_fit_from_store -> same projection "
+        "handshake as q_pca_project; batch sums commute so any split "
+        "yields the identical sufficient statistics",
+)
+def q_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pca
+    from .queries_bmp import _cached_pipeline
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="pcagram_"))
+        for b in range(3):
+            pca.incremental_gram_update(
+                store, e.filter(F.col("vec_id") % 3 == b),
+                "embedding", _DIMS, batch_id=b)
+        pca.incremental_gram_update(  # replay: must no-op
+            store, e.filter(F.col("vec_id") % 3 == 1),
+            "embedding", _DIMS, batch_id=1)
+        mean, comps, _eig = pca.pca_fit_from_store(store, _DIMS,
+                                                   n_components=2)
+        return (_publish_and_project(spark, e, mean, comps,
+                                     "q_stream_pca", sf_dir),)
+
+    (out,) = _cached_pipeline("streampca", spark, sf_dir, build)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -57,3 +57,33 @@ def test_too_few_rows(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0])], "id long, vec array<double>")
     with pytest.raises(ValueError, match=">= 2 rows"):
         pca_fit(df, "vec", dims=2)
+
+
+def test_incremental_gram_split_invariance_and_replay(spark):
+    """Any batch split accumulates the identical sufficient
+    statistics (sums commute); a replayed batch_id must no-op so
+    at-least-once delivery never double-counts the covariance."""
+    import tempfile
+
+    from obmp_psql_spark.operators.pca import (incremental_gram_update,
+                                               pca_fit, pca_fit_from_store)
+    from obmp_psql_spark.state import TxnStateStore
+
+    rng = np.random.RandomState(3)
+    data = rng.randn(90, 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(data)],
+        "id long, vec array<double>")
+
+    store = TxnStateStore(spark, tempfile.mkdtemp(prefix="pcagram_t_"))
+    import pyspark.sql.functions as F
+    for b in range(3):
+        incremental_gram_update(store, df.filter(F.col("id") % 3 == b),
+                                "vec", 6, batch_id=b)
+    incremental_gram_update(store, df.filter(F.col("id") % 3 == 0),
+                            "vec", 6, batch_id=0)  # replay
+    m_inc, c_inc, e_inc = pca_fit_from_store(store, 6)
+    m_bat, c_bat, e_bat = pca_fit(df, "vec", dims=6)
+    assert np.allclose(m_inc, m_bat, atol=1e-9)
+    assert np.allclose(c_inc[0], c_bat[0], atol=1e-6)
+    assert np.allclose(e_inc, e_bat, atol=1e-9)
