@@ -57,9 +57,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row percentile-cut aggregate broadcast into the outlier flag —
     # the scalar-subquery pattern
     "q_embed_outliers": "broadcast 1-row percentile-cut aggregate",
-    # same 1-row published-model broadcast as q_pca_project, fed from
-    # the incremental store-backed fit
-    "q_stream_pca": "broadcast 1-row projection-model dump",
+    # q_stream_pca shares q_pca_project's 1-row model broadcast but
+    # needs NO entry: its pipeline materializes via localCheckpoint,
+    # so the returned plan is a checkpoint scan with no join at all
 }
 
 
