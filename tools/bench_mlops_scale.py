@@ -42,6 +42,10 @@ SCALES = [
     ("2k", "/root/testdata/sf0.1"),
     ("20k", "/tmp/sf1"),
     ("200k", "/tmp/sf10"),
+    # 2M vectors / 5M docs: derived 10x from /tmp/sf10 (one-off duckdb
+    # chain documented in SURVEY finding #18's update — copy offset
+    # 100M clears sf10's id range, perturbation phase +100)
+    ("2M", "/tmp/sf100"),
 ]
 DIMS = 64
 SHARD_CAP = 500
@@ -60,9 +64,22 @@ def main() -> None:
     from obmp_psql_spark.session import fan_out, get_spark, load_tables
 
     spark = get_spark("bench-mlops-scale")
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), out_name) \
+        if not os.path.isabs(out_name) else out_name
+    # BENCH_SCALES=200k,2M runs a subset and MERGES into the existing
+    # artifact (long decades can then run in their own process)
     results: dict = {"dims": DIMS, "shard_cap": SHARD_CAP, "scales": {}}
+    subset = os.environ.get("BENCH_SCALES")
+    if subset and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+        results.setdefault("scales", {})
+    want = set(subset.split(",")) if subset else None
 
     for tag, sf_dir in SCALES:
+        if want is not None and tag not in want:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"skip {tag}: {sf_dir} missing", file=sys.stderr)
             continue
@@ -143,15 +160,18 @@ def main() -> None:
     results["alpha"] = {
         "pca_fit_2k_20k": alpha("pca_fit_s", "2k", "20k"),
         "pca_fit_20k_200k": alpha("pca_fit_s", "20k", "200k"),
+        "pca_fit_200k_2M": alpha("pca_fit_s", "200k", "2M"),
         "semdedup_within_2k_20k": alpha("semdedup_within_s", "2k", "20k"),
         "semdedup_within_20k_200k": alpha("semdedup_within_s",
                                           "20k", "200k"),
+        "semdedup_within_200k_2M": alpha("semdedup_within_s",
+                                         "200k", "2M"),
+        "semdedup_assign_200k_2M": alpha("semdedup_assign_s",
+                                         "200k", "2M"),
         "logreg_2k_20k": alpha("logreg_train_s", "2k", "20k"),
         "logreg_20k_200k": alpha("logreg_train_s", "20k", "200k"),
+        "logreg_200k_2M": alpha("logreg_train_s", "200k", "2M"),
     }
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), out_name) \
-        if not os.path.isabs(out_name) else out_name
     with open(out, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
         f.write("\n")
