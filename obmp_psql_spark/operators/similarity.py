@@ -843,3 +843,120 @@ def semantic_dedup_within(
                     F.when(F.col("dup_of").isNull(), F.lit(1))
                      .otherwise(F.lit(0)).cast("int").alias("kept"),
                     F.col("dup_of").cast("long").alias("dup_of")))
+
+
+def incremental_semantic_dedup(
+    store, new_vecs: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", *, batch_id: int,
+    n_centroids: int = 8, threshold: float = 0.95,
+    members_table: str = "semdedup_members",
+    verdict_table: str = "semdedup_verdicts",
+    centroids_table: str = "semdedup_centroids",
+) -> None:
+    """Streaming SemDeDup: dedup each arriving vector batch against
+    the already-ingested corpus — the embedding analog of the
+    incremental MinHash index (text) and the third member of the
+    streaming-index family next to ``incremental_ivf_assignments``.
+
+    The FIRST batch seeds the centroid codebook (its ``n_centroids``
+    lowest-id vectors, the deterministic seeding rule shared by every
+    codebook in this module) and commits it with its members and
+    verdicts in one transaction. Every batch: assign to the stored
+    codebook (bounded broadcast, 6dp-rounded distance + lowest-cid
+    tie-break so the assignment is bit-reproducible), then compare
+    ONLY against stored members of the same cluster plus lower-id
+    members of this batch's own cluster slice. A vector is DROPPED
+    when any such earlier vector (ordered by (batch, id)) has cosine
+    >= ``threshold``; ``dup_of`` is the lowest-id qualifying earlier
+    vector. Comparisons run against ALL earlier members, kept or
+    dropped — drop status never feeds back, so the verdict for any
+    vector is a pure function of the assignment table (that is what
+    makes the decision re-derivable by a SQL oracle without
+    replaying the batch sequence). Replayed ``batch_id`` no-ops
+    before any compute (exactly-once, per-index txn counter).
+
+    Scale: per batch one broadcast assignment + one equi-join on
+    cluster_id against stored members — old vectors are never
+    rescanned outside the probed clusters, and the per-cluster
+    occupancy cap story from ``shard_oversized_clusters`` applies
+    unchanged if clusters grow hot.
+    """
+    import pyspark.sql.types as T
+
+    app = f"semdedup:{members_table}:{verdict_table}"
+    if store.last_txn_version(app) >= batch_id:
+        return  # replayed batch: skip before any compute
+
+    spark = new_vecs.sparkSession
+    base = new_vecs.select(F.col(id_col).alias("__id"),
+                           as_double(F.col(vec_col)).alias("__v"))
+    cents_schema = T.StructType([
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("cv", T.ArrayType(T.DoubleType())),
+    ])
+    cur = store.read(centroids_table, cents_schema)
+    seed = None
+    if not cur.limit(1).count():
+        rows = base.orderBy("__id").limit(n_centroids).collect()
+        seed = spark.createDataFrame(
+            [(i, list(r["__v"])) for i, r in enumerate(rows)], cents_schema)
+        cents = seed
+    else:
+        cents = cur
+
+    d2 = F.round(F.aggregate(
+        F.zip_with(F.col("__v"), F.col("cv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    assigned = owned_persist(
+        base.join(F.broadcast(cents))
+        .select("__id", "__v", "cid", d2.alias("__d2"))
+        .groupBy("__id").agg(
+            F.min_by(F.struct("cid", "__v"),
+                     F.struct(F.col("__d2"), F.col("cid"))).alias("__w"))
+        .select(F.col("__id"),
+                F.col("__w.cid").cast("long").alias("cluster_id"),
+                F.col("__w.__v").alias("__v"))
+        .withColumn("__n", l2norm(F.col("__v"))))
+
+    mem_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("cluster_id", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ])
+    stored = (store.read(members_table, mem_schema)
+              .withColumn("__sn", l2norm(F.col("vec"))))
+    earlier_same_batch = assigned.select(
+        F.col("__id").alias("vec_id"), F.lit(batch_id).cast("long")
+        .alias("batch_id"), "cluster_id", F.col("__v").alias("vec"),
+        F.col("__n").alias("__sn"))
+    prior = stored.unionByName(earlier_same_batch)
+    dup = (assigned.alias("b")
+           .join(prior.alias("a"),
+                 (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                 & ((F.col("a.batch_id") < F.lit(batch_id))
+                    | (F.col("a.vec_id") < F.col("b.__id"))))
+           .select(F.col("b.__id").alias("__id"),
+                   F.col("a.vec_id").alias("__prev"),
+                   (dot(F.col("a.vec"), F.col("b.__v"))
+                    / (F.col("a.__sn") * F.col("b.__n"))).alias("__cos"))
+           .filter(F.col("__cos") >= threshold)
+           .groupBy("__id").agg(F.min("__prev").alias("dup_of")))
+
+    verdicts = (assigned.join(dup, "__id", "left")
+                .select(F.col("__id").cast("long").alias("vec_id"),
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                        "cluster_id",
+                        F.when(F.col("dup_of").isNull(), 1).otherwise(0)
+                        .cast("int").alias("kept"),
+                        F.col("dup_of").cast("long").alias("dup_of")))
+    members = assigned.select(
+        F.col("__id").cast("long").alias("vec_id"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "cluster_id", F.col("__v").alias("vec"))
+    with store.transaction(app, batch_id) as txn:
+        if seed is not None:
+            txn.append(centroids_table, seed)
+        txn.append(members_table, members)
+        txn.append(verdict_table, verdicts)

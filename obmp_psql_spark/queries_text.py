@@ -3170,3 +3170,104 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cluster_id", "cos_centroid",
                     F.when(F.col("cos_centroid") < F.col("__p5"), 1)
                     .otherwise(0).cast("int").alias("is_outlier")))
+
+
+# ---------------------------------------------------------------------------
+# streaming SemDeDup: per-batch dedup against the already-ingested corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id + 10000 AS BIGINT),
+             list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 3 = 0
+    ),
+    seeds AS (
+      SELECT cid, emb FROM (
+        SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM e WHERE vec_id % 3 = 0
+      ) WHERE cid < 8
+    ),
+    d AS (
+      SELECT e.vec_id, s.cid,
+             round(list_sum(list_transform(list_zip(e.emb, s.emb),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS d2
+      FROM e CROSS JOIN seeds s
+    ),
+    a AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cid ASC) AS r
+      FROM d
+    ),
+    m AS (
+      SELECT e.vec_id, e.vec_id % 3 AS batch_id, a.cluster_id, e.emb,
+             sqrt(list_sum(list_transform(e.emb, x -> x*x))) AS nrm
+      FROM e JOIN a ON e.vec_id = a.vec_id AND a.r = 1
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id, min(p.vec_id) AS dup_of
+      FROM m b JOIN m p
+        ON p.cluster_id = b.cluster_id
+       AND (p.batch_id < b.batch_id
+            OR (p.batch_id = b.batch_id AND p.vec_id < b.vec_id))
+      WHERE list_sum(list_transform(list_zip(p.emb, b.emb),
+                                    x -> x[1]*x[2])) / (p.nrm * b.nrm)
+            >= 0.95
+      GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, CAST(m.batch_id AS BIGINT) AS batch_id,
+           m.cluster_id,
+           CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS INT)
+             AS kept,
+           CAST(dup.dup_of AS BIGINT) AS dup_of
+    FROM m LEFT JOIN dup USING (vec_id)
+    """,
+    survey_ref="training-data dedup x streaming: SemDeDup against the "
+               "LIVE corpus — each arriving batch assigns to the stored "
+               "codebook and near-dups only against stored members of "
+               "its clusters (plus earlier rows of its own batch); the "
+               "embedding analog of the incremental MinHash dedup and "
+               "the third member of the streaming-index family",
+    doc="3 vec_id%3 batches (clones at +10000 land one batch after "
+        "their source: cross-batch dups are exercised) through "
+        "incremental_semantic_dedup, replayed batch no-ops; drop "
+        "status never feeds back, so the accumulated verdicts must "
+        "equal DuckDB's one-shot (batch, id)-ordered computation",
+)
+def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import incremental_semantic_dedup
+    from .queries_bmp import _cached_pipeline
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 3 == 0)
+         .withColumn("vec_id", F.col("vec_id") + 10000))
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="semdd_"))
+        for b in range(3):
+            incremental_semantic_dedup(
+                store, aug.filter(F.col("vec_id") % 3 == b),
+                batch_id=b, n_centroids=8, threshold=0.95)
+        incremental_semantic_dedup(  # replay: must no-op
+            store, aug.filter(F.col("vec_id") % 3 == 1),
+            batch_id=1, n_centroids=8, threshold=0.95)
+        return (store.read("semdedup_verdicts"),)
+
+    (v,) = _cached_pipeline("semdd", spark, sf_dir, build)
+    return v.select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("batch_id").cast("long").alias("batch_id"),
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                    F.col("kept").cast("int").alias("kept"),
+                    F.col("dup_of").cast("long").alias("dup_of"))

@@ -102,3 +102,34 @@ def test_embed_outliers_bottom_band(spark):
     worst_kept = min(r.cos_centroid for r in rows if r.is_outlier == 0)
     assert all(r.cos_centroid < worst_kept for r in out)
     assert len({r.vec_id for r in rows}) == n
+
+
+def test_incremental_semantic_dedup_replay_and_crossbatch(spark):
+    """Clones arriving a batch after their source are dropped with
+    the source as representative; a replayed batch appends nothing;
+    batch-0 rows are all kept (nothing earlier exists)."""
+    import tempfile
+
+    from obmp_psql_spark.operators.similarity import \
+        incremental_semantic_dedup
+    from obmp_psql_spark.state import TxnStateStore
+
+    aug = _aug(spark, n=45)  # clones (+10000) land in batch 1
+    store = TxnStateStore(spark, tempfile.mkdtemp(prefix="semdd_t_"))
+    for b in range(3):
+        incremental_semantic_dedup(
+            store, aug.filter(F.col("vec_id") % 3 == b),
+            batch_id=b, n_centroids=4, threshold=0.95)
+    before = store.read("semdedup_verdicts").count()
+    incremental_semantic_dedup(  # replay
+        store, aug.filter(F.col("vec_id") % 3 == 1),
+        batch_id=1, n_centroids=4, threshold=0.95)
+    rows = store.read("semdedup_verdicts").collect()
+    assert len(rows) == before  # replay appended nothing
+    by_id = {r.vec_id: r for r in rows}
+    clones = [r for r in rows if r.vec_id >= 10000]
+    assert clones and all(c.kept == 0 and c.dup_of == c.vec_id - 10000
+                          for c in clones)
+    assert all(r.kept == 1 for r in rows if r.batch_id == 0)
+    for c in clones:  # same cluster as the source (identical vector)
+        assert by_id[c.dup_of].cluster_id == c.cluster_id
