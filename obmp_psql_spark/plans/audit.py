@@ -26,6 +26,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     # item scan — the brute-force exact-top-k baseline
     "q_ann_topk": "broadcast bounded probe set vs item scan",
     "q_multimodal_retrieval": "broadcast bounded probe set vs item scan",
+    # kNN classify reuses the exact-top-k shape: bounded query slice
+    # (vec_id % 40 == 0) broadcast against the item scan
+    "q_knn_classify": "broadcast bounded probe set vs item scan",
     # the recall companions re-run their approximate operator AND the
     # exact baseline: both sides inherit the bounded broadcast shapes
     # above (probe sets are bounded by the dumped approximate result,
@@ -42,6 +45,11 @@ BNLJ_WHITELIST: dict[str, str] = {
     "q_doc_tfidf": "broadcast 1-row corpus-count aggregate (idf)",
     "q_doc_unigram_ppl": "broadcast 1-row corpus-total aggregate (MLE "
                          "denominator) — same scalar-subquery pattern",
+    "q_bigram_surprisal": "broadcast 1-row vocab-size aggregate (add-1 "
+                          "denominator) — same scalar-subquery pattern",
+    "q_hll_sketch_union": "broadcast 1-row global exact-count aggregate "
+                          "next to the sketch union — scalar-subquery "
+                          "pattern",
     "q_domain_mix": "broadcast 1-row total/source-count aggregate (rates)",
     # 1-row orphan-count x 1-row table-count: the DQ summary join
     "q_dq_audit": "1-row x 1-row aggregate combine (orphans + n_rows)",

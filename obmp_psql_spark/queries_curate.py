@@ -1,0 +1,1239 @@
+"""Corpus-curation and product-analytics operators, round-7 batch 2:
+
+- exact repeated-substring (k-token span) dedup — the Lee et al.
+  "Deduplicating Training Data Makes Language Models Better" exact
+  substring pass, re-expressed as a window-hash groupBy;
+- int8 embedding quantization with reconstruction-error audit — the
+  storage/serving compression step for 100 TB embedding tables;
+- length-bucket batching economics — padding-waste accounting for
+  bucketed training batches;
+- weekly retention cohorts and ordered event funnels over the events
+  stream — the product-analytics queries every event warehouse runs.
+
+No obmp-psql analog for the corpus ops (BASELINE.json north star);
+the events ops mirror the reference's rollup/report family
+(obmp-psql `database/2_aggregations.sql` style time-bucketed stats)
+applied to generic event logs.
+
+Oracle conventions follow registry.py: identical aliases both sides,
+integer-ppm for every fraction entering the hash, per-element
+integer rounding BEFORE any cross-row or cross-element sum of
+transcendental/float values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import fan_out, load_tables, normalize_ts
+
+_NORM = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+_EV = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_ts(load_tables(spark, sf_dir, ("events",))["events"])
+
+
+def _norm_col():
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring dedup (k-token spans)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+# oracle-side fixed position grid (DuckDB generate_series can't take a
+# lateral column bound); 2048 comfortably exceeds the max token count
+# at the driver's sf0.01 oracle scale. The Spark side uses sequence()
+# and has no such bound.
+_SPAN_GRID = 2048
+
+
+@register(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS h
+      FROM toks, generate_series(1, {_SPAN_GRID}) s(i)
+      WHERE i <= len(t) - {_SPAN_K - 1}
+    ),
+    dup AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ),
+    per AS (
+      SELECT w.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(count(dup.h) AS BIGINT) AS n_dup_windows
+      FROM w LEFT JOIN dup ON w.h = dup.h
+      GROUP BY w.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_windows, n_dup_windows,
+           CAST(n_dup_windows * 1000000 // n_windows AS BIGINT) AS dup_ppm
+    FROM per WHERE n_dup_windows > 0
+    """,
+    survey_ref="training-data dedup: exact repeated-substring pass "
+               "(Lee et al. 2022 'Deduplicating Training Data Makes "
+               "Language Models Better') — k-token spans shared across "
+               "documents, the pass that catches partial/boilerplate "
+               "duplication that document-level hashing misses and "
+               "MinHash only scores approximately",
+    doc=f"sliding {_SPAN_K}-token window -> md5 span key -> groupBy "
+        "finding cross-document spans -> per-doc duplicated-span ppm",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-first replacement for the paper's suffix array: every
+    k-token window becomes a fixed-width 16-byte digest in the scan
+    stage (sequence + transform + explode — no Python, whole-stage
+    codegen), so the shuffle carries digests, never text, and the
+    cross-document test is one map-side-combinable count-distinct.
+    At 100 TB the dup-span side is proportional to the duplicated
+    mass only; the join back is a hash join on the already-shuffled
+    digest key. Suffix arrays need a global sort; this needs one
+    hash shuffle."""
+    d = fan_out(_docs(spark, sf_dir), spark)
+    toks = F.split(_norm_col(), " ")
+    k = _SPAN_K
+    # docs shorter than k tokens have no windows (mirrors the oracle's
+    # i <= len - k + 1 bound); the filter also keeps sequence() ascending
+    # (sequence(1, 0) in Spark counts DOWN — [1, 0] — and slice(_, 0, k)
+    # is an error)
+    w = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 toks.alias("__t"))
+        .filter(F.size("__t") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, size(__t) - {k - 1}), "
+                f"i -> md5(concat_ws(' ', slice(__t, i, {k}))))"
+            )).alias("h"),
+        )
+    )
+    dup = (w.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("__nd"))
+           .filter(F.col("__nd") > 1)
+           .select("h", F.lit(1).alias("__dup")))
+    per = (w.join(dup, "h", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_windows"),
+                F.count("__dup").alias("n_dup_windows"))
+           .filter(F.col("n_dup_windows") > 0))
+    return per.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.expr("n_dup_windows * 1000000L div n_windows").alias("dup_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization + reconstruction-error audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_int8_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             CAST(len(emb) AS BIGINT) AS n_dims,
+             list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv,
+             emb
+      FROM s WHERE scale > 0
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, n_dims,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(list_zip(emb, qv),
+                p -> CAST(floor((p[1] - p[2] * scale) * (p[1] - p[2] * scale)
+                                * 1000000000.0 + 0.5) AS BIGINT)))
+                AS BIGINT) AS err_nano,
+           CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_ppb
+    FROM q
+    """,
+    survey_ref="training-data pipeline: symmetric per-vector int8 "
+               "quantization of the embedding column (absmax / 127 "
+               "scale) + reconstruction-error audit — the 4x "
+               "storage/bandwidth compression applied before serving "
+               "or ANN-indexing a 100 TB embedding table",
+    doc="absmax-scale int8 quantize per vector; outputs integer L1 of "
+        "the codes, per-vector reconstruction MSE in integer "
+        "nano-units (per-element rounding before the sum keeps the "
+        "hash stable), and the scale in ppb",
+)
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All expression-form (transform/zip_with/aggregate inside
+    whole-stage codegen): one narrow scan projection per vector, no
+    shuffle, no UDF, no driver collect. Per-element error terms are
+    rounded to integer nano-units BEFORE summing, so the fold is an
+    integer sum (order-independent, bit-stable across engines); the
+    float ops that remain (x/scale, d*d) are per-element IEEE doubles,
+    identical on both engines. At 100 TB this is the map stage of a
+    write job — linear scan, output 1/4 the input width."""
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"],
+                spark)
+    s = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    ).select(
+        "vec_id", "emb",
+        F.expr("array_max(transform(emb, x -> abs(x))) / 127.0d")
+         .alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = s.select(
+        "vec_id", "emb", "scale",
+        F.size("emb").cast("long").alias("n_dims"),
+        F.expr("transform(emb, x -> cast(floor(x / scale + 0.5d) as bigint))")
+         .alias("qv"),
+    )
+    return q.select(
+        "vec_id", "n_dims",
+        F.expr("aggregate(qv, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
+        F.expr(
+            "aggregate(zip_with(emb, qv, (x, qq) -> "
+            "cast(floor((x - qq * scale) * (x - qq * scale) "
+            "* 1000000000.0d + 0.5d) as bigint)), 0L, (a, x) -> a + x)"
+        ).alias("err_nano"),
+        F.expr("cast(floor(scale * 1000000000.0d + 0.5d) as bigint)")
+         .alias("scale_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# length-bucket batching economics
+# ---------------------------------------------------------------------------
+
+_BATCH_B = 32
+_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+_bucket_case_sql = "CASE " + " ".join(
+    f"WHEN n_tokens <= {b} THEN {b}" for b in _BUCKETS
+) + f" ELSE {_BUCKETS[-1]} END"
+
+
+@register(
+    "q_length_bucket",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split({_NORM.format(col='text')}, ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, {_bucket_case_sql} AS bucket FROM toks
+    ),
+    g AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM b GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, total_tokens,
+           CAST((n_docs + {_BATCH_B - 1}) // {_BATCH_B} AS BIGINT) AS n_batches,
+           CAST(n_docs * bucket AS BIGINT) AS padded_tokens,
+           CAST((n_docs * bucket - total_tokens) * 1000000
+                // (n_docs * bucket) AS BIGINT) AS waste_ppm
+    FROM g
+    """,
+    survey_ref="training-data pipeline: length-bucketed batching "
+               "economics — group sequences into power-of-two length "
+               "buckets, count batches of B, and audit the padding "
+               "waste each bucket pays; the planning query behind "
+               "bucketed batch samplers",
+    doc=f"token count -> pow2 bucket (CASE chain, no float log) -> "
+        f"per-bucket docs/batches-of-{_BATCH_B}/padding-waste ppm",
+)
+def q_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan + one small groupBy (at most len(_BUCKETS) groups —
+    the agg is map-side combined down to a handful of rows per task).
+    The bucket is an integer CASE chain, not ceil(log2(n)) — float
+    log is engine-dependent at bucket boundaries. At 100 TB this is
+    the O(1)-output planning scan a batch sampler runs per epoch."""
+    d = fan_out(_docs(spark, sf_dir), spark)
+    toks = F.split(_norm_col(), " ")
+    b = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr(_bucket_case_sql))
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.expr(f"(n_docs + {_BATCH_B - 1}) div {_BATCH_B}")
+         .alias("n_batches"),
+        F.expr("n_docs * bucket").cast("long").alias("padded_tokens"),
+        F.expr("(n_docs * bucket - total_tokens) * 1000000L "
+               "div (n_docs * bucket)").alias("waste_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+_WEEK_S = 7 * 24 * 3600
+
+
+@register(
+    "q_retention_cohort",
+    oracle=f"""
+    WITH {_EV},
+    wk AS (
+      SELECT user_id, epoch_us(ts) // {_WEEK_S * 1000000} AS week_idx
+      FROM ev
+    ),
+    cohort AS (
+      SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT w.user_id, c.cohort_week,
+             w.week_idx - c.cohort_week AS week_offset
+      FROM wk w JOIN cohort c ON w.user_id = c.user_id
+    ),
+    size_ AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_week
+    )
+    SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST(count(*) * 1000000 // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM act a JOIN size_ s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+    survey_ref="events analytics: weekly retention cohort matrix — "
+               "first-activity week per user, distinct-active count "
+               "per (cohort, week-offset), retention in ppm; the "
+               "standard warehouse cohort query (reference analog: "
+               "the time-bucketed per-peer activity stats family, "
+               "2_aggregations.sql)",
+    doc="integer epoch-week index (no date_trunc — week-start "
+        "conventions differ across engines) -> min-week cohort -> "
+        "distinct (user, offset) -> cohort matrix with ppm retention",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles on user_id (cohort min + the distinct) and one on
+    the small (cohort, offset) key — all map-side combinable; the
+    cohort-size side is a tiny broadcast. The week index is integer
+    division of epoch seconds, so both engines bucket identically
+    (date_trunc('week') anchors differ across engines/locales). At
+    100 TB user_id-hash partitioning carries both user-side stages
+    without a re-shuffle."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    wk = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_WEEK_S * 1000000}").alias("week_idx"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    act = (wk.join(cohort, "user_id")
+           .select("user_id", "cohort_week",
+                   (F.col("week_idx") - F.col("cohort_week"))
+                   .alias("week_offset"))
+           .distinct())
+    size = F.broadcast(
+        cohort.groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).cast("long").alias("cohort_size")))
+    return (act.groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .join(size, "cohort_week")
+            .select(F.col("cohort_week").cast("long").alias("cohort_week"),
+                    F.col("week_offset").cast("long").alias("week_offset"),
+                    F.col("n_active").cast("long").alias("n_active"),
+                    "cohort_size",
+                    F.expr("n_active * 1000000L div cohort_size")
+                     .alias("retention_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# ordered event funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "q_funnel_steps",
+    oracle=f"""
+    WITH {_EV},
+    t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM ev
+      WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM ev e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM ev e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT) FROM t2
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT) FROM t3
+    )
+    SELECT CAST(stage AS INT) AS stage, n_users,
+           CAST(n_users * 1000000
+                // first_value(n_users) OVER (ORDER BY stage)
+                AS BIGINT) AS conv_ppm
+    FROM counts
+    """,
+    survey_ref="events analytics: ordered multi-step funnel "
+               "(view -> click -> purchase, each step strictly after "
+               "the previous user's step time) with per-stage "
+               "conversion ppm — the sequential-pattern query event "
+               "warehouses are built for",
+    doc="per-user min-time chain: min(view), then min(click) after "
+        "it, then min(purchase) after that; three user-keyed aggs, "
+        "stage counts + conversion ppm vs stage 1",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three groupBys on the same user_id key — Catalyst reuses the
+    hash partitioning across the chain, so it's one wide shuffle then
+    co-partitioned joins; each stage's input is pre-filtered to one
+    event type in the scan (predicate pushdown). The final counts are
+    three scalar aggs unioned driver-side — O(1) output. At 100 TB
+    the type filters prune in the scan and everything stays in the
+    user_id partitioning."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    t1 = (ev.filter(F.col("event_type") == _FUNNEL[0])
+          .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    t2 = (ev.filter(F.col("event_type") == _FUNNEL[1])
+          .join(t1, "user_id")
+          .filter(F.col("ts") > F.col("ts1"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts2")))
+    t3 = (ev.filter(F.col("event_type") == _FUNNEL[2])
+          .join(t2, "user_id")
+          .filter(F.col("ts") > F.col("ts2"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts3")))
+    c1 = t1.agg(F.count(F.lit(1)).alias("n_users")) \
+        .select(F.lit(1).alias("stage"), "n_users")
+    c2 = t2.agg(F.count(F.lit(1)).alias("n_users")) \
+        .select(F.lit(2).alias("stage"), "n_users")
+    c3 = t3.agg(F.count(F.lit(1)).alias("n_users")) \
+        .select(F.lit(3).alias("stage"), "n_users")
+    from pyspark.sql import Window
+
+    counts = c1.unionAll(c2).unionAll(c3)
+    # 3-row single-partition window; first_value over stage order is
+    # the stage-1 count — avoids a scalar cross join
+    w = Window.orderBy("stage")
+    return (counts
+            .withColumn("n1", F.first("n_users").over(w))
+            .select(F.col("stage").cast("int").alias("stage"),
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.expr("n_users * 1000000L div n1").alias("conv_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over a derived interaction graph (unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_NODES = 500
+_PR_BASE = 150_000   # (1 - d) in ppm, d = 0.85
+_PR_DAMP = 850_000
+
+
+def _pagerank_oracle() -> str:
+    edges = (
+        f"edges AS (SELECT DISTINCT CAST(user_id % {_PR_NODES} AS BIGINT) AS src, "
+        f"CAST((user_id + event_id) % {_PR_NODES} AS BIGINT) AS dst FROM events "
+        f"WHERE user_id % {_PR_NODES} <> (user_id + event_id) % {_PR_NODES})"
+    )
+    parts = [
+        edges,
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg "
+        "FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"CAST(sum(r.rank_ppm // d.out_deg) AS BIGINT) AS contrib "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, CAST({_PR_BASE} + "
+            f"(({_PR_DAMP} * coalesce(c.contrib, 0)) // 1000000) AS BIGINT) "
+            f"AS rank_ppm FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank_ppm FROM r{_PR_ITERS}")
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    survey_ref="graph analytics: PageRank over the interaction graph "
+               "(damping 0.85, fixed unrolled iterations, integer-ppm "
+               "rank arithmetic) — the quality-propagation primitive "
+               "behind web-graph-based corpus filtering (Common Crawl "
+               "rank signals) and AS-connectivity scoring of the BMP "
+               "as_path adjacency",
+    doc=f"derived edge list -> out-degree -> {_PR_ITERS} unrolled "
+        "join+agg rounds: contrib = sum(rank div out_deg) into each "
+        "node, rank' = 150000 + 850000*contrib div 1e6; all-integer "
+        "arithmetic so every iteration is hash-stable",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pregel-lite as plain DataFrame rounds: each iteration is one
+    hash join of edges (partitioned by src) with the current rank
+    vector plus one map-side-combinable sum into dst. The edge list
+    and degree table are built once and reused; Catalyst keeps the
+    src-hash partitioning across iterations so only the rank vector
+    (O(nodes), narrow) re-shuffles. Ranks are integer ppm: floor
+    division at every step means the fixpoint math is bit-identical
+    on any engine — the float-sum order dependence that makes naive
+    distributed PageRank non-reproducible is designed out. At 100 TB
+    the edge list is the big side (stays put, co-partitioned); the
+    rank vector is O(nodes) and either broadcasts or shuffles
+    narrow."""
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    src = (F.col("user_id") % _PR_NODES).cast("long")
+    dst = ((F.col("user_id") + F.col("event_id")) % _PR_NODES).cast("long")
+    edges = (ev.select(src.alias("src"), dst.alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("out_deg"))
+    edges_d = edges.join(deg, "src")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    ranks = nodes.withColumn("rank_ppm", F.lit(1_000_000).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (edges_d.join(ranks, edges_d["src"] == ranks["node"])
+                   .select("dst", F.expr("rank_ppm div out_deg")
+                           .alias("__c"))
+                   .groupBy("dst")
+                   .agg(F.sum("__c").cast("long").alias("contrib")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                 .select(
+                     "node",
+                     F.expr(f"cast({_PR_BASE} + (({_PR_DAMP} * "
+                            f"coalesce(contrib, 0L)) div 1000000) as bigint)")
+                     .alias("rank_ppm")))
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# kNN label classification over the embedding table
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_MOD = 40  # queries = vec_id % 40 == 0 (bounded fraction of corpus)
+
+
+def _knn_oracle() -> str:
+    from .queries_text import _COS_SQL
+
+    cos = _COS_SQL.format(a="q.emb", b="e.emb")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id % {_KNN_MOD} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             e.vec_id AS neighbor_id, e.label AS nlabel, {cos} AS cos
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, nlabel,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM knn GROUP BY query_id, true_label, nlabel
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(true_label AS INT) AS true_label,
+           CAST(nlabel AS INT) AS pred_label, n_votes,
+           CAST(nlabel = true_label AS BOOLEAN) AS is_correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, nlabel ASC) AS vr
+      FROM votes) WHERE vr = 1
+    """
+
+
+@register(
+    "q_knn_classify",
+    oracle=_knn_oracle(),
+    survey_ref="training-data pipeline: kNN label classification over "
+               "the embedding column (majority vote of the 5 cosine "
+               "neighbors, deterministic tie-breaks) — the standard "
+               "label-propagation / weak-supervision pass for "
+               "auto-labeling an unlabeled corpus slice from a "
+               "labeled seed set",
+    doc=f"exact cosine top-{_KNN_K} per query (broadcast query side) "
+        "-> neighbor-label votes -> majority with (votes desc, label "
+        "asc) tie-break; integer votes keep the verdict hash-stable",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring pass reuses cosine_topk's shape: broadcast the
+    bounded query side, scan the item partitions once, per-query
+    top-k via partial window trim — no all-pairs shuffle. The vote
+    agg is O(queries x k) rows. At 100 TB the same plan swaps the
+    exact scan for the IVF/PQ candidate generator; the vote/verdict
+    stages are unchanged (they only see (query, neighbor_label)
+    pairs)."""
+    from pyspark.sql import Window as W
+
+    from .operators import similarity
+
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"],
+                spark)
+    q = e.filter(F.col("vec_id") % _KNN_MOD == 0)
+    topk = similarity.cosine_topk(q, e, k=_KNN_K)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("label").alias("nlabel"))
+    qlabels = e.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("true_label"))
+    votes = (topk.join(labels, "neighbor_id")
+             .join(F.broadcast(qlabels), "query_id")
+             .groupBy("query_id", "true_label", "nlabel")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_votes")))
+    w = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
+                                          F.col("nlabel").asc())
+    return (votes.withColumn("__vr", F.row_number().over(w))
+            .filter(F.col("__vr") == 1)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.col("true_label").cast("int").alias("true_label"),
+                    F.col("nlabel").cast("int").alias("pred_label"),
+                    "n_votes",
+                    (F.col("nlabel") == F.col("true_label"))
+                    .alias("is_correct")))
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM surprisal (add-1 smoothing) — sequence-aware quality signal
+# ---------------------------------------------------------------------------
+
+_LN2_uB = 1_000_000  # per-bigram surprisal unit: integer micro-bits
+
+
+@register(
+    "q_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_zip(t[1:len(t)-1], t[2:len(t)]),
+               p -> p[1] || ' ' || p[2])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    b AS (
+      SELECT doc_id, string_split(bg, ' ')[1] AS w1, bg FROM big
+    ),
+    cb AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+    cu AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT term) AS vsz FROM (
+        SELECT unnest(t) AS term FROM toks)
+    ),
+    bits AS (
+      SELECT b.doc_id,
+             CAST(round((ln(cu.c1 + (SELECT vsz FROM v)) - ln(cb.c2 + 1))
+                        / ln(2) * 1000000) AS BIGINT) AS mb
+      FROM b JOIN cb ON b.bg = cb.bg JOIN cu ON b.w1 = cu.w1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(mb) // count(*) AS BIGINT) AS avg_microbits
+    FROM bits GROUP BY doc_id
+    """,
+    survey_ref="training-data quality: bigram-LM surprisal per document "
+               "(mean -log2 p(w2|w1) under add-1-smoothed corpus MLE) — "
+               "the sequence-aware upgrade of q_doc_unigram_ppl; word "
+               "salad scores high even when its unigrams are common, "
+               "which is exactly the gibberish the unigram signal misses",
+    doc="bigrams via zip(t, t[2:]) in the array domain (no window, no "
+        "self-join) -> bigram + context counts -> per-bigram surprisal "
+        "rounded to integer micro-bits BEFORE the per-doc sum",
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram pairing happens inside the row (zip_with over two
+    slices of the token array — whole-stage codegen, no explode until
+    the pair string exists), so the shuffle carries counted bigram
+    keys, not positions. Two count aggs (bigram- and context-keyed,
+    both map-side combined, both bounded by distinct-ngram count),
+    one broadcast scalar V, one doc-keyed mean of pre-rounded integer
+    micro-bits. Same 100 TB shape as a tokenizer-corpus count job."""
+    d = fan_out(_docs(spark, sf_dir), spark)
+    toks = F.split(_norm_col(), " ")
+    tdoc = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    toks.alias("t"))
+    b = (tdoc.filter(F.size("t") >= 2)
+         .select("doc_id", F.explode(F.expr(
+             "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+             "(a, b) -> concat(a, ' ', b))")).alias("bg"))
+         .withColumn("w1", F.expr("split(bg, ' ')[0]")))
+    cb = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    cu = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = F.broadcast(
+        tdoc.select(F.explode("t").alias("term"))
+        .agg(F.countDistinct("term").cast("double").alias("__vsz")))
+    bits = (b.join(cb, "bg").join(cu, "w1").crossJoin(v)
+            .select("doc_id",
+                    F.round((F.log(F.col("c1") + F.col("__vsz"))
+                             - F.log(F.col("c2") + F.lit(1.0)))
+                            / F.lit(float(__import__("math").log(2)))
+                            * 1_000_000).cast("long").alias("__mb")))
+    return (bits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("__mb").alias("__s"))
+            .select("doc_id",
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.expr("__s div n_bigrams").alias("avg_microbits")))
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (dataset versioning audit)
+# ---------------------------------------------------------------------------
+
+_DIFF_B_SQL = """
+vb AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 1 THEN text || ' [rev2]' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 50000, text, source FROM documents WHERE doc_id % 13 = 2
+)
+"""
+
+
+@register(
+    "q_corpus_diff",
+    oracle=f"""
+    WITH {_DIFF_B_SQL},
+    a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    bt AS (SELECT doc_id, md5(text) AS h FROM vb),
+    d AS (
+      SELECT coalesce(a.doc_id, bt.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN bt.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> bt.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN bt ON a.doc_id = bt.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM d GROUP BY status
+    """,
+    survey_ref="training-data pipeline: corpus snapshot diff — "
+               "added/removed/changed/unchanged classification between "
+               "two dataset versions by content hash; the audit that "
+               "gates incremental re-training and cache invalidation "
+               "(reference analog: the CDC changelog family applied to "
+               "a corpus instead of a RIB)",
+    doc="content-hash both snapshots -> full outer join on doc_id -> "
+        "4-way status CASE -> per-status counts + id checksum",
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides reduce to (doc_id, 16-byte hash) in the scan, so
+    the full outer join shuffles fixed-width rows regardless of
+    document size; the status agg is 4 groups, map-side combined. At
+    100 TB with both snapshots bucketed by doc_id the join is
+    shuffle-free — same co-location argument as the ingest MERGE."""
+    d = fan_out(_docs(spark, sf_dir), spark)
+    base = d.select("doc_id", "text", "source")
+    vb = (base.filter(F.col("doc_id") % 7 != 0)
+          .select("doc_id",
+                  F.when(F.col("doc_id") % 11 == 1,
+                         F.concat(F.col("text"), F.lit(" [rev2]")))
+                  .otherwise(F.col("text")).alias("text"),
+                  "source")
+          .unionAll(base.filter(F.col("doc_id") % 13 == 2)
+                    .select((F.col("doc_id") + 50000).alias("doc_id"),
+                            "text", "source")))
+    a = base.select(F.col("doc_id").cast("long").alias("a_id"),
+                    F.md5("text").alias("a_h"))
+    bt = vb.select(F.col("doc_id").cast("long").alias("b_id"),
+                   F.md5("text").alias("b_h"))
+    diff = (a.join(bt, a["a_id"] == bt["b_id"], "full_outer")
+            .select(F.coalesce("a_id", "b_id").alias("doc_id"),
+                    F.when(F.col("a_id").isNull(), "added")
+                    .when(F.col("b_id").isNull(), "removed")
+                    .when(F.col("a_h") != F.col("b_h"), "changed")
+                    .otherwise("unchanged").alias("status")))
+    return (diff.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# exact-n deterministic per-stratum sample
+# ---------------------------------------------------------------------------
+
+_TOPN_N = 25
+_TOPN_SALT = "topn-v1:"
+
+
+@register(
+    "q_sample_topn",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_TOPN_SALT}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= {_TOPN_N}
+    """,
+    survey_ref="training-data pipeline: exact-n deterministic "
+               "per-stratum sampling (hash-ordered top-n per source) — "
+               "the eval-set / human-review draw where rate-based "
+               "sampling (q_stratified_sample) can't guarantee the "
+               "exact count",
+    doc=f"md5(salt || id) pseudo-random order, row_number per source, "
+        f"keep {_TOPN_N}; reproducible across engines/retries — "
+        "ORDER BY rand() is not",
+)
+def q_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash shuffle on the stratum key; the per-partition sort
+    feeding row_number is bounded per stratum and Spark's window
+    top-n stays partial (rank filter pushes the limit into the
+    sort). The md5 order key is computed in the scan — deterministic
+    across retries, unlike rand()-seeded sampling whose output
+    depends on partition layout. At 100 TB skewed strata salt into
+    sub-strata first (same pattern as q_salted_agg)."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(_docs(spark, sf_dir), spark)
+    w = (W.partitionBy("source")
+         .orderBy(F.md5(F.concat(F.lit(_TOPN_SALT),
+                                 F.col("doc_id").cast("string"))),
+                  F.col("doc_id")))
+    return (d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "source")
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= _TOPN_N)
+            .select("doc_id", "source",
+                    F.col("sample_rank").cast("long").alias("sample_rank")))
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov over user streams)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_event_transitions",
+    oracle=f"""
+    WITH {_EV},
+    s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM ev
+    ),
+    t AS (SELECT event_type, next_type FROM s WHERE next_type IS NOT NULL),
+    c AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.next_type, c.n,
+           CAST(c.n * 1000000 // t2.row_total AS BIGINT) AS p_ppm
+    FROM c JOIN tot t2 ON c.event_type = t2.event_type
+    """,
+    survey_ref="events analytics: first-order Markov transition matrix "
+               "over per-user ordered event streams (lead window, "
+               "deterministic (ts, event_id) order) with row-normalized "
+               "transition probabilities in ppm — the sequence-model "
+               "summary behind next-action prediction and anomaly "
+               "scoring",
+    doc="lead() per user ordered by (ts, event_id) -> transition "
+        "counts -> per-row-total ppm normalization",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id-hash shuffle for the lead window (per-user streams
+    sort within their partition), then a k^2-group agg (k = distinct
+    event types, tiny) and a broadcast row-total join. The window
+    order includes event_id so equal timestamps break identically on
+    both engines. At 100 TB this is the canonical sessionized-scan
+    shape: partition by user, sort in partition, emit fixed-width
+    pairs."""
+    from pyspark.sql import Window as W
+
+    ev = fan_out(_events(spark, sf_dir), spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    c = (s.filter(F.col("next_type").isNotNull())
+         .groupBy("event_type", "next_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (c.groupBy("event_type")
+           .agg(F.sum("n").cast("long").alias("row_total")))
+    return (c.join(F.broadcast(tot), "event_type")
+            .select("event_type", "next_type", "n",
+                    F.expr("n * 1000000L div row_total").alias("p_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification re-rank (greedy, unrolled to dataflow)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20   # relevance candidates per query
+_MMR_K = 5       # selections
+_MMR_NUM = 7     # lambda = 0.7 as the integer pair (7, 3)
+_MMR_DEN = 3
+
+
+def _mmr_oracle() -> str:
+    from .queries_text import _COS_SQL
+
+    cos_qe = _COS_SQL.format(a="q.emb", b="e.emb")
+    cos_ab = _COS_SQL.format(a="a.emb", b="b.emb")
+    parts = [
+        """e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )""",
+        "q AS (SELECT * FROM e WHERE vec_id < 5)",
+        f"""cand AS (
+      SELECT query_id, cand_id, rel_ppm FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+               CAST(round({cos_qe} * 1000000) AS BIGINT) AS rel_ppm,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos_qe} DESC, e.vec_id) AS rnk
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+      ) WHERE rnk <= {_MMR_POOL}
+    )""",
+        """cv AS (
+      SELECT c.query_id, c.cand_id, e.emb FROM cand c
+      JOIN e ON c.cand_id = e.vec_id
+    )""",
+        f"""pairs AS (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             CAST(round({cos_ab} * 1000000) AS BIGINT) AS sim_ppm
+      FROM cv a JOIN cv b
+        ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+    )""",
+        """sel1 AS (
+      SELECT query_id, cand_id, 1 AS mmr_step, rel_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel_ppm DESC, cand_id) AS rn
+        FROM cand) WHERE rn = 1
+    )""",
+        "selall1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""msim{i} AS (
+      SELECT p.query_id, p.a_id, max(p.sim_ppm) AS maxsim_ppm
+      FROM pairs p JOIN selall{i-1} s
+        ON p.query_id = s.query_id AND p.b_id = s.cand_id
+      GROUP BY p.query_id, p.a_id
+    )""")
+        parts.append(
+            f"""sel{i} AS (
+      SELECT query_id, cand_id, {i} AS mmr_step, rel_ppm FROM (
+        SELECT c.query_id, c.cand_id, c.rel_ppm,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY {_MMR_NUM} * c.rel_ppm
+                          - {_MMR_DEN} * coalesce(m.maxsim_ppm, 0) DESC,
+                          c.cand_id) AS rn
+        FROM cand c
+        LEFT JOIN msim{i} m
+          ON c.query_id = m.query_id AND c.cand_id = m.a_id
+        WHERE NOT EXISTS (SELECT 1 FROM selall{i-1} s
+                          WHERE s.query_id = c.query_id
+                            AND s.cand_id = c.cand_id)
+      ) WHERE rn = 1
+    )""")
+        parts.append(
+            f"selall{i} AS (SELECT * FROM selall{i-1} "
+            f"UNION ALL SELECT * FROM sel{i})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT CAST(query_id AS BIGINT) AS query_id, "
+              f"CAST(cand_id AS BIGINT) AS cand_id, "
+              f"CAST(mmr_step AS INT) AS mmr_step, rel_ppm "
+              f"FROM selall{_MMR_K}")
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    survey_ref="training-data similarity search: Maximal Marginal "
+               "Relevance re-ranking (Carbonell & Goldstein 1998) — "
+               "greedy diversity-aware selection from the ANN candidate "
+               "pool, lambda=0.7; the dedup-aware retrieval step between "
+               "raw top-k and a RAG/labeling consumer",
+    doc=f"top-{_MMR_POOL} cosine pool -> {_MMR_K} unrolled greedy "
+        "rounds: score = 7*rel_ppm - 3*max(sim_ppm to selected); "
+        "integer-ppm scores + (score desc, id) tie-break make the "
+        "greedy argmax chain hash-stable",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR is sequential in k, so it can't be one declarative
+    agg — but k is tiny and fixed, so each round unrolls to a join +
+    windowed argmax over the BOUNDED candidate pool (<= pool x
+    queries rows). The pool and its pairwise-sim table are
+    localCheckpointed once (pool^2 x queries rows, fixed width) so
+    the k rounds reuse materialized inputs instead of re-deriving
+    the scan lineage 3^k times. At 100 TB the pool build is the ANN
+    stage (broadcast queries, one item scan); the re-rank cost is
+    independent of corpus size."""
+    from pyspark.sql import Window as W
+
+    from .operators import similarity
+    from .operators.similarity import as_double, dot, l2norm
+
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"],
+                spark)
+    q = e.filter(F.col("vec_id") < 5)
+    topk = similarity.cosine_topk(q, e, k=_MMR_POOL)
+    cand = (topk.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("cand_id"),
+        F.round(F.col("cos") * 1_000_000).cast("long").alias("rel_ppm"))
+        .localCheckpoint())
+    ev = e.select(F.col("vec_id").cast("long").alias("vec_id"),
+                  as_double(F.col("embedding")).alias("emb")) \
+        .withColumn("__n", l2norm(F.col("emb")))
+    cv = cand.join(ev, cand["cand_id"] == ev["vec_id"]) \
+        .select("query_id", "cand_id", "emb", "__n")
+    a = cv.alias("a")
+    b = cv.alias("b")
+    pairs = (a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+                    & (F.col("a.cand_id") != F.col("b.cand_id")))
+             .select(F.col("a.query_id").alias("query_id"),
+                     F.col("a.cand_id").alias("a_id"),
+                     F.col("b.cand_id").alias("b_id"),
+                     F.round(dot(F.col("a.emb"), F.col("b.emb"))
+                             / (F.col("a.__n") * F.col("b.__n"))
+                             * 1_000_000).cast("long").alias("sim_ppm"))
+             .localCheckpoint())
+    w1 = W.partitionBy("query_id").orderBy(F.col("rel_ppm").desc(),
+                                           F.col("cand_id"))
+    selected = (cand.withColumn("__rn", F.row_number().over(w1))
+                .filter(F.col("__rn") == 1)
+                .select("query_id", "cand_id",
+                        F.lit(1).cast("int").alias("mmr_step"), "rel_ppm")
+                .localCheckpoint())
+    for i in range(2, _MMR_K + 1):
+        msim = (pairs.join(
+                    selected.select(F.col("query_id").alias("__sq"),
+                                    F.col("cand_id").alias("__sid")),
+                    (pairs["query_id"] == F.col("__sq"))
+                    & (pairs["b_id"] == F.col("__sid")))
+                .groupBy("query_id", "a_id")
+                .agg(F.max("sim_ppm").alias("maxsim_ppm")))
+        remaining = cand.join(
+            selected.select("query_id", "cand_id"),
+            ["query_id", "cand_id"], "left_anti")
+        scored = (remaining.join(
+                      msim,
+                      (remaining["query_id"] == msim["query_id"])
+                      & (remaining["cand_id"] == msim["a_id"]), "left")
+                  .select(remaining["query_id"].alias("query_id"),
+                          remaining["cand_id"].alias("cand_id"),
+                          "rel_ppm",
+                          F.expr(f"{_MMR_NUM} * rel_ppm - {_MMR_DEN} * "
+                                 "coalesce(maxsim_ppm, 0L)")
+                          .alias("__score")))
+        wi = W.partitionBy("query_id").orderBy(F.col("__score").desc(),
+                                               F.col("cand_id"))
+        pick = (scored.withColumn("__rn", F.row_number().over(wi))
+                .filter(F.col("__rn") == 1)
+                .select("query_id", "cand_id",
+                        F.lit(i).cast("int").alias("mmr_step"), "rel_ppm"))
+        selected = selected.unionAll(pick).localCheckpoint()
+    return selected
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch build + union (mergeable distinct-count sketches)
+# ---------------------------------------------------------------------------
+
+_HLL_TOL_PPM = 50_000  # 5% gate; lgK=12 standard error is ~1.6%
+
+
+@register(
+    "q_hll_sketch_union",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type AS group_key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+      FROM events GROUP BY event_type
+    ),
+    g AS (
+      SELECT '__all__' AS group_key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+      FROM events
+    )
+    SELECT group_key, exact_n, TRUE AS gate_ok FROM per
+    UNION ALL
+    SELECT group_key, exact_n, TRUE AS gate_ok FROM g
+    """,
+    survey_ref="A5/A10 scale path: mergeable HLL sketches — per-group "
+               "DataSketches HLL build (hll_sketch_agg), cross-group "
+               "merge via hll_union_agg, estimate gated against the "
+               "exact distinct count (like q_approx_distinct_gate, but "
+               "exercising the SKETCH-MERGE path: at 100 TB per-day "
+               "sketch tables union in O(sketch bytes) instead of "
+               "re-scanning raw data)",
+    doc="per-type HLL sketch + estimate, global estimate from "
+        "hll_union_agg over the per-type sketches (no raw re-scan); "
+        "both gated within 5% of exact — the boolean enters the hash, "
+        "the estimate itself never does",
+)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-type pass aggregates sketches AND exact distincts in
+    one shuffle; the global row re-aggregates the FOUR per-type
+    sketch blobs (hll_union_agg), not the events table — the
+    mergeable-sketch contract that makes 100 TB rollups incremental.
+    Gate booleans (|est - exact| <= 5%) are what's hashed; the
+    estimates are deterministic for fixed data but
+    implementation-defined, so they stay out of the hash like the
+    ANN recall handshakes."""
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    per = (ev.groupBy(F.col("event_type").alias("group_key"))
+           .agg(F.hll_sketch_agg("user_id").alias("__sk"),
+                F.countDistinct("user_id").cast("long").alias("exact_n")))
+    per_out = per.select(
+        "group_key", "exact_n",
+        (F.abs(F.hll_sketch_estimate("__sk").cast("long") - F.col("exact_n"))
+         * 1_000_000 <= F.col("exact_n") * _HLL_TOL_PPM).alias("gate_ok"))
+    glob = (per.agg(F.hll_union_agg("__sk").alias("__gsk"),
+                    F.sum(F.lit(0)).alias("__z"))
+            .crossJoin(F.broadcast(
+                ev.agg(F.countDistinct("user_id").cast("long")
+                       .alias("exact_n"))))
+            .select(F.lit("__all__").alias("group_key"), "exact_n",
+                    (F.abs(F.hll_sketch_estimate("__gsk").cast("long")
+                           - F.col("exact_n"))
+                     * 1_000_000 <= F.col("exact_n") * _HLL_TOL_PPM)
+                    .alias("gate_ok")))
+    return per_out.unionAll(glob)
+
+
+# ---------------------------------------------------------------------------
+# streaming quality gate over the documents stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_quality_filter",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             CAST(len(string_split(trim(regexp_replace(text,'\\s+',' ','g')),
+                                   ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    v AS (
+      SELECT source,
+             CASE WHEN n_tokens BETWEEN 10 AND 400
+                   AND (n_chars - (n_tokens - 1)) * 10 >= n_tokens * 25
+                  THEN 'pass' ELSE 'reject' END AS verdict
+      FROM f
+    )
+    SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs
+    FROM v GROUP BY source, verdict
+    """,
+    survey_ref="training-data pipeline x T9: streaming quality gate — "
+               "the heuristic quality filter (token-count band + min "
+               "avg token length, all-integer arithmetic) applied on "
+               "the REAL streaming engine with per-(source, verdict) "
+               "live counters; the in-flight version of "
+               "q_quality_score's batch filter",
+    doc="file stream -> integer quality verdict in the scan -> "
+        "complete-mode (source, verdict) counts through the "
+        "streaming agg state store",
+)
+def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verdict is a pure column expression (no UDF), so the
+    streaming plan is scan -> project -> stateful agg; state is
+    bounded by |sources| x 2 keys regardless of stream volume. The
+    integer cross-multiply ((chars - (tokens-1)) * 10 >= tokens * 25
+    i.e. avg token length >= 2.5) keeps the verdict hash-stable —
+    no float division in the gate. At 100 TB this is the Kafka->
+    quarantine topology: same plan, real source/sink, counters
+    feeding the DQ dashboard."""
+    import uuid as _uuid
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = f"stream_quality_{_uuid.uuid4().hex[:8]}"
+        batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        src = (spark.readStream.schema(batch_schema)
+               .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+        toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+                       " ")
+        f = src.select(
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"))
+        v = f.select(
+            "source",
+            F.when(F.col("n_tokens").between(10, 400)
+                   & ((F.col("n_chars") - (F.col("n_tokens") - 1)) * 10
+                      >= F.col("n_tokens") * 25), "pass")
+            .otherwise("reject").alias("verdict"))
+        agg = (v.groupBy("source", "verdict")
+               .agg(F.count(F.lit(1)).alias("n_docs")))
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -94,6 +94,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # import side-effect modules that register queries
     from . import queries_bmp  # noqa: F401
     from . import queries_core  # noqa: F401
+    from . import queries_curate  # noqa: F401
     from . import queries_net  # noqa: F401
     from . import queries_stream  # noqa: F401
     from . import queries_text  # noqa: F401
