@@ -47,6 +47,8 @@ BNLJ_WHITELIST: dict[str, str] = {
                          "denominator) — same scalar-subquery pattern",
     "q_bigram_surprisal": "broadcast 1-row vocab-size aggregate (add-1 "
                           "denominator) — same scalar-subquery pattern",
+    "q_bm25_rank": "broadcast 1-row corpus-stats aggregate (N + avgdl) "
+                   "— same scalar-subquery pattern",
     "q_hll_sketch_union": "broadcast 1-row global exact-count aggregate "
                           "next to the sketch union — scalar-subquery "
                           "pattern",

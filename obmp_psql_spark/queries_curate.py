@@ -1237,3 +1237,541 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# ---------------------------------------------------------------------------
+# market-share OLAP rollup (TPC-H Q8-shaped multi-join)
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(38,10)"
+
+
+@register(
+    "q_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(38,10))), 4) * 10000 AS BIGINT)
+               AS rev_tenk
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, EXTRACT(year FROM o.o_orderdate)
+    )
+    SELECT r_name, CAST(o_year AS BIGINT) AS o_year,
+           rev_tenk,
+           CAST(rev_tenk * 1000000
+                // sum(rev_tenk) OVER (PARTITION BY o_year) AS BIGINT)
+             AS share_ppm
+    FROM rev
+    """,
+    survey_ref="OLAP join pipeline: per-region market share by year — "
+               "the TPC-H Q8 shape (fact x fact x 3 dims, Catalyst "
+               "join reordering + broadcast dims + partition-of-total "
+               "window); generalizes the reference's "
+               "J1-style star joins to the revenue-share report",
+    doc="lineitem JOIN orders JOIN customer JOIN nation JOIN region "
+        "-> DECIMAL revenue per (region, year) rounded to exact "
+        "integer ten-thousandths -> integer ppm share within year "
+        "(no decimal division — engines disagree on quotient scale)",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst gets the declarative star: nation/region broadcast
+    (tiny), customer reaches the orders join as a shuffle hash join
+    on custkey, lineitem x orders shuffles on orderkey — the only
+    two wide exchanges, both on the natural fact keys. Revenue
+    accumulates in DECIMAL (exact, associative — the double sum is
+    order-dependent) and converts ONCE to integer ten-thousandths,
+    so the share window is pure integer math. At 100 TB both facts
+    would be bucketed by their join key and the exchanges vanish."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "orders", "customer", "nation", "region"))
+    rev_row = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast(_DEC)
+    rev = (t["lineitem"]
+           .join(t["orders"],
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(t["nation"]),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(t["region"]),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy("r_name",
+                    F.year("o_orderdate").cast("long").alias("o_year"))
+           .agg((F.round(F.sum(rev_row), 4) * 10000).cast("long")
+                .alias("rev_tenk")))
+    from pyspark.sql import Window as W
+
+    return rev.select(
+        "r_name", "o_year", "rev_tenk",
+        F.expr("rev_tenk * 1000000L").alias("__num"),
+        F.sum("rev_tenk").over(W.partitionBy("o_year")).alias("__tot"),
+    ).select("r_name", "o_year", "rev_tenk",
+             F.expr("__num div __tot").alias("share_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# cumulative share (running total + percent-of-total)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cumulative_share",
+    oracle=f"""
+    WITH {_EV},
+    daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) * 10000
+                  AS BIGINT) AS day_tenk
+      FROM ev GROUP BY event_type, epoch_us(ts) // 86400000000
+    )
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, day_tenk,
+           CAST(sum(day_tenk) OVER (PARTITION BY event_type ORDER BY day_idx
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tenk,
+           CAST(sum(day_tenk) OVER (PARTITION BY event_type ORDER BY day_idx
+                ROWS UNBOUNDED PRECEDING) * 1000000
+                // sum(day_tenk) OVER (PARTITION BY event_type) AS BIGINT)
+             AS cum_share_ppm
+    FROM daily
+    """,
+    survey_ref="window analytics: running total + cumulative "
+               "percent-of-total per series (the pareto/burndown "
+               "report shape) — running frame and whole-partition "
+               "frame over one partitioning",
+    doc="daily DECIMAL sums -> exact integer ten-thousandths -> "
+        "running ROWS-frame sum and whole-partition total share in "
+        "ppm, both windows over the same (event_type) hash "
+        "partitioning (one exchange, one sort)",
+)
+def q_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both window specs share the partition key, so Spark plans ONE
+    exchange + one sort and evaluates the running and unbounded
+    frames in the same Window operator. Day buckets are integer
+    epoch-day; per-day sums convert to integer units before any
+    window math. At 100 TB the daily agg (map-side combined) reduces
+    the window input to |types| x |days| rows — trivial."""
+    from pyspark.sql import Window as W
+
+    ev = fan_out(_events(spark, sf_dir), spark)
+    daily = (ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+        .agg((F.round(F.sum(F.col("value").cast(_DEC)), 4) * 10000)
+             .cast("long").alias("day_tenk")))
+    run = W.partitionBy("event_type").orderBy("day_idx") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.partitionBy("event_type")
+    return daily.select(
+        "event_type", F.col("day_idx").cast("long").alias("day_idx"),
+        "day_tenk",
+        F.sum("day_tenk").over(run).cast("long").alias("running_tenk"),
+        (F.sum("day_tenk").over(run) * 1_000_000).alias("__n"),
+        F.sum("day_tenk").over(tot).alias("__t"),
+    ).select("event_type", "day_idx", "day_tenk", "running_tenk",
+             F.expr("__n div __t").alias("cum_share_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# ntile decile assignment
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_value_ntile",
+    oracle=f"""
+    WITH {_EV}
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(ntile(10) OVER (PARTITION BY event_type
+                ORDER BY value, event_id) AS INT) AS decile
+    FROM ev
+    """,
+    survey_ref="window analytics: equal-frequency decile assignment "
+               "(ntile) per group with deterministic (value, id) "
+               "order — the feature-binning / SLA-banding primitive",
+    doc="ntile(10) per event_type ordered by (value, event_id); the "
+        "id tie-break makes bucket boundaries engine-identical",
+)
+def q_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash exchange on the partition key + in-partition sort;
+    ntile is computed in a single pass over each sorted partition.
+    The explicit event_id tie-break matters: equal values at a
+    bucket boundary would otherwise split differently per engine.
+    At 100 TB skewed groups would salt into sub-partitions and
+    merge bucket ids afterward (documented, not needed at |type|=5)."""
+    from pyspark.sql import Window as W
+
+    ev = fan_out(_events(spark, sf_dir), spark)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.ntile(10).over(w).cast("int").alias("decile"))
+
+
+# ---------------------------------------------------------------------------
+# bucketed range join (interval containment as an equi-join)
+# ---------------------------------------------------------------------------
+
+_RJ_CHUNK_S = 21_600          # 6-hour time chunks
+_RJ_N_WINDOWS = 20
+_RJ_STRIDE_S = 129_600        # windows start every 36 h
+_RJ_LEN_S = 21_600            # each window is one aligned 6-h chunk
+_RJ_EPOCH0 = 1_704_067_200    # 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "q_range_join_bucketed",
+    oracle=f"""
+    WITH {_EV},
+    win AS (
+      SELECT i AS w_id,
+             make_timestamp(({_RJ_EPOCH0} + i * {_RJ_STRIDE_S}) * 1000000)
+               AS w_start,
+             make_timestamp(({_RJ_EPOCH0} + i * {_RJ_STRIDE_S}
+                             + {_RJ_LEN_S}) * 1000000) AS w_end
+      FROM generate_series(0, {_RJ_N_WINDOWS - 1}) s(i)
+    )
+    SELECT CAST(w.w_id AS BIGINT) AS w_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,10))), 4) AS DOUBLE)
+             AS sum_value
+    FROM ev e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.w_id
+    """,
+    survey_ref="join family: time-interval range join re-expressed as "
+               "a bucketed EQUI-join — events and windows both key by "
+               "the aligned 6-h chunk, so the theta condition becomes "
+               "a hash join + residual filter; the pattern that keeps "
+               "interval joins off the nested-loop path at 100 TB "
+               "(same chunking idea as the LPM /8 buckets and the "
+               "RPKI containment buckets)",
+    doc="maintenance windows (aligned 6-h spans on a 36-h grid) "
+        "joined to events on chunk = epoch div 21600 with residual "
+        "ts < w_end; per-window counts/users/DECIMAL value sum",
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle states the theta join; the Spark plan never runs
+    one. Both sides compute the integer chunk key (windows span
+    exactly one aligned chunk here; a longer window would explode
+    into its covered chunks — same pattern, k rows per window), the
+    join is a broadcast HASH join on the chunk, and the interval
+    test survives only as a cheap residual filter. Swap-in for any
+    ip-in-range / ts-in-window / version-in-interval join: the
+    bucket grid turns O(N x W) pairing into O(N + W) hashing."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    win = (spark.range(_RJ_N_WINDOWS).select(
+        F.col("id").cast("long").alias("w_id"),
+        F.timestamp_seconds(F.lit(_RJ_EPOCH0)
+                            + F.col("id") * _RJ_STRIDE_S).alias("w_start"),
+        F.timestamp_seconds(F.lit(_RJ_EPOCH0) + F.col("id") * _RJ_STRIDE_S
+                            + _RJ_LEN_S).alias("w_end"))
+        .withColumn("chunk", F.expr(f"unix_micros(w_start) "
+                                    f"div {_RJ_CHUNK_S * 1000000}")))
+    e = ev.withColumn("chunk", F.expr(f"unix_micros(ts) "
+                                      f"div {_RJ_CHUNK_S * 1000000}"))
+    return (e.join(F.broadcast(win), "chunk")
+            .filter(F.col("ts") < F.col("w_end"))
+            .groupBy("w_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.round(F.sum(F.col("value").cast(_DEC)), 4)
+                 .cast("double").alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# timeseries gap fill (dense per-series grid with zero-fill)
+# ---------------------------------------------------------------------------
+
+_GF_MAX_DAYS = 64  # oracle grid bound (events span 30 days at any sf)
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+    WITH {_EV},
+    daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM ev WHERE event_type IN ('signup', 'error')
+      GROUP BY event_type, epoch_us(ts) // 86400000000
+    ),
+    bounds AS (
+      SELECT event_type, min(day_idx) AS d0, max(day_idx) AS d1
+      FROM daily GROUP BY event_type
+    ),
+    grid AS (
+      SELECT b.event_type, b.d0 + i AS day_idx
+      FROM bounds b, generate_series(0, {_GF_MAX_DAYS}) s(i)
+      WHERE b.d0 + i <= b.d1
+    )
+    SELECT g.event_type, CAST(g.day_idx AS BIGINT) AS day_idx,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+           CAST(d.day_idx IS NULL AS BOOLEAN) AS is_filled
+    FROM grid g LEFT JOIN daily d
+      ON g.event_type = d.event_type AND g.day_idx = d.day_idx
+    """,
+    survey_ref="timeseries: per-series gap fill — densify each "
+               "series' [min, max] day range and zero-fill missing "
+               "buckets (the step before rate/rolling math that "
+               "silently lies on sparse data); reference analog: the "
+               "gap the chg-stats cron leaves for idle intervals",
+    doc="per-series bounds -> sequence(d0, d1) explode (dense integer "
+        "grid generated engine-side, no calendar table) -> left join "
+        "observed counts -> zero-fill + is_filled marker",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grid generation is sequence() + explode per SERIES row
+    (|types| rows in, |types| x |days| out) — no driver loop, no
+    calendar dimension to maintain, and the left join back to the
+    daily agg is co-partitioned on (series, day). Spark's sequence
+    is ascending-safe here because d0 <= d1 by construction. At
+    100 TB the grid side is negligible and the daily agg is the
+    only wide stage."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    daily = (ev.filter(F.col("event_type").isin("signup", "error"))
+             .groupBy("event_type",
+                      F.expr("unix_micros(ts) div 86400000000")
+                      .alias("day_idx"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    bounds = (daily.groupBy("event_type")
+              .agg(F.min("day_idx").alias("d0"),
+                   F.max("day_idx").alias("d1")))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1)")).alias("day_idx"))
+    return (grid.join(daily, ["event_type", "day_idx"], "left")
+            .select("event_type",
+                    F.col("day_idx").cast("long").alias("day_idx"),
+                    F.coalesce("n_events", F.lit(0)).cast("long")
+                    .alias("n_events"),
+                    F.col("n_events").isNull().alias("is_filled")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "window")
+_BM25_TOPN = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
+      FROM documents
+    ), t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM t GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dlen) AS BIGINT) AS total_tokens
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM t WHERE term IN ({terms}) GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen
+                                 / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))
+               * 1000000) AS BIGINT) AS mscore
+      FROM tf JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(mscore) AS BIGINT) AS bm25_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25_micro,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rnk
+          FROM agg)
+    WHERE rnk <= {_BM25_TOPN}
+    """
+
+
+@register(
+    "q_bm25_rank",
+    oracle=_bm25_oracle(),
+    survey_ref="training-data corpus search: BM25 ranked retrieval "
+               "(k1=1.2, b=0.75, Lucene idf) over posting lists — the "
+               "scoring upgrade of q_fts_conjunctive; per-(doc, term) "
+               "scores rounded to integer micro-units BEFORE the "
+               "per-doc sum so ranking ties are engine-identical",
+    doc=f"tf/df/dl/avgdl from two bounded aggs -> per-term BM25 "
+        f"contribution in integer micro-units -> per-doc sum -> "
+        f"global top-{_BM25_TOPN} (score desc, doc_id)",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query-term filter lands in the scan (only k posting lists
+    survive), document length and corpus stats come from one
+    map-side-combined agg each, and the idf/df side is k rows —
+    broadcast. The only O(corpus) stages are the token explode and
+    the doc-length agg, both single-shuffle. The final top-n is a
+    bounded TakeOrdered, not a full sort. Same plan a stored
+    inverted index would serve per query at 100 TB."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(_docs(spark, sf_dir), spark)
+    toks = F.split(_norm_col(), " ")
+    t = (d.select("doc_id", F.explode(toks).alias("term"))
+         .filter(F.length("term") > 0))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("dlen"))
+    stats = F.broadcast(dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dlen").cast("long").alias("total_tokens")))
+    tf = (t.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                            .alias("df")))
+    scored = (tf.join(df, "term").join(dl, "doc_id").crossJoin(stats)
+              .select("doc_id", F.round(
+                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5))
+                  * (F.col("tf") * 2.2)
+                  / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen")
+                     / (F.col("total_tokens").cast("double")
+                        / F.col("n_docs"))))
+                  * 1_000_000).cast("long").alias("mscore")))
+    agg = scored.groupBy("doc_id").agg(F.sum("mscore").cast("long")
+                                       .alias("bm25_micro"))
+    w = W.orderBy(F.col("bm25_micro").desc(), F.col("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _BM25_TOPN)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "bm25_micro", F.col("rank").cast("int").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# per-source dataset card
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_data_card",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source, lang, md5(text) AS h,
+             CAST(len(string_split({_NORM.format(col='text')}, ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    dup AS (
+      SELECT h FROM f GROUP BY h HAVING count(*) > 1
+    ),
+    per AS (
+      SELECT f.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs,
+             CAST(count(dup.h) AS BIGINT) AS n_dup_docs
+      FROM f LEFT JOIN dup ON f.h = dup.h
+      GROUP BY f.source
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(total_tokens // n_docs AS BIGINT) AS mean_tokens,
+           n_langs, n_dup_docs,
+           CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm
+    FROM per
+    """,
+    survey_ref="training-data pipeline: per-source dataset card — "
+               "volume, token mass, language spread, exact-duplicate "
+               "rate in one report; the datasheet summary generated "
+               "per corpus drop",
+    doc="one scan computing (source, lang, md5, token count) -> "
+        "corpus-wide dup-hash set -> per-source rollup with integer "
+        "mean/ppm",
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything reduces in the scan to fixed-width columns; the
+    dup-hash side is count-filtered (>1) and joins back on the
+    16-byte digest. One wide shuffle (the hash groupBy), one
+    |sources|-group rollup. The 100 TB version is unchanged — this
+    is the audit scan every corpus release runs."""
+    d = fan_out(_docs(spark, sf_dir), spark)
+    f = d.select("doc_id", "source", "lang", F.md5("text").alias("h"),
+                 F.size(F.split(_norm_col(), " ")).cast("long")
+                 .alias("n_tokens"))
+    dup = (f.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") > 1)
+           .select("h", F.lit(1).alias("__dup")))
+    per = (f.join(dup, "h", "left")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.count("__dup").cast("long").alias("n_dup_docs")))
+    return per.select(
+        "source", "n_docs", "total_tokens",
+        F.expr("total_tokens div n_docs").alias("mean_tokens"),
+        "n_langs", "n_dup_docs",
+        F.expr("n_dup_docs * 1000000L div n_docs").alias("dup_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# graph degree distribution
+# ---------------------------------------------------------------------------
+
+_DEG_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+_deg_case_sql = "CASE " + " ".join(
+    f"WHEN out_deg <= {b} THEN {b}" for b in _DEG_BUCKETS
+) + f" ELSE {_DEG_BUCKETS[-1] * 2} END"
+
+
+@register(
+    "q_graph_degree",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT CAST(user_id % {_PR_NODES} AS BIGINT) AS src,
+             CAST((user_id + event_id) % {_PR_NODES} AS BIGINT) AS dst
+      FROM events
+      WHERE user_id % {_PR_NODES} <> (user_id + event_id) % {_PR_NODES}
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+      FROM edges GROUP BY src
+    )
+    SELECT CAST({_deg_case_sql} AS BIGINT) AS deg_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(out_deg) AS BIGINT) AS min_deg,
+           CAST(max(out_deg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY 1
+    """,
+    survey_ref="graph analytics: out-degree distribution of the "
+               "interaction graph (pow2 buckets) — the skew census "
+               "run BEFORE PageRank/components to size salting and "
+               "spot hub nodes (the same pre-flight the LSH bucket "
+               "census does for band joins)",
+    doc="distinct edges -> per-src degree -> integer pow2-bucket "
+        "histogram with min/max per bucket",
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shares q_pagerank's edge derivation; two map-side-combinable
+    aggs. The histogram is the operational point: at 100 TB you run
+    THIS first, and its max_deg column decides whether the rank
+    join needs hub-salting. Plain pow2 CASE keeps buckets integer."""
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    src = (F.col("user_id") % _PR_NODES).cast("long")
+    dst = ((F.col("user_id") + F.col("event_id")) % _PR_NODES).cast("long")
+    edges = (ev.select(src.alias("src"), dst.alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("out_deg"))
+    return (deg.groupBy(F.expr(_deg_case_sql).cast("long")
+                        .alias("deg_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.min("out_deg").cast("long").alias("min_deg"),
+                 F.max("out_deg").cast("long").alias("max_deg")))
