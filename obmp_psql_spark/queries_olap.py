@@ -1,0 +1,413 @@
+"""Warehouse-modeling / OLAP-report operators, round-7 batch 3:
+
+- multi-level ROLLUP and explicit GROUPING SETS reports (the
+  subtotal/grand-total report shapes every BI layer emits — the
+  reference's per-peer/per-ASN/global aggregation ladder in
+  `database/2_aggregations.sql:87-492` is exactly a hand-unrolled
+  rollup; here the engine plans all levels in one pass);
+- SCD-2 interval build from an append-only event log (the
+  dimension-history compaction the reference's CDC triggers feed —
+  `database/9_triggers.sql` writes the change rows, this builds the
+  valid_from/valid_to timeline from them);
+- blocked fuzzy (edit-distance) match — the entity-resolution join:
+  block on a cheap key, band on length, pay levenshtein only inside
+  the block (same O(N x W) -> O(N) move as the LPM /8 buckets);
+- per-group linear trend from integer sufficient statistics (slope
+  and intercept via (n, Sx, Sy, Sxy, Sxx) — the only cross-engine
+  hash-stable way to regress: float accumulation order never enters);
+- chi-square independence scan (event mix vs day-of-week) with
+  per-cell integer micro-unit rounding before the sum.
+
+Oracle conventions follow registry.py: identical aliases both sides,
+DECIMAL accumulation for money, integer micro/ppm units for every
+fraction entering the hash, per-cell rounding BEFORE cross-cell sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import fan_out, load_tables, normalize_ts
+
+_EV = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+_DEC = "decimal(38,10)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_ts(load_tables(spark, sf_dir, ("events",))["events"])
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP report (subtotals + grand total in one pass)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rollup_report",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    survey_ref="OLAP reports: ROLLUP(status, priority) — detail rows, "
+               "per-status subtotals, and the grand total planned as "
+               "ONE aggregate (Expand + single shuffle), not three "
+               "queries; the reference's per-peer/per-ASN/global "
+               "ladder (2_aggregations.sql) collapsed into the "
+               "engine-native hierarchy operator",
+    doc="rollup over (o_orderstatus, o_orderpriority) with GROUPING "
+        "markers, order counts, and DECIMAL-exact cents totals",
+)
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plans a rollup as Expand (each input row replicated once
+    per grouping level) feeding a single hash aggregate — one wide
+    shuffle for all three levels, with map-side partial aggregation
+    on every level simultaneously. GROUPING() flags disambiguate a
+    genuine NULL key from a subtotal row, so the hash compare is
+    exact. At 100 TB this beats three separate aggs by 3x input
+    scans -> 1."""
+    t = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (t.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+                 F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 (F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2) * 100)
+                 .cast("long").alias("total_cents")))
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS report (disjoint pivot margins)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    survey_ref="OLAP reports: explicit GROUPING SETS — both one-way "
+               "margins plus the grand total without the full cube's "
+               "cross cells; the report shape of the reference's "
+               "origin_stats (by-ASN and by-prefix margins, "
+               "2_aggregations.sql:87-178) planned in one pass",
+    doc="GROUPING SETS ((status), (priority), ()) via the SQL "
+        "surface with templated DataFrame binding (no temp-view "
+        "global state); GROUPING markers + counts + cents totals",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Expand + single-aggregate plan as the rollup, but with a
+    hand-picked level set — the margins a pivot report needs without
+    the |A| x |B| cross cells a cube would add. Uses spark.sql's
+    DataFrame template binding so no session-global temp view is
+    created (concurrent runs can't collide)."""
+    t = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(count(1) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS decimal(38,10))), 2) * 100
+                    AS BIGINT) AS total_cents
+        FROM {orders}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """, orders=t)
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval build from the append-only event log
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scd2_intervals",
+    oracle=f"""
+    WITH {_EV},
+    marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ),
+    grouped AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(version AS BIGINT) AS version, event_type,
+             min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                IS NULL AS BOOLEAN) AS is_current,
+           n_events
+    FROM grouped
+    """,
+    survey_ref="warehouse modeling: SCD-2 dimension build — collapse "
+               "the append-only event log into per-key "
+               "(valid_from, valid_to] state intervals with an "
+               "is_current marker; the timeline the reference's CDC "
+               "triggers (9_triggers.sql) feed and its `*_log` "
+               "tables store row-by-row, built set-wise",
+    doc="lag-change detection -> running change-count as version -> "
+        "per-run min(ts)/count -> lead(valid_from) closes each "
+        "interval; open interval = current state",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three window passes share the (user_id) partitioning, so
+    the plan is ONE hash exchange followed by in-partition sorts —
+    the groupBy on (user_id, version) is partial-aggregated within
+    the same partitioning. The (ts, event_id) tie-break makes run
+    boundaries engine-identical. At 100 TB the log would be
+    bucketed by user_id and even that one exchange disappears."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+               1).otherwise(0).alias("chg"))
+    runs = marked.select(
+        "user_id", "event_type", "ts",
+        F.sum("chg").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("version"))
+    grouped = (runs.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("version").cast("long").alias("version"), "event_type")
+        .agg(F.min("ts").alias("valid_from"),
+             F.count(F.lit(1)).cast("long").alias("n_events")))
+    lead_w = W.partitionBy("user_id").orderBy("version")
+    return grouped.select(
+        "user_id", "version", "event_type", "valid_from",
+        F.lead("valid_from").over(lead_w).alias("valid_to"),
+        F.lead("valid_from").over(lead_w).isNull().alias("is_current"),
+        "n_events")
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy match (edit-distance entity resolution)
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+
+@register(
+    "q_fuzzy_match",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS noun,
+             length(p_name) AS nlen
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.noun, levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b
+        ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+       AND abs(a.nlen - b.nlen) <= {_FUZZY_MAX_DIST}
+      WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    )
+    SELECT noun, CAST(dist AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY noun, dist
+    """,
+    survey_ref="entity resolution: blocked fuzzy join — block on the "
+               "cheap key (noun token), band on length difference, "
+               "pay levenshtein only inside the block; the same "
+               "O(N^2) -> O(sum of block^2) move the LPM /8 buckets "
+               "and the LSH bands make, applied to string matching",
+    doc=f"parts self-joined on the noun block, length-band residual, "
+        f"edit distance <= {_FUZZY_MAX_DIST}; output is the "
+        f"(noun, dist) pair histogram",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The block key turns the all-pairs problem into an equi-join
+    Catalyst hash-partitions; the length band is a free residual
+    predicate that skips most levenshtein calls (an edit distance
+    cannot beat the length difference); only survivors pay the
+    O(len^2) DP, JVM-side via the built-in levenshtein. At 100 TB
+    the guard is a block-size census first (q_graph_degree pattern)
+    and a per-block cap for degenerate keys — same playbook as the
+    posting-list cap in q_ngram_jaccard."""
+    t = load_tables(spark, sf_dir, ("part",))["part"]
+    p = t.select(
+        "p_partkey", "p_name",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+        F.length("p_name").alias("nlen"))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("a.noun") == F.col("b.noun"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                    & (F.abs(F.col("a.nlen") - F.col("b.nlen"))
+                       <= _FUZZY_MAX_DIST))
+             .select(F.col("a.noun").alias("noun"),
+                     F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                     .alias("dist"))
+             .filter(F.col("dist") <= _FUZZY_MAX_DIST))
+    return (pairs.groupBy("noun", F.col("dist").cast("int").alias("dist"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+# ---------------------------------------------------------------------------
+# per-group linear trend from integer sufficient statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_group_trend",
+    oracle=f"""
+    WITH {_EV},
+    daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY event_type, epoch_us(ts) // 86400000000
+    ),
+    centered AS (
+      SELECT event_type,
+             day_idx - min(day_idx) OVER (PARTITION BY event_type) AS x,
+             n AS y
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM centered GROUP BY event_type
+    )
+    SELECT event_type, n_days, sy AS total_events,
+           CAST(round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                      * 1000000) AS BIGINT) AS slope_micro,
+           CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                      / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                      * 1000000) AS BIGINT) AS intercept_micro
+    FROM stats
+    """,
+    survey_ref="statistics: per-group least-squares trend (slope + "
+               "intercept of daily volume) computed from INTEGER "
+               "sufficient statistics (n, Sx, Sy, Sxy, Sxx) — the "
+               "only cross-engine hash-stable regression: the five "
+               "sums are exact, one double division each at the end "
+               "(regr_slope's float accumulation order would not "
+               "survive the hash gate); the trend alarm the "
+               "reference's peer update-rate stats feed",
+    doc="daily counts -> per-group min-day centering -> five integer "
+        "sums -> slope/intercept in integer micro-units",
+)
+def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregations sharing the event_type key (daily counts,
+    then the five sums) plus a per-group min window between them —
+    all on one partitioning. Centering x at the group's first day
+    keeps every product within int64 at any timescale. The final
+    arithmetic is one IEEE division per coefficient on exact
+    integer operands — bit-identical across engines."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    daily = (ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    centered = daily.select(
+        "event_type",
+        (F.col("day_idx")
+         - F.min("day_idx").over(W.partitionBy("event_type"))).alias("x"),
+        F.col("n").alias("y"))
+    stats = (centered.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                  F.sum("x").cast("long").alias("sx"),
+                  F.sum("y").cast("long").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx")))
+    den = (F.col("n_days") * F.col("sxx")
+           - F.col("sx") * F.col("sx")).cast("double")
+    slope = (F.col("n_days") * F.col("sxy")
+             - F.col("sx") * F.col("sy")).cast("double") / den
+    intercept = (F.col("sy") * F.col("sxx")
+                 - F.col("sx") * F.col("sxy")).cast("double") / den
+    return stats.select(
+        "event_type", "n_days", F.col("sy").alias("total_events"),
+        F.round(slope * 1_000_000).cast("long").alias("slope_micro"),
+        F.round(intercept * 1_000_000).cast("long").alias("intercept_micro"))
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence scan (event mix vs day-of-week)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_chisq_mix",
+    oracle=f"""
+    WITH {_EV},
+    cells AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM ev GROUP BY event_type, epoch_us(ts) // 86400000000 % 7
+    ),
+    ex AS (
+      SELECT event_type, dow, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+               * CAST(sum(o) OVER (PARTITION BY dow) AS DOUBLE)
+               / CAST(sum(o) OVER () AS DOUBLE) AS e,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+               AS row_total
+      FROM cells
+    )
+    SELECT event_type, row_total,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(round((o - e) * (o - e) / e * 1000000)
+                         AS BIGINT)) AS BIGINT) AS chi2_micro
+    FROM ex GROUP BY event_type, row_total
+    """,
+    survey_ref="statistics: chi-square independence scan — is the "
+               "event mix uniform across day-of-week slots? Per-cell "
+               "(o-e)^2/e rounded to integer micro-units BEFORE the "
+               "sum (the q_doc_unigram_ppl rule: integer sums are "
+               "order-independent, float sums are not); the "
+               "drift/anomaly screen run over any categorical pair "
+               "before trusting a mix-based sampler",
+    doc="5x7 contingency cells -> expected from the three marginal "
+        "windows -> per-cell micro-rounded contribution -> integer "
+        "per-type chi-square",
+)
+def q_chisq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contingency table is tiny by construction (|types| x 7),
+    so the three marginal windows run over a tens-of-rows frame —
+    the heavy lift is the single map-side-combined count shuffle
+    underneath. Day-of-week via epoch-day mod 7 (locale-free,
+    engine-identical). The deliberately-global third window is safe
+    because it sees only the aggregated cells, never raw events."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    cells = (ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000 % 7").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    e = (F.sum("o").over(W.partitionBy("event_type")).cast("double")
+         * F.sum("o").over(W.partitionBy("dow")).cast("double")
+         / F.sum("o").over(W.partitionBy()).cast("double"))
+    ex = cells.select(
+        "event_type", "o", e.alias("e"),
+        F.sum("o").over(W.partitionBy("event_type")).cast("long")
+        .alias("row_total"))
+    contrib = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                      / F.col("e") * 1_000_000).cast("long")
+    return (ex.select("event_type", "row_total", contrib.alias("c"))
+            .groupBy("event_type", "row_total")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 F.sum("c").cast("long").alias("chi2_micro")))

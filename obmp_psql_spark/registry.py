@@ -96,6 +96,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import queries_core  # noqa: F401
     from . import queries_curate  # noqa: F401
     from . import queries_net  # noqa: F401
+    from . import queries_olap  # noqa: F401
     from . import queries_stream  # noqa: F401
     from . import queries_text  # noqa: F401
     from ._rotation import LAST_DRIVER_ROW
