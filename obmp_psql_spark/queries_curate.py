@@ -1775,3 +1775,270 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
                  F.min("out_deg").cast("long").alias("min_deg"),
                  F.max("out_deg").cast("long").alias("max_deg")))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented, the O(m^1.5) classic)
+# ---------------------------------------------------------------------------
+
+_TRI_EDGES = (
+    f"dir_edges AS (SELECT DISTINCT CAST(user_id % {_PR_NODES} AS BIGINT)"
+    f" AS src, CAST((user_id + event_id) % {_PR_NODES} AS BIGINT) AS dst "
+    f"FROM events "
+    f"WHERE user_id % {_PR_NODES} <> (user_id + event_id) % {_PR_NODES})"
+)
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_TRI_EDGES},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM dir_edges
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      GROUP BY node
+    ),
+    orient AS (
+      SELECT CASE WHEN da.deg * 1000000 + e.u < db.deg * 1000000 + e.v
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN da.deg * 1000000 + e.u < db.deg * 1000000 + e.v
+                  THEN e.v ELSE e.u END AS t,
+             CASE WHEN da.deg * 1000000 + e.u < db.deg * 1000000 + e.v
+                  THEN db.deg * 1000000 + e.v
+                  ELSE da.deg * 1000000 + e.u END AS kt
+      FROM und e
+      JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node
+    ),
+    wedge AS (
+      SELECT e1.t AS a, e2.t AS b
+      FROM orient e1 JOIN orient e2
+        ON e1.s = e2.s AND e1.kt < e2.kt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+           CAST(count(o.s) AS BIGINT) AS n_triangles
+    FROM wedge w
+    LEFT JOIN orient o ON o.s = w.a AND o.t = w.b
+    """,
+    survey_ref="graph analytics: triangle counting with DEGREE "
+               "ORIENTATION — every undirected edge points from the "
+               "lower-(degree, id) endpoint to the higher, so each "
+               "node's out-degree is O(sqrt(m)) and the wedge join "
+               "is O(m^1.5) instead of the naive sum of deg^2 that a "
+               "hub node makes quadratic; the clustering-coefficient "
+               "census behind spam/community detection on the "
+               "interaction graph",
+    doc="distinct undirected edges -> degree -> orient by "
+        "(deg*1e6 + node) -> wedges from common source joined "
+        "against the closing oriented edge; (n_wedges, n_triangles) "
+        "in one left-join aggregate",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three equi-joins, all on node keys — no theta join anywhere.
+    Orientation is the 100 TB point: hub nodes (the killer for
+    naive wedge counting) land on the TARGET side of their edges,
+    so no single source explodes the wedge fan-out. The unique
+    (deg*1e6 + node) key makes the orientation a strict total order
+    — identical on both engines, no tie policy needed."""
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    src = (F.col("user_id") % _PR_NODES).cast("long")
+    dst = ((F.col("user_id") + F.col("event_id")) % _PR_NODES).cast("long")
+    und = (ev.select(src.alias("src"), dst.alias("dst"))
+           .filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("deg")))
+    da = deg.select(F.col("node").alias("u"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("v"), F.col("deg").alias("degb"))
+    ka = F.col("dega") * 1_000_000 + F.col("u")
+    kb = F.col("degb") * 1_000_000 + F.col("v")
+    orient = (und.join(da, "u").join(db, "v")
+              .select(F.when(ka < kb, F.col("u")).otherwise(F.col("v"))
+                      .alias("s"),
+                      F.when(ka < kb, F.col("v")).otherwise(F.col("u"))
+                      .alias("t"),
+                      F.when(ka < kb, kb).otherwise(ka).alias("kt")))
+    e1 = orient.select(F.col("s").alias("ws"), F.col("t").alias("a"),
+                       F.col("kt").alias("k1"))
+    e2 = orient.select(F.col("s").alias("ws"), F.col("t").alias("b"),
+                       F.col("kt").alias("k2"))
+    wedge = (e1.join(e2, "ws").filter(F.col("k1") < F.col("k2"))
+             .select("a", "b"))
+    closing = orient.select(F.col("s").alias("a"), F.col("t").alias("b"),
+                            F.lit(1).alias("closed"))
+    return (wedge.join(closing, ["a", "b"], "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_wedges"),
+                 F.count("closed").cast("long").alias("n_triangles")))
+
+
+# ---------------------------------------------------------------------------
+# 2-hop reachability census
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_khop_reach",
+    oracle=f"""
+    WITH {_TRI_EDGES},
+    two AS (
+      SELECT e1.src, e2.dst AS d2
+      FROM dir_edges e1 JOIN dir_edges e2 ON e1.dst = e2.src
+      WHERE e2.dst <> e1.src
+    ),
+    reach AS (
+      SELECT src, dst FROM dir_edges
+      UNION
+      SELECT src, d2 FROM two
+    ),
+    one_cnt AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_1hop
+      FROM dir_edges GROUP BY src
+    ),
+    reach_cnt AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_reach2
+      FROM reach GROUP BY src
+    )
+    SELECT o.src, o.n_1hop, r.n_reach2
+    FROM one_cnt o JOIN reach_cnt r ON o.src = r.src
+    """,
+    survey_ref="graph analytics: 2-hop reachability census — per node, "
+               "direct out-degree vs the distinct set reachable in "
+               "<= 2 hops (the expansion measurement behind influence/"
+               "blast-radius scoring); one self-join + set-union "
+               "distinct, the bounded-depth BFS step expressed "
+               "relationally",
+    doc="edges self-joined on the middle node (excluding returns to "
+        "the source), UNION-deduped with the 1-hop set, per-source "
+        "counts joined",
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-join shuffles on the middle node — the natural key —
+    and the UNION's distinct reuses the (src, dst) hash. At 100 TB
+    depth-k BFS iterates exactly this step with the frontier as the
+    left side (the q_pagerank loop shape); the census here is the
+    k=2 slice that's still SQL-expressible for the oracle. Hub
+    middles fan out — the degree histogram (q_graph_degree) is the
+    pre-flight that decides if they need salting."""
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    src = (F.col("user_id") % _PR_NODES).cast("long")
+    dst = ((F.col("user_id") + F.col("event_id")) % _PR_NODES).cast("long")
+    e = (ev.select(src.alias("src"), dst.alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    mid = e.select(F.col("src").alias("dst"), F.col("dst").alias("d2"))
+    two = (e.join(mid, "dst")
+           .filter(F.col("d2") != F.col("src"))
+           .select("src", F.col("d2").alias("dst")))
+    reach = e.unionAll(two).distinct()
+    one_cnt = e.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("n_1hop"))
+    reach_cnt = reach.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                         .alias("n_reach2"))
+    return one_cnt.join(reach_cnt, "src")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters with a merge-guarantee gate
+# ---------------------------------------------------------------------------
+
+_MG_K = 50
+
+
+def _mg_oracle(sf_dir: str) -> str:
+    from .queries_text import _aux, _sf_tag
+    dump = _aux("q_heavy_hitters", _sf_tag(sf_dir))
+    return f"""
+    WITH dump AS (
+      SELECT item, CAST(est AS BIGINT) AS est
+      FROM read_parquet('{dump}/*.parquet')
+    ),
+    tok AS (
+      SELECT unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
+      FROM documents
+    ),
+    t AS (SELECT term FROM tok WHERE length(term) > 0),
+    exact AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t
+              GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+    m AS (SELECT CAST(sum(est) AS BIGINT) AS retained,
+                 CAST(count(*) AS BIGINT) AS n_kept FROM dump),
+    j AS (SELECT d.item, d.est, e.c
+          FROM dump d JOIN exact e ON d.item = e.term)
+    SELECT (SELECT total FROM n) AS n_total,
+           (SELECT n_kept FROM m) AS n_kept,
+           (SELECT retained FROM m) AS retained,
+           CAST(bool_and(j.est <= j.c) AS BOOLEAN) AS le_ok,
+           CAST(bool_and((j.c - j.est) * {_MG_K + 1}
+                <= (SELECT total FROM n) - (SELECT retained FROM m))
+                AS BOOLEAN) AS under_ok,
+           CAST((SELECT count(*) FROM exact e
+                 WHERE e.c * {_MG_K + 1}
+                       > (SELECT total FROM n) - (SELECT retained FROM m)
+                   AND e.term NOT IN (SELECT item FROM dump)) = 0
+                AS BOOLEAN) AS hh_ok
+    FROM j
+    """
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=_mg_oracle,
+    survey_ref="training-data sketches: Misra-Gries heavy hitters — "
+               "the mergeable frequency summary next to HLL "
+               "(distinct) and GK (quantiles); bounded memory per "
+               "executor, associative merge, and the PODS'12 "
+               "guarantee exact - est <= (N - M)/(k+1) gated as "
+               "booleans through the parquet handshake (both engines "
+               "score the same published sketch against their own "
+               "exact counts)",
+    doc=f"token stream -> per-partition k={_MG_K} counter summaries "
+        f"(mapInPandas, state independent of partition size) -> "
+        f"per-key sum merge -> final subtract-reduce -> published "
+        f"sketch scored for est<=exact, the (N-M)/(k+1) undercount "
+        f"bound, and guaranteed-heavy-hitter presence",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch replaces a full-vocabulary groupBy with a k-counter
+    pass per partition plus a k*P-row merge — at 100 TB that is the
+    difference between shuffling the key universe and shuffling
+    50 rows per executor. The gate does not trust the theory: both
+    engines recompute exact counts and verify the three guarantees
+    against the SAME published summary, so a broken reduction (the
+    classic off-by-one on the decrement threshold) turns the driver
+    row red instead of silently inflating estimates."""
+    from .operators.sketch import misra_gries
+    from .queries_text import _aux, _sf_tag, publish_aux
+
+    d = fan_out(_docs(spark, sf_dir), spark)
+    toks = (d.select(F.explode(F.split(_norm_col(), " ")).alias("term"))
+            .filter(F.length("term") > 0))
+    sketch = misra_gries(toks, "term", _MG_K)
+    aux = _aux("q_heavy_hitters", _sf_tag(sf_dir))
+    publish_aux(sketch, aux)
+
+    dump = spark.read.parquet(aux)
+    n_total = toks.count()
+    mrow = dump.agg(F.sum("est").alias("r"),
+                    F.count(F.lit(1)).alias("k")).collect()[0]
+    retained, n_kept = int(mrow["r"]), int(mrow["k"])
+    slack = n_total - retained
+    exact = toks.groupBy(F.col("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    hh_missing = (exact.filter(F.col("c") * (_MG_K + 1) > slack)
+                  .join(dump, exact["term"] == dump["item"], "left_anti")
+                  .count())
+    return (dump.join(exact, dump["item"] == exact["term"])
+            .agg(F.every(F.col("est") <= F.col("c")).alias("le_ok"),
+                 F.every((F.col("c") - F.col("est")) * (_MG_K + 1)
+                         <= F.lit(slack)).alias("under_ok"))
+            .select(F.lit(n_total).cast("long").alias("n_total"),
+                    F.lit(n_kept).cast("long").alias("n_kept"),
+                    F.lit(retained).cast("long").alias("retained"),
+                    "le_ok", "under_ok",
+                    F.lit(hh_missing == 0).alias("hh_ok")))

@@ -411,3 +411,195 @@ def q_chisq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type", "row_total")
             .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
                  F.sum("c").cast("long").alias("chi2_micro")))
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (open/high/low/close per series per day)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ohlc_bars",
+    oracle=f"""
+    WITH {_EV},
+    ranked AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, value,
+             row_number() OVER (PARTITION BY event_type,
+                                epoch_us(ts) // 86400000000
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type,
+                                epoch_us(ts) // 86400000000
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM ev
+    )
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM ranked GROUP BY event_type, day_idx
+    """,
+    survey_ref="timeseries: OHLC candle bars per (series, day) — "
+               "open/close are first/last by (ts, event_id), high/low "
+               "plain extremes; pure value SELECTION (no float "
+               "arithmetic), so doubles hash bit-identically; the "
+               "downsampling shape every monitoring/market store "
+               "serves",
+    doc="two row_number passes (asc/desc) sharing one (type, day) "
+        "partitioning -> conditional max in a single group-agg",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both window specs and the final groupBy share the same
+    (event_type, day) key, so the plan is one exchange, two
+    in-partition sorts, one partial-aggregated hash agg. Open and
+    close come out as conditional maxes over the rank-1 rows —
+    selection, never arithmetic, which is what keeps raw doubles
+    hashable across engines. The deterministic (ts, event_id)
+    tie-break defines which trade 'opens' a bar when timestamps
+    collide."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    wa = W.partitionBy("event_type", "day_idx").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "day_idx") \
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = (ev.withColumn("day_idx", day.cast("long"))
+              .select("event_type", "day_idx", "value",
+                      F.row_number().over(wa).alias("rn_a"),
+                      F.row_number().over(wd).alias("rn_d")))
+    return (ranked.groupBy("event_type", "day_idx")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count(F.lit(1)).cast("long").alias("volume")))
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (irregular-sample integration)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_twap",
+    oracle=f"""
+    WITH {_EV},
+    seq AS (
+      SELECT event_type, value, epoch_us(ts) AS tus,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS nxt
+      FROM ev
+    ),
+    seg AS (
+      SELECT event_type, value, (nxt - tus) // 1000 AS dur_ms
+      FROM seq WHERE nxt IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10)) * dur_ms), 3)
+                  * 1000 AS BIGINT) AS vt_milli
+      FROM seg GROUP BY event_type
+    )
+    SELECT event_type, n_segments, total_ms,
+           CAST(round(CAST(vt_milli AS DOUBLE) / CAST(total_ms AS DOUBLE)
+                      * 1000) AS BIGINT) AS twap_micro
+    FROM agg
+    """,
+    survey_ref="timeseries: time-weighted average per series — each "
+               "sample holds until the next one, weight = held "
+               "duration (the irregular-sampling integral; an "
+               "arithmetic mean over-weights bursts); value x "
+               "duration accumulates in DECIMAL, converts ONCE to "
+               "integer milli-units, one IEEE division at the end",
+    doc="lead(ts) per series -> (value, dur_ms) segments -> DECIMAL "
+        "sum(value*dur) -> twap in integer micro-units",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (event_type) exchange shared by the lead window and the
+    final agg. The last sample of each series has no successor and
+    drops (an explicit horizon would close it — semantics choice,
+    same on both engines). DECIMAL keeps the value-time integral
+    exact and associative at any partitioning; the milli-unit scale
+    keeps the integer within double-exact range at every sf (the
+    integral per series is bounded by max_value x series span,
+    independent of row count)."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "value",
+        F.expr("unix_micros(ts)").alias("tus"),
+        F.lead(F.expr("unix_micros(ts)")).over(w).alias("nxt"))
+    seg = (seq.filter(F.col("nxt").isNotNull())
+           .select("event_type", "value",
+                   F.expr("(nxt - tus) div 1000").alias("dur_ms")))
+    agg = (seg.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_segments"),
+                F.sum("dur_ms").cast("long").alias("total_ms"),
+                (F.round(F.sum(F.col("value").cast(_DEC)
+                               * F.col("dur_ms")), 3) * 1000)
+                .cast("long").alias("vt_milli")))
+    twap = F.round(F.col("vt_milli").cast("double")
+                   / F.col("total_ms").cast("double") * 1000).cast("long")
+    return agg.select("event_type", "n_segments", "total_ms",
+                      twap.alias("twap_micro"))
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood fuzzy match (the linear-scaling ER variant)
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 6
+
+
+@register(
+    "q_fuzzy_sorted",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    ),
+    pairs AS (
+      SELECT levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b
+        ON b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+      WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    )
+    SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY dist
+    """,
+    survey_ref="entity resolution: sorted-neighborhood fuzzy match — "
+               "sort all names once, compare each row only to its w "
+               "successors; O(N log N + N*w) total versus blocking's "
+               "O(sum of block^2), the variant that stays linear when "
+               "a block key is degenerate; rank comes from the "
+               "two-pass range-sort global_rank operator "
+               "(operators/rank.py), NOT a single-partition window",
+    doc=f"global_rank on (p_name, p_partkey) -> explode offsets "
+        f"1..{_SN_WINDOW} -> equi-join rn+off = rn (never a range "
+        f"theta join) -> edit-distance histogram",
+)
+def q_fuzzy_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle states the rank-range theta join; the Spark plan
+    runs an EQUI-join: each row explodes into w (rank+offset) probes
+    that hash-join against the rank column. The rank itself is the
+    distributed two-pass pattern (range shuffle + bucket-size prefix
+    sums), so no stage ever funnels the corpus through one task —
+    the piece a naive ORDER BY row_number() gets wrong at 100 TB."""
+    from .operators.rank import global_rank
+
+    t = load_tables(spark, sf_dir, ("part",))["part"]
+    ranked = global_rank(t.select("p_partkey", "p_name"),
+                         ["p_name", "p_partkey"])
+    probes = (ranked.select(
+        "p_name", "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(_SN_WINDOW))).alias("off"))
+        .select("p_name", (F.col("rn") + F.col("off")).alias("rn2")))
+    right = ranked.select(F.col("rn").alias("rn2"),
+                          F.col("p_name").alias("p_name_b"))
+    pairs = (probes.join(right, "rn2")
+             .select(F.levenshtein("p_name", "p_name_b").alias("dist"))
+             .filter(F.col("dist") <= _FUZZY_MAX_DIST))
+    return (pairs.groupBy(F.col("dist").cast("int").alias("dist"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
