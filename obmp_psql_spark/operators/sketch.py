@@ -65,10 +65,48 @@ def misra_gries(df: DataFrame, col: str, k: int) -> DataFrame:
 
     partials = df.select(F.col(col).cast("string").alias(col)) \
         .mapInPandas(summarize, schema="item string, est long")
+    return merge_mg_partials(partials, k)
+
+
+def merge_mg_partials(partials: DataFrame, k: int) -> DataFrame:
+    """Merge MG partial summaries (``item``, ``est`` rows from any
+    number of partition- or batch-level summaries) into one summary:
+    per-key sum, then one subtract-reduce back to ~k keys. The
+    (k+1)-th largest merged count is a bounded collect (k+1 rows),
+    never the data. Associative — any merge tree yields a summary
+    with the same (N - M)/(k+1) guarantee."""
     merged = partials.groupBy("item").agg(F.sum("est").alias("est"))
-    # final reduction back to ~k keys: the (k+1)-th largest merged
-    # count is a bounded collect (k+1 rows), never the data.
     top = merged.orderBy(F.desc("est"), "item").limit(k + 1).collect()
     m = top[-1]["est"] if len(top) == k + 1 else 0
     return (merged.select("item", (F.col("est") - F.lit(m)).alias("est"))
             .filter(F.col("est") > 0))
+
+
+def incremental_mg_update(store, batch_df: DataFrame, col: str, k: int, *,
+                          batch_id: int,
+                          partials_table: str = "mg_partials") -> None:
+    """Streaming heavy-hitters maintenance: append this micro-batch's
+    MG summary (<= ~k rows) atomically to the transactional store —
+    the frequency-sketch member of the incremental-index family next
+    to the MinHash band index, the IVF inverted lists, and the PCA
+    Gram partials.
+
+    Because MG summaries are mergeable with a guarantee independent
+    of the merge tree, batch boundaries and order cannot weaken the
+    result: the summary recovered at read time from ANY accumulation
+    of per-batch partials satisfies exact - est <= (N - M)/(k+1). A
+    replayed ``batch_id`` is skipped before any compute
+    (exactly-once, per-table txn counter), so at-least-once delivery
+    never double-counts a batch.
+
+    Scale: per batch one k-counter Arrow pass over the NEW rows plus
+    a <= ~k-row append — the history is never rescanned."""
+    with store.transaction(f"mg_sketch:{partials_table}", batch_id) as txn:
+        txn.append(partials_table, misra_gries(batch_df, col, k))
+
+
+def mg_from_store(store, k: int,
+                  partials_table: str = "mg_partials") -> DataFrame:
+    """Recover the merged heavy-hitters summary from the accumulated
+    per-batch partials — the read half of ``incremental_mg_update``."""
+    return merge_mg_partials(store.read(partials_table), k)

@@ -1950,9 +1950,9 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MG_K = 50
 
 
-def _mg_oracle(sf_dir: str) -> str:
+def _mg_oracle(sf_dir: str, name: str = "q_heavy_hitters") -> str:
     from .queries_text import _aux, _sf_tag
-    dump = _aux("q_heavy_hitters", _sf_tag(sf_dir))
+    dump = _aux(name, _sf_tag(sf_dir))
     return f"""
     WITH dump AS (
       SELECT item, CAST(est AS BIGINT) AS est
@@ -2013,13 +2013,25 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic off-by-one on the decrement threshold) turns the driver
     row red instead of silently inflating estimates."""
     from .operators.sketch import misra_gries
+
+    toks = _mg_tokens(spark, sf_dir)
+    return _score_mg(spark, sf_dir, misra_gries(toks, "term", _MG_K),
+                     toks, "q_heavy_hitters")
+
+
+def _mg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(_docs(spark, sf_dir), spark)
+    return (d.select(F.explode(F.split(_norm_col(), " ")).alias("term"))
+            .filter(F.length("term") > 0))
+
+
+def _score_mg(spark: SparkSession, sf_dir: str, sketch: DataFrame,
+              toks: DataFrame, name: str) -> DataFrame:
+    """Publish the summary and score the three MG guarantees against
+    Spark-side exact counts (the DuckDB half is _mg_oracle)."""
     from .queries_text import _aux, _sf_tag, publish_aux
 
-    d = fan_out(_docs(spark, sf_dir), spark)
-    toks = (d.select(F.explode(F.split(_norm_col(), " ")).alias("term"))
-            .filter(F.length("term") > 0))
-    sketch = misra_gries(toks, "term", _MG_K)
-    aux = _aux("q_heavy_hitters", _sf_tag(sf_dir))
+    aux = _aux(name, _sf_tag(sf_dir))
     publish_aux(sketch, aux)
 
     dump = spark.read.parquet(aux)
@@ -2042,3 +2054,60 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(retained).cast("long").alias("retained"),
                     "le_ok", "under_ok",
                     F.lit(hh_missing == 0).alias("hh_ok")))
+
+
+@register(
+    "q_stream_heavy_hitters",
+    oracle=lambda sf: _mg_oracle(sf, "q_stream_heavy_hitters"),
+    survey_ref="training-data sketches: STREAMING heavy hitters — "
+               "per-micro-batch Misra-Gries summaries appended "
+               "atomically to the transactional store (the "
+               "frequency-sketch member of the incremental-index "
+               "family: MinHash bands, IVF lists, PCA Gram "
+               "partials), merged at read time; the PODS'12 "
+               "guarantee is merge-tree independent, so batch "
+               "boundaries cannot weaken the gate",
+    doc=f"3 batches (doc_id mod 3) -> incremental_mg_update "
+        f"(exactly-once txn, replayed batch no-ops) -> mg_from_store "
+        f"merge -> the same published-summary guarantee gate as "
+        f"q_heavy_hitters (k={_MG_K})",
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each batch pays one k-counter Arrow pass over its OWN rows
+    plus a <= ~k-row append; history is never rescanned — O(batch)
+    per trigger like the incremental MinHash index. The read-side
+    merge is a <= k x batches row aggregate. The gate scores the
+    merged summary against exact counts over the FULL corpus, so an
+    over-subtraction in any one batch's reduce, a lost append, or a
+    double-applied replay all turn the driver row red."""
+    from .operators.sketch import incremental_mg_update, mg_from_store
+    from .queries_bmp import _cached_pipeline
+
+    toks = _mg_tokens(spark, sf_dir)
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        d = fan_out(_docs(spark, sf_dir), spark)
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mgsketch_"))
+        for b in range(3):
+            batch_toks = (d.filter(F.col("doc_id") % 3 == b)
+                          .select(F.explode(F.split(_norm_col(), " "))
+                                  .alias("term"))
+                          .filter(F.length("term") > 0))
+            incremental_mg_update(store, batch_toks, "term", _MG_K,
+                                  batch_id=b)
+        # replay batch 1: must no-op (txn counter), not double-count
+        replay = (d.filter(F.col("doc_id") % 3 == 1)
+                  .select(F.explode(F.split(_norm_col(), " "))
+                          .alias("term"))
+                  .filter(F.length("term") > 0))
+        incremental_mg_update(store, replay, "term", _MG_K, batch_id=1)
+        sketch = mg_from_store(store, _MG_K)
+        return (_score_mg(spark, sf_dir, sketch, toks,
+                          "q_stream_heavy_hitters"),)
+
+    (out,) = _cached_pipeline("streammg", spark, sf_dir, build)
+    return out
