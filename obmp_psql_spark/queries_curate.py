@@ -1263,7 +1263,7 @@ _DEC = "decimal(38,10)"
     )
     SELECT r_name, CAST(o_year AS BIGINT) AS o_year,
            rev_tenk,
-           CAST(rev_tenk * 1000000
+           CAST(CAST(rev_tenk AS HUGEINT) * 1000000
                 // sum(rev_tenk) OVER (PARTITION BY o_year) AS BIGINT)
              AS share_ppm
     FROM rev
@@ -1307,10 +1307,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rev.select(
         "r_name", "o_year", "rev_tenk",
-        F.expr("rev_tenk * 1000000L").alias("__num"),
+        # widen to DECIMAL before the ppm scaling: rev_tenk * 1e6
+        # overflows int64 once yearly revenue passes ~9e8 (caught by
+        # the sf0.1 bench under ANSI mode; oracle widens to HUGEINT)
+        F.expr("CAST(rev_tenk AS DECIMAL(38,0)) * 1000000").alias("__num"),
         F.sum("rev_tenk").over(W.partitionBy("o_year")).alias("__tot"),
     ).select("r_name", "o_year", "rev_tenk",
-             F.expr("__num div __tot").alias("share_ppm"))
+             F.expr("CAST(__num div __tot AS BIGINT)").alias("share_ppm"))
 
 
 # ---------------------------------------------------------------------------
@@ -1330,8 +1333,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, day_tenk,
            CAST(sum(day_tenk) OVER (PARTITION BY event_type ORDER BY day_idx
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tenk,
-           CAST(sum(day_tenk) OVER (PARTITION BY event_type ORDER BY day_idx
-                ROWS UNBOUNDED PRECEDING) * 1000000
+           CAST(CAST(sum(day_tenk) OVER (PARTITION BY event_type
+                ORDER BY day_idx ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+                * 1000000
                 // sum(day_tenk) OVER (PARTITION BY event_type) AS BIGINT)
              AS cum_share_ppm
     FROM daily
@@ -1367,10 +1371,14 @@ def q_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("day_idx").cast("long").alias("day_idx"),
         "day_tenk",
         F.sum("day_tenk").over(run).cast("long").alias("running_tenk"),
-        (F.sum("day_tenk").over(run) * 1_000_000).alias("__n"),
+        # DECIMAL-widened before the ppm scale: running * 1e6 can pass
+        # int64 at large sf (same ANSI-overflow class the sf0.1 bench
+        # caught in q_market_share; oracle widens to HUGEINT)
+        (F.sum("day_tenk").over(run).cast("decimal(38,0)")
+         * 1_000_000).alias("__n"),
         F.sum("day_tenk").over(tot).alias("__t"),
     ).select("event_type", "day_idx", "day_tenk", "running_tenk",
-             F.expr("__n div __t").alias("cum_share_ppm"))
+             F.expr("CAST(__n div __t AS BIGINT)").alias("cum_share_ppm"))
 
 
 # ---------------------------------------------------------------------------
