@@ -210,18 +210,69 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_MAX_DIST = 2
 
 
+_FUZZY_BLOCK_CAP = 128
+
+
+def fuzzy_blocked_pairs(t: DataFrame,
+                        cap: int | None = _FUZZY_BLOCK_CAP) -> DataFrame:
+    """Blocked edit-distance pair histogram over part names.
+
+    Block on the noun token; when ``cap`` is set, each block is
+    hash-sharded into ceil(block_size / cap) sub-shards by
+    ``p_partkey % n_shards`` and pairs form only WITHIN a shard —
+    bounding pair work at ~N x cap/2 even when the block key is
+    degenerate (the lsh_topk bucket-cap move in the string domain;
+    recall is traded deterministically, identically on both
+    engines). ``cap=None`` is the unguarded quadratic variant the
+    scale probe measures."""
+    p = t.select(
+        "p_partkey", "p_name",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+        F.length("p_name").alias("nlen"))
+    keys = ["noun"]
+    if cap is not None:
+        bsz = p.groupBy("noun").agg(F.count(F.lit(1)).alias("__bsz"))
+        p = (p.join(F.broadcast(bsz), "noun")
+             .withColumn("__shard",
+                         F.pmod(F.col("p_partkey"),
+                                F.expr(f"(__bsz + {cap - 1}) "
+                                       f"div {cap}")))
+             .drop("__bsz"))
+        keys = ["noun", "__shard"]
+    a, b = p.alias("a"), p.alias("b")
+    cond = (F.col("a.p_partkey") < F.col("b.p_partkey")) \
+        & (F.abs(F.col("a.nlen") - F.col("b.nlen")) <= _FUZZY_MAX_DIST)
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    pairs = (a.join(b, cond)
+             .select(F.col("a.noun").alias("noun"),
+                     F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                     .alias("dist"))
+             .filter(F.col("dist") <= _FUZZY_MAX_DIST))
+    return (pairs.groupBy("noun", F.col("dist").cast("int").alias("dist"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
 @register(
     "q_fuzzy_match",
     oracle=f"""
-    WITH p AS (
+    WITH p0 AS (
       SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS noun,
              length(p_name) AS nlen
       FROM part
     ),
+    sz AS (SELECT noun, count(*) AS bsz FROM p0 GROUP BY noun),
+    p AS (
+      SELECT p0.*,
+             p0.p_partkey % ((sz.bsz + {_FUZZY_BLOCK_CAP - 1})
+                             // {_FUZZY_BLOCK_CAP}) AS shard
+      FROM p0 JOIN sz USING (noun)
+    ),
     pairs AS (
       SELECT a.noun, levenshtein(a.p_name, b.p_name) AS dist
       FROM p a JOIN p b
-        ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+        ON a.noun = b.noun AND a.shard = b.shard
+       AND a.p_partkey < b.p_partkey
        AND abs(a.nlen - b.nlen) <= {_FUZZY_MAX_DIST}
       WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
     )
@@ -231,38 +282,30 @@ _FUZZY_MAX_DIST = 2
     """,
     survey_ref="entity resolution: blocked fuzzy join — block on the "
                "cheap key (noun token), band on length difference, "
-               "pay levenshtein only inside the block; the same "
-               "O(N^2) -> O(sum of block^2) move the LPM /8 buckets "
-               "and the LSH bands make, applied to string matching",
-    doc=f"parts self-joined on the noun block, length-band residual, "
-        f"edit distance <= {_FUZZY_MAX_DIST}; output is the "
-        f"(noun, dist) pair histogram",
+               "pay levenshtein only inside the block; blocks above "
+               f"{_FUZZY_BLOCK_CAP} rows hash-shard (p_partkey mod "
+               "ceil(size/cap)) so a degenerate block key stays "
+               "N x cap/2 bounded — measured quadratic without it "
+               "(BENCH_er_sketch.json, 104x pairs per decade)",
+    doc=f"parts self-joined on (noun, shard) with length-band "
+        f"residual, edit distance <= {_FUZZY_MAX_DIST}; "
+        f"(noun, dist) pair histogram; cap={_FUZZY_BLOCK_CAP}",
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The block key turns the all-pairs problem into an equi-join
     Catalyst hash-partitions; the length band is a free residual
     predicate that skips most levenshtein calls (an edit distance
     cannot beat the length difference); only survivors pay the
-    O(len^2) DP, JVM-side via the built-in levenshtein. At 100 TB
-    the guard is a block-size census first (q_graph_degree pattern)
-    and a per-block cap for degenerate keys — same playbook as the
-    posting-list cap in q_ngram_jaccard."""
+    O(len^2) DP, JVM-side via the built-in levenshtein. The shard
+    cap is the 100 TB guard the scale probe motivated: this corpus'
+    8 noun blocks grow linearly with the table, so uncapped pair
+    counts grow QUADRATICALLY (measured 104x per decade); capped,
+    the join is N x cap bounded like the LSH bucket shards and the
+    SemDeDup cluster shards. Recall within a block drops to
+    ~1/n_shards — the deterministic trade a real pipeline would
+    take before switching to sorted-neighborhood (q_fuzzy_sorted)."""
     t = load_tables(spark, sf_dir, ("part",))["part"]
-    p = t.select(
-        "p_partkey", "p_name",
-        F.split("p_name", " ").getItem(1).alias("noun"),
-        F.length("p_name").alias("nlen"))
-    a, b = p.alias("a"), p.alias("b")
-    pairs = (a.join(b, (F.col("a.noun") == F.col("b.noun"))
-                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-                    & (F.abs(F.col("a.nlen") - F.col("b.nlen"))
-                       <= _FUZZY_MAX_DIST))
-             .select(F.col("a.noun").alias("noun"),
-                     F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-                     .alias("dist"))
-             .filter(F.col("dist") <= _FUZZY_MAX_DIST))
-    return (pairs.groupBy("noun", F.col("dist").cast("int").alias("dist"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    return fuzzy_blocked_pairs(t, cap=_FUZZY_BLOCK_CAP)
 
 
 # ---------------------------------------------------------------------------

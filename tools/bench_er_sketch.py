@@ -52,13 +52,19 @@ def main() -> None:
     from obmp_psql_spark.operators.cache import release_build_artifacts
     from obmp_psql_spark.operators.sketch import misra_gries
     from obmp_psql_spark.queries_curate import _docs, _norm_col
-    from obmp_psql_spark.queries_olap import q_fuzzy_match, q_fuzzy_sorted
-    from obmp_psql_spark.session import fan_out, get_spark
+    from obmp_psql_spark.queries_olap import (fuzzy_blocked_pairs,
+                                              q_fuzzy_match, q_fuzzy_sorted)
+    from obmp_psql_spark.session import fan_out, get_spark, load_tables
 
     spark = get_spark("bench-er-sketch")
     out: dict = {"k": MG_K}
 
-    for name, fn in (("fuzzy_blocked", q_fuzzy_match),
+    def _uncapped(s, sf):
+        return fuzzy_blocked_pairs(
+            load_tables(s, sf, ("part",))["part"], cap=None)
+
+    for name, fn in (("fuzzy_blocked_uncapped", _uncapped),
+                     ("fuzzy_blocked_capped", q_fuzzy_match),
                      ("fuzzy_sorted", q_fuzzy_sorted)):
         res = {}
         for tag, sf in PART_SCALES:
