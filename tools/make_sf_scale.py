@@ -91,6 +91,32 @@ def main() -> None:
                  f"sin({i} * 9973 + vec_id * 131 + j) AS FLOAT)) "
                  f"AS embedding, label FROM read_parquet('{src}')")
                 for i in range(copies))
+        elif t == "customer":
+            # key-offset copies keep the orders->customer join 1:N
+            # with the SAME fan-out per decade (each copy is a closed
+            # key space), so star-join selectivity — and the
+            # region/year revenue SHARES — are scale-invariant while
+            # volume grows linearly. That is the shape a real 10x
+            # order book has; duplicating keys instead would multiply
+            # join fan-out and measure a quadratic that isn't there.
+            sql = " UNION ALL ".join(
+                f"SELECT c_custkey + {i}::BIGINT * 10000000 AS c_custkey, "
+                f"c_name, c_nationkey, c_acctbal, c_mktsegment "
+                f"FROM read_parquet('{src}')"
+                for i in range(copies))
+        elif t == "orders":
+            sql = " UNION ALL ".join(
+                f"SELECT o_orderkey + {i}::BIGINT * 100000000 AS o_orderkey, "
+                f"o_custkey + {i}::BIGINT * 10000000 AS o_custkey, "
+                f"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+                f"FROM read_parquet('{src}')"
+                for i in range(copies))
+        elif t == "lineitem":
+            sql = " UNION ALL ".join(
+                f"SELECT l_orderkey + {i}::BIGINT * 100000000 AS l_orderkey, "
+                f"* EXCLUDE (l_orderkey) "
+                f"FROM read_parquet('{src}')"
+                for i in range(copies))
         else:
             shutil.copyfile(src, out)
             print(f"{t}: copied")
