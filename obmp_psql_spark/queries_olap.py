@@ -646,3 +646,68 @@ def q_fuzzy_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("dist") <= _FUZZY_MAX_DIST))
     return (pairs.groupBy(F.col("dist").cast("int").alias("dist"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: Morton codes for multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # query-gate grid; the layout operator defaults to 16
+
+
+def _z_sql(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xe} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ye} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZQ_X = "user_id % 256"
+_ZQ_Y = ("least(greatest(CAST(floor(value / 561.0 * 256) AS BIGINT), 0), "
+         "255)")
+
+
+@register(
+    "q_zorder_cluster",
+    oracle=f"""
+    WITH {_EV},
+    z AS (
+      SELECT CAST({_z_sql(f'({_ZQ_X})', f'({_ZQ_Y})', _Z_BITS)} AS BIGINT)
+               AS zv
+      FROM ev
+    )
+    SELECT CAST(zv // 256 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(zv) AS BIGINT) AS min_z,
+           CAST(max(zv) AS BIGINT) AS max_z
+    FROM z GROUP BY zv // 256
+    """,
+    survey_ref="data layout: Z-order (Morton) clustering key — "
+               "quantize (user_id, value) onto a 2^8 grid and "
+               "bit-interleave into one integer whose range-sort "
+               "gives BOTH dimensions row-group locality (the "
+               "Delta/Iceberg OPTIMIZE ZORDER BY primitive); pruning "
+               "payoff measured in BENCH_zorder.json via parquet "
+               "footer stats",
+    doc="pure-integer bit interleave (2 x 8 shift/mask terms, "
+        "whole-stage codegen) -> per-z-bucket histogram pins the "
+        "code against the SQL re-derivation",
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-value is a plain expression column — no UDF, no shuffle
+    until the histogram. Clustering itself (cluster_by_zorder) is
+    one range shuffle at write time; this gate pins the Morton math
+    bit-for-bit so the layout the probe measures is the layout the
+    oracle can reason about."""
+    from .operators.layout import quantize, z_value
+
+    ev = fan_out(_events(spark, sf_dir), spark)
+    x = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    y = quantize(F.col("value"), 0.0, 561.0, _Z_BITS)
+    z = z_value(x, y, _Z_BITS)
+    return (ev.select(z.alias("zv"))
+            .groupBy(F.expr("zv div 256").alias("z_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("zv").cast("long").alias("min_z"),
+                 F.max("zv").cast("long").alias("max_z")))

@@ -78,3 +78,43 @@ def test_misra_gries_small_input_is_exact(spark):
     summary = {r["item"]: r["est"]
                for r in misra_gries(df, "item", 10).collect()}
     assert summary == {"a": 3, "b": 2, "c": 1}
+
+
+def _py_z(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from obmp_psql_spark.operators.layout import z_value
+
+    pts = [(x, y) for x in (0, 1, 5, 255, 37) for y in (0, 3, 128, 254)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y",
+                     z_value(F.col("x"), F.col("y"), 8).alias("z")).collect()
+    for r in rows:
+        assert r["z"] == _py_z(r["x"], r["y"], 8), (r["x"], r["y"])
+
+
+def test_quantize_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from obmp_psql_spark.operators.layout import quantize
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (280.5,), (560.9999,), (561.0,), (9999.0,)],
+        "v double")
+    got = [r["q"] for r in
+           df.select(quantize(F.col("v"), 0.0, 561.0, 8).alias("q"))
+           .collect()]
+    assert got[0] == 0          # clamped below
+    assert got[1] == 0
+    assert 0 < got[2] < 255     # interior
+    assert got[3] == 255        # top cell
+    assert got[4] == 255        # hi boundary clamps into the top cell
+    assert got[5] == 255        # clamped above
