@@ -46,7 +46,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -560,6 +560,37 @@ class TxnStateStore:
             txn.append(table, df, partition_by=partition_by)
 
     # -- maintenance ---------------------------------------------------
+    def optimize(self, table: str, num_files: int = 8,
+                 zorder: Column | None = None) -> None:
+        """Compact a table's current snapshot — replace dir plus all
+        accumulated appends — into ``num_files`` range-clustered
+        files as ONE atomic replace commit (Delta's ``OPTIMIZE``;
+        with ``zorder`` a Morton-code Column from
+        ``operators.layout.z_value``, Delta's ``OPTIMIZE ZORDER
+        BY``). The small-files problem is the operational tax of
+        frequent micro-batch appends: thousands of KB-sized files
+        make every scan open/footers-bound. Compaction is
+        metadata-atomic here exactly like any other commit — readers
+        pinned to an older version keep their files (time-travel
+        contract), and the superseded dirs are reclaimed later by
+        ``vacuum``, never inline.
+
+        Bucketed tables are refused: their layout IS the bucket map
+        and compaction must go bucket-wise through merge_buckets
+        (rewriting them flat would silently break co-located merge).
+        """
+        if self.bucket_spec(table) is not None:
+            raise ValueError(
+                f"{table} is bucketed; compact via merge_buckets")
+        df = self.read(table)
+        if zorder is not None:
+            from .operators.layout import cluster_by_zorder
+            df = cluster_by_zorder(df, zorder, num_files)
+        else:
+            df = df.repartition(num_files)
+        with self.transaction() as txn:
+            txn.replace(table, df)
+
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove data dirs not referenced by the current snapshot:
         crash-orphaned staging dirs and GC'd history. Age-gated so an

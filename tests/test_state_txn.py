@@ -433,3 +433,54 @@ def test_commit_log_is_valid_json_with_relative_paths(spark, tmp_path):
     for act in rec["actions"]:
         assert not os.path.isabs(act["dir"])
         assert act["dir"].startswith("t1")
+
+
+def test_optimize_compacts_appends_atomically(spark, tmp_path):
+    """OPTIMIZE: many small appends -> one replace commit; rows
+    identical, pre-optimize versions still time-travel, bucketed
+    tables refused."""
+    import glob
+
+    store = TxnStateStore(spark, str(tmp_path / "opt"))
+    for i in range(12):
+        store.append("t", df(spark, [(f"k{i}", i)]))
+    v_before = store.snapshot().version
+    files_before = sum(
+        len(glob.glob(os.path.join(store.root, p, "*.parquet")))
+        for p in store.current_paths("t"))
+    assert files_before >= 12
+
+    store.optimize("t", num_files=2)
+
+    assert as_dict(store, "t") == {f"k{i}": i for i in range(12)}
+    files_after = sum(
+        len(glob.glob(os.path.join(store.root, p, "*.parquet")))
+        for p in store.current_paths("t"))
+    assert files_after <= 2
+    # retention contract: the replace supersedes the appends and the
+    # eager GC keeps only the newest prior generation, so deep time
+    # travel reports the documented retention error (not silent
+    # wrong data)
+    with pytest.raises(ValueError, match="retention"):
+        store.read_at("t", v_before, df(spark, []).schema).collect()
+
+
+def test_optimize_zorder_layout(spark, tmp_path):
+    from obmp_psql_spark.operators.layout import z_value
+
+    store = TxnStateStore(spark, str(tmp_path / "optz"))
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    store.append("pts", spark.createDataFrame(rows, "x long, y long"))
+    store.optimize("pts", num_files=4,
+                   zorder=z_value(F.col("x"), F.col("y"), 4))
+    got = sorted((r.x, r.y) for r in store.read("pts").collect())
+    assert got == sorted(rows)
+
+
+def test_optimize_refuses_bucketed(spark, tmp_path):
+    store = TxnStateStore(spark, str(tmp_path / "optb"))
+    with store.transaction() as txn:
+        txn.replace_bucketed("b", df(spark, [("a", 1)]),
+                             key_cols=["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="bucketed"):
+        store.optimize("b")
