@@ -711,3 +711,55 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.min("zv").cast("long").alias("min_z"),
                  F.max("zv").cast("long").alias("max_z")))
+
+
+# ---------------------------------------------------------------------------
+# exact global percentile rank (distributed, no single-partition window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_percentile_rank",
+    oracle=f"""
+    WITH {_EV},
+    r AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM ev
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST((rn - 1) * 1000000 // (n - 1) AS BIGINT) AS pct_ppm
+    FROM r
+    WHERE event_id % 100 = 0
+    """,
+    survey_ref="window analytics at scale: exact global percentile "
+               "rank per row — percent_rank() semantics, but computed "
+               "on the distributed two-pass global_rank operator "
+               "instead of the single-partition global window the "
+               "SQL form implies (the operators/rank.py payoff "
+               "generalized from sorted-neighborhood to scoring)",
+    doc="global_rank on (value, event_id) -> pct_ppm = "
+        "(rn-1)*1e6 div (N-1); output sampled to event_id % 100 = 0 "
+        "(ranks are computed for ALL rows)",
+)
+def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle's row_number() OVER (ORDER BY ...) funnels the
+    table through one task; the Spark plan range-partitions, ranks
+    within buckets, and adds bucket-size prefix sums — identical
+    output, every stage parallel. N comes from the same bucket-size
+    collect the rank needs (no extra pass). The unique (value,
+    event_id) order makes percentile ties impossible, so both
+    engines emit identical ppm."""
+    from .operators.rank import global_rank
+
+    ev = fan_out(_events(spark, sf_dir), spark)
+    ranked = global_rank(ev.select("event_id", "event_type", "value"),
+                         ["value", "event_id"])
+    # max(rn) == N; runs over the persisted range buckets global_rank
+    # already filled, so this is a cached-scan aggregate, not a re-sort
+    total = ranked.agg(F.max("rn")).collect()[0][0]
+    return (ranked.filter(F.col("event_id") % 100 == 0)
+            .select(F.col("event_id").cast("long").alias("event_id"),
+                    "event_type",
+                    F.expr(f"(rn - 1) * 1000000L div {total - 1}")
+                    .alias("pct_ppm")))
