@@ -35,6 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PART_SCALES = [("2k", "/root/testdata/sf0.01"),
                ("20k", "/root/testdata/sf0.1")]
+# the uncapped quadratic is measured over one decade only (the next
+# one would be ~570M pairs); the guarded paths get a second decade
+PART_SCALES_GUARDED = PART_SCALES + [("200k", "/tmp/sf1")]
 DOC_SCALES = [("5k", "/root/testdata/sf0.1"),
               ("50k", "/tmp/sf1"),
               ("500k", "/tmp/sf10")]
@@ -63,18 +66,24 @@ def main() -> None:
         return fuzzy_blocked_pairs(
             load_tables(s, sf, ("part",))["part"], cap=None)
 
-    for name, fn in (("fuzzy_blocked_uncapped", _uncapped),
-                     ("fuzzy_blocked_capped", q_fuzzy_match),
-                     ("fuzzy_sorted", q_fuzzy_sorted)):
+    for name, fn, scales in (
+            ("fuzzy_blocked_uncapped", _uncapped, PART_SCALES),
+            ("fuzzy_blocked_capped", q_fuzzy_match, PART_SCALES_GUARDED),
+            ("fuzzy_sorted", q_fuzzy_sorted, PART_SCALES_GUARDED)):
         res = {}
-        for tag, sf in PART_SCALES:
+        prev = None
+        for tag, sf in scales:
+            if not os.path.isdir(sf):
+                print(f"skip {tag}: {sf} missing"); continue
             t0 = time.monotonic()
             rows = fn(spark, sf).collect()
             wall = round(time.monotonic() - t0, 3)
             release_build_artifacts()
             res[tag] = {"wall_s": wall,
                         "n_pairs": int(sum(r["n_pairs"] for r in rows))}
-        res["alpha"] = _alpha(res["2k"]["wall_s"], res["20k"]["wall_s"])
+            if prev is not None:
+                res[f"alpha_{prev[0]}_{tag}"] = _alpha(prev[1], wall)
+            prev = (tag, wall)
         out[name] = res
         print(name, json.dumps(res))
 

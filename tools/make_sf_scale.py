@@ -91,6 +91,16 @@ def main() -> None:
                  f"sin({i} * 9973 + vec_id * 131 + j) AS FLOAT)) "
                  f"AS embedding, label FROM read_parquet('{src}')")
                 for i in range(copies))
+        elif t == "part":
+            # names repeat across copies on purpose: the fuzzy-join
+            # probes measure how the BLOCK key's fixed cardinality
+            # behaves as rows grow — that is the degenerate-block
+            # regime the cap exists for
+            sql = " UNION ALL ".join(
+                f"SELECT p_partkey + {i}::BIGINT * 1000000 AS p_partkey, "
+                f"* EXCLUDE (p_partkey) "
+                f"FROM read_parquet('{src}')"
+                for i in range(copies))
         elif t == "customer":
             # key-offset copies keep the orders->customer join 1:N
             # with the SAME fan-out per decade (each copy is a closed
