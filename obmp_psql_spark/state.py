@@ -575,13 +575,26 @@ class TxnStateStore:
         contract), and the superseded dirs are reclaimed later by
         ``vacuum``, never inline.
 
-        Bucketed tables are refused: their layout IS the bucket map
-        and compaction must go bucket-wise through merge_buckets
-        (rewriting them flat would silently break co-located merge).
+        Bucketed tables keep their layout: compaction re-stages the
+        full snapshot through ``replace_bucketed`` with the SAME key
+        columns and bucket count, collapsing the per-bucket dir
+        fan-out that accumulates across merge_buckets generations
+        into one clean bucket map (``zorder``/``num_files`` don't
+        apply — the bucket hash IS the layout co-located merges
+        rely on).
         """
-        if self.bucket_spec(table) is not None:
-            raise ValueError(
-                f"{table} is bucketed; compact via merge_buckets")
+        spec = self.bucket_spec(table)
+        if spec is not None:
+            if zorder is not None:
+                raise ValueError(
+                    f"{table} is bucketed; its layout is the bucket "
+                    f"map — zorder does not apply")
+            key_cols, n_buckets = spec
+            with self.transaction() as txn:
+                txn.replace_bucketed(table, self.read(table),
+                                     key_cols=key_cols,
+                                     n_buckets=n_buckets)
+            return
         df = self.read(table)
         if zorder is not None:
             from .operators.layout import cluster_by_zorder

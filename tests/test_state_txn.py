@@ -477,10 +477,30 @@ def test_optimize_zorder_layout(spark, tmp_path):
     assert got == sorted(rows)
 
 
-def test_optimize_refuses_bucketed(spark, tmp_path):
+def test_optimize_bucketed_keeps_layout(spark, tmp_path):
+    """Compacting a bucketed table re-stages through replace_bucketed:
+    same key/bucket spec, one bucket map afterward, rows intact,
+    subsequent merge_buckets still works; zorder refused."""
     store = TxnStateStore(spark, str(tmp_path / "optb"))
     with store.transaction() as txn:
-        txn.replace_bucketed("b", df(spark, [("a", 1)]),
+        txn.replace_bucketed("b", df(spark, [(f"k{i}", i)
+                                             for i in range(8)]),
                              key_cols=["k"], n_buckets=4)
-    with pytest.raises(ValueError, match="bucketed"):
-        store.optimize("b")
+    # a few merge generations fan the bucket map across dirs
+    kb = _buckets_for(spark, [f"k{j}" for j in range(8)], 4)
+    for j in range(3):
+        tb = kb[f"k{j}"]
+        merged = store.read_buckets("b", [tb], df(spark, []).schema) \
+            .withColumn("v", F.when(F.col("k") == f"k{j}",
+                                    100 + j).otherwise(F.col("v")))
+        with store.transaction() as txn:
+            txn.merge_buckets("b", merged, ["k"], 4, [tb])
+    with pytest.raises(ValueError, match="zorder"):
+        store.optimize("b", zorder=F.lit(0))
+    before = as_dict(store, "b")
+    store.optimize("b")
+    assert as_dict(store, "b") == before
+    spec = store.bucket_spec("b")
+    assert spec == (["k"], 4)
+    tab = store.snapshot().tables["b"]
+    assert len(set(tab["buckets"].values())) == 1  # one map again
