@@ -763,3 +763,51 @@ def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type",
                     F.expr(f"(rn - 1) * 1000000L div {total - 1}")
                     .alias("pct_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# relational set operators (INTERSECT / EXCEPT / UNION)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_set_ops",
+    oracle=f"""
+    WITH {_EV},
+    s AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'),
+    e AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'error')
+    SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id FROM s INTERSECT SELECT user_id FROM e)
+    UNION ALL
+    SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM e)
+    UNION ALL
+    SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id FROM s UNION SELECT user_id FROM e)
+    """,
+    survey_ref="set operators (SURVEY 2.6): INTERSECT / EXCEPT / "
+               "UNION DISTINCT through Spark's dedicated physical "
+               "operators (left-semi / left-anti hash joins and "
+               "union+distinct) — the audience-overlap /-exclusion "
+               "report every cohort analysis runs",
+    doc="distinct signup vs error user sets -> intersect / except / "
+        "union cardinalities as one 3-row report",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame intersect()/exceptAll-distinct/union().distinct()
+    compile to semi/anti hash joins on the shared user_id key — each
+    is one co-partitioned shuffle at 100 TB, never a full sort. The
+    counts-per-operator shape keeps the gate row stable while still
+    executing all three physical operators."""
+    ev = fan_out(_events(spark, sf_dir), spark)
+    s = (ev.filter(F.col("event_type") == "signup")
+         .select("user_id").distinct())
+    e = (ev.filter(F.col("event_type") == "error")
+         .select("user_id").distinct())
+
+    def cnt(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")) \
+            .select(F.lit(op).alias("op"), "n_users")
+
+    return (cnt(s.intersect(e), "intersect")
+            .unionAll(cnt(s.exceptAll(e).distinct(), "except"))
+            .unionAll(cnt(s.union(e).distinct(), "union")))
