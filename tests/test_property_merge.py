@@ -125,7 +125,28 @@ def test_bucketed_sink_equals_monolithic_sink(spark_session_holder,
             {(r.peer_hash_id, r.hash_id):
              (r.base_attr_hash_id, r.is_withdrawn, r.timestamp)
              for r in store.read("ip_rib").collect()},
-            sorted((r.peer_hash_id, r.base_attr_hash_id, r.is_withdrawn,
-                    r.timestamp) for r in store.read("ip_rib_log").collect()),
+            # None-safe sort key: a withdraw of an empty-attr advertise
+            # logs a NULL old attr (ingest._nullif_empty), and raw
+            # sorted() over tuples containing None raises TypeError.
+            sorted(((r.peer_hash_id, r.base_attr_hash_id, r.is_withdrawn,
+                     r.timestamp)
+                    for r in store.read("ip_rib_log").collect()),
+                   key=_none_safe_key),
         )
     assert results["mono"] == results["bkt"]
+
+
+def _none_safe_key(t):
+    return tuple((x is None, x) for x in t)
+
+
+def test_bucketed_sink_empty_attr_withdraw_regression(
+        spark_session_holder, tmp_path_factory):
+    """Pinned Hypothesis falsifying example (round-7 judge): an
+    advertise with an EMPTY base_attr hash followed by a withdraw.
+    The withdraw logs the old attr, which is NULL after
+    ``_nullif_empty`` — the log-sort key must be None-safe, and the
+    bucketed and monolithic sinks must still agree."""
+    batches = [[("p0", "h2", "", False)], [("p0", "h2", "a0", True)]]
+    test_bucketed_sink_equals_monolithic_sink.hypothesis.inner_test(
+        spark_session_holder, tmp_path_factory, batches)

@@ -306,8 +306,9 @@ def test_bucketed_pipeline_matches_monolithic(spark, tmp_path):
         state = {(r.peer_hash_id, r.hash_id):
                  (r.base_attr_hash_id, r.is_withdrawn, r.timestamp)
                  for r in store.read("ip_rib").collect()}
-        log = sorted((r.peer_hash_id, r.base_attr_hash_id, r.is_withdrawn)
-                     for r in store.read("ip_rib_log").collect())
+        log = sorted(((r.peer_hash_id, r.base_attr_hash_id, r.is_withdrawn)
+                      for r in store.read("ip_rib_log").collect()),
+                     key=lambda t: tuple((x is None, x) for x in t))
         results[tag] = (state, log)
     assert results["mono"] == results["bucketed"]
     # and the second batch of the bucketed run really was partial:
