@@ -21,6 +21,12 @@ def main() -> None:
     from obmp_psql_spark.registry import all_specs
     from obmp_psql_spark.session import get_spark
 
+    # Stamp host load so the artifact is self-explaining: the host
+    # shows phantom load (Firecracker hypervisor noise, ±25% wall on
+    # identical commits — SURVEY finding #16), and a cold-ingest number
+    # recorded under load > 2 is not comparable round-over-round.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("bench")
     specs = all_specs()
 
@@ -84,18 +90,30 @@ def main() -> None:
     # min approximates the noise-free time without changing what is
     # measured. Costs ~15s of bench wall, only for the three gates.
     cold: dict[str, float] = {}
+    headline_reruns = 0
     if not names:
         from obmp_psql_spark.queries_bmp import _PIPELINE_CACHE
-        for name in head:
-            cold[name] = timings[name]  # first cold build, kept for the JSON
+
+        def cold_run(name: str) -> float:
             _PIPELINE_CACHE.clear()
             release_build_artifacts()
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir) \
                 .write.format("noop").mode("overwrite").save()
             release_build_artifacts()
-            timings[name] = min(timings[name],
-                                round(time.perf_counter() - t0, 3))
+            return round(time.perf_counter() - t0, 3)
+
+        for name in head:
+            cold[name] = timings[name]  # first cold build, kept for the JSON
+            timings[name] = min(timings[name], cold_run(name))
+        # if the host was loaded during the headline passes, the judged
+        # numbers may carry hypervisor noise — take one more cold pass
+        # per headline so min-of-N has at least one low-noise sample
+        # (bounded: at most 2 extra passes even if load stays high)
+        while os.getloadavg()[0] > 2 and headline_reruns < 2:
+            headline_reruns += 1
+            for name in head:
+                timings[name] = min(timings[name], cold_run(name))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -104,6 +122,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_before": load_before,
+        "load_after": [round(x, 2) for x in os.getloadavg()],
+        "headline_load_reruns": headline_reruns,
     }
     # methodology is self-documenting: every query in `queries` is a
     # single run EXCEPT the names in min_of_2_queries, whose first

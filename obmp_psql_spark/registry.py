@@ -65,14 +65,19 @@ def register(name: str, oracle: str | Callable[[str], str] | None,
 # sort ascending by the last round in which a query had a green driver
 # row (compiled into the generated ``_rotation.py`` — regenerate with
 # ``python tools/update_rotation.py`` at the start of each round).
-# Queries with NO driver history lead; nothing's driver signal can go
-# more than ~2 rounds stale because the stalest third always rotates
-# back into the sampled prefix.
+# Queries with NO driver history lead.
 #
-# Tie-break inside the freshest cohort: the pipelines below gate the
-# widest operator surface (full ingest merges, the durable txn sink, the
-# LS/L3VPN CDC flows, v6 LPM/containment, streaming dedup), so when
-# sample slots remain after all staler queries, these fill them first.
+# Staleness bounds at the current registry size (~154 queries / 50
+# slots): a non-gate query's driver row can go at most
+# ceil((N - 50) / 50) + 1 ≈ 3 rounds stale. The GATE tier below — the
+# pipelines exercising the widest operator surface (full ingest merges,
+# the durable txn sink, the LS/L3VPN CDC flows, v6 LPM/containment,
+# streaming dedup) — gets a hard ≤ 2-round bound: once a gate query's
+# row is ≥ 2 rounds old it is forced into the sampled prefix ahead of
+# everything (they are cheap — the whole tier re-checks in ~3 min).
+#
+# Tie-break inside the freshest cohort: gate pipelines also fill any
+# slots remaining after all staler queries.
 _GATE_PRIORITY: tuple[str, ...] = (
     "q_bmp_rib_merge",
     "q_bmp_txn_store",
@@ -107,8 +112,12 @@ def all_specs() -> dict[str, QuerySpec]:
 
     def key(name: str):
         last = LAST_DRIVER_ROW.get(name, 0)  # never-proven queries lead
-        # gate pipelines jump the queue only within the freshest cohort
-        # (they never displace a staler query's rotation slot)
+        # hard bound for the gate tier: a gate pipeline whose driver row
+        # is >= 2 rounds old jumps to the very front of the prefix
+        if name in gate_rank and last and max_round - last >= 2:
+            return (-1, gate_rank[name], reg_order[name])
+        # otherwise gate pipelines jump the queue only within the
+        # freshest cohort (never displacing a staler query's slot)
         gate = gate_rank.get(name, len(_GATE_PRIORITY)) \
             if last == max_round else len(_GATE_PRIORITY)
         return (last, gate, reg_order[name])

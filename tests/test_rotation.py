@@ -1,7 +1,8 @@
 """Registry rotation mechanics: the generated staleness map must order
-the driver's sampled prefix correctly — never-proven queries first,
-then stalest driver rows, with gate pipelines only jumping the queue
-inside the freshest cohort."""
+the driver's sampled prefix correctly — overdue gate pipelines (driver
+row >= 2 rounds old) forced to the very front, then never-proven
+queries, then stalest driver rows, with gate pipelines otherwise only
+jumping the queue inside the freshest cohort."""
 
 from __future__ import annotations
 
@@ -16,15 +17,21 @@ def test_registry_orders_by_staleness():
 
     names = list(all_specs())
     max_round = max(LAST_DRIVER_ROW.values())
-    rounds = [LAST_DRIVER_ROW.get(n, 0) for n in names]
-    # staleness is non-decreasing through the registry
+    # hard bound: every gate pipeline whose row is >= 2 rounds old is
+    # at the very front of the registry (inside any driver prefix)
+    overdue = [n for n in _GATE_PRIORITY
+               if 0 < LAST_DRIVER_ROW.get(n, 0) <= max_round - 2]
+    assert set(names[:len(overdue)]) == set(overdue)
+    rest = names[len(overdue):]
+    rounds = [LAST_DRIVER_ROW.get(n, 0) for n in rest]
+    # staleness is non-decreasing through the rest of the registry
     assert rounds == sorted(rounds), \
         "registry not ordered by last-driver-row round"
-    # never-proven queries (new this round) lead
-    fresh_new = [n for n in names if n not in LAST_DRIVER_ROW]
-    assert names[:len(fresh_new)] == fresh_new
+    # never-proven queries (new this round) lead the non-overdue part
+    fresh_new = [n for n in rest if n not in LAST_DRIVER_ROW]
+    assert rest[:len(fresh_new)] == fresh_new
     # inside the freshest cohort, gate pipelines come first, in order
-    cohort = [n for n in names if LAST_DRIVER_ROW.get(n, 0) == max_round]
+    cohort = [n for n in rest if LAST_DRIVER_ROW.get(n, 0) == max_round]
     gates_in_cohort = [n for n in _GATE_PRIORITY if n in cohort]
     assert cohort[:len(gates_in_cohort)] == gates_in_cohort
 
