@@ -187,6 +187,22 @@ class JobRunner:
         # replay stays O(recent) under continuous micro-batching
         self.store.checkpoint_log()
 
+    def run_store_stats(self, compact_when_appends: int | None = None
+                        ) -> list[dict]:
+        """The ``show_table_info()`` ops report (5_functions.sql:13-35)
+        over the txn store — per-table live files / footer rows / bytes
+        / appends-since-replace — and, when ``compact_when_appends`` is
+        set, the compaction-cadence decision it exists to feed: any
+        table whose accumulated append count reaches the threshold is
+        compacted in place (BENCH_compaction: 149x scan tax when this
+        is missed). Returns the stats as measured BEFORE compaction."""
+        stats = self.store.table_info()
+        if compact_when_appends is not None:
+            for info in stats:
+                if info["appends"] >= compact_when_appends:
+                    self.run_compaction(info["table_name"])
+        return stats
+
     def run_vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Reclaim unreferenced data dirs (crash orphans, GC'd
         history) and fold the commit log — the VACUUM + checkpoint

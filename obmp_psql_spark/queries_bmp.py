@@ -1227,3 +1227,119 @@ def q_bmp_collector(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collectors,) = _cached_pipeline("collector", spark, sf_dir, build)
     return collectors.select("hash_id", "state", "admin_id", "routers",
                              "router_count", "timestamp")
+
+
+# -- show_table_info equivalent (reference database/5_functions.sql:13-35) --
+
+def _store_stats_oracle(sf_dir: str) -> str:
+    from .queries_text import _aux, _sf_tag
+    aux = _aux("store_stats", _sf_tag(sf_dir))
+    return f"""
+WITH scan AS (
+  SELECT regexp_extract(filename, '.*/files/([^/]+)/', 1) AS table_name,
+         CAST(count(DISTINCT filename) AS BIGINT) AS files
+  FROM read_parquet('{aux}/files/*/*.parquet',
+                    union_by_name=true, filename=true)
+  GROUP BY 1
+),
+expect AS (
+  SELECT 'ev_state' AS table_name, 'flat' AS layout,
+         (SELECT CAST(count(*) AS BIGINT) FROM events
+           WHERE event_id % 4 = 0) AS rows,
+         CAST(0 AS BIGINT) AS appends, CAST(0 AS BIGINT) AS chunks,
+         CAST(0 AS BIGINT) AS n_buckets
+  UNION ALL
+  SELECT 'ev_log', 'flat',
+         (SELECT CAST(count(*) AS BIGINT) FROM events
+           WHERE event_id % 4 <> 0),
+         CAST(3 AS BIGINT),
+         (SELECT CAST(count(DISTINCT hour(CAST(ts AS TIMESTAMP))) AS BIGINT)
+            FROM events WHERE event_id % 4 <> 0),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'ev_keyed', 'bucketed',
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(8 AS BIGINT)
+)
+SELECT e.table_name, e.layout, s.files, e.rows, e.appends, e.chunks,
+       e.n_buckets
+FROM expect e JOIN scan s USING (table_name)
+ORDER BY e.table_name
+"""
+
+
+@register(
+    "q_store_stats",
+    oracle=_store_stats_oracle,
+    survey_ref="ops report: show_table_info (5_functions.sql:13-35) over TxnStateStore",
+    doc="per-table store stats (footer rows/files, appends since replace, "
+        "chunk + bucket counts) vs an independent DuckDB scan of the "
+        "published live files + recomputation from the source table",
+)
+def q_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``show_table_info()`` ops report re-expressed
+    for the parquet txn store: per-table live-file count, footer row
+    total (no data scan — the pg_class row-estimate analogue), appends
+    accumulated since the last replace (the compaction-cadence
+    signal), recorded chunk values, and bucket layout.
+
+    Differential check: the Spark side answers purely from commit-log
+    metadata + parquet footers; the oracle independently (a) re-counts
+    rows from the ORIGINAL events table (catching any store
+    drop/duplication) and (b) re-counts files by scanning the
+    atomically published copies of the live data files (catching any
+    snapshot-resolution error in ``current_paths``)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from .queries_text import _aux, _sf_tag, publish_aux_dir
+    from .session import normalize_ts
+    from .state import TxnStateStore
+
+    def build():
+        ev = normalize_ts(load_tables(spark, sf_dir, ("events",))["events"])
+        ev = ev.select("event_id", "user_id",
+                       F.hour("ts").cast("string").alias("hr"))
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="storestats_"))
+        # flat table: one replace generation, deterministic 2 files
+        store.overwrite("ev_state",
+                        ev.filter(F.col("event_id") % 4 == 0).repartition(2))
+        # chunked log: 3 appends with recorded hour-chunk metadata
+        for k in (1, 2, 3):
+            store.append("ev_log", ev.filter(F.col("event_id") % 4 == k),
+                         partition_by="hr")
+        # bucketed table: per-user aggregate, 8 hash buckets
+        agg = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        with store.transaction() as txn:
+            txn.replace_bucketed("ev_keyed", agg,
+                                 key_cols=["user_id"], n_buckets=8)
+
+        # publish byte-identical copies of the live files so the
+        # oracle can independently re-count them
+        def populate(vdir: str) -> None:
+            for info in store.table_info():
+                tdir = _os.path.join(vdir, "files", info["table_name"])
+                _os.makedirs(tdir)
+                i = 0
+                for root in store.current_paths(info["table_name"]):
+                    for dirpath, _, fnames in sorted(_os.walk(root)):
+                        for f in sorted(fnames):
+                            if f.endswith(".parquet"):
+                                _shutil.copy(
+                                    _os.path.join(dirpath, f),
+                                    _os.path.join(tdir,
+                                                  f"f{i:04d}.parquet"))
+                                i += 1
+
+        publish_aux_dir(populate, _aux("store_stats", _sf_tag(sf_dir)))
+        rows = [(i["table_name"], i["layout"], i["files"], i["rows"],
+                 i["appends"], i["chunks"], i["n_buckets"])
+                for i in store.table_info()]
+        out = spark.createDataFrame(
+            rows, "table_name string, layout string, files long, "
+                  "rows long, appends long, chunks long, n_buckets long")
+        return (out,)
+
+    (out,) = _cached_pipeline("storestats", spark, sf_dir, build)
+    return out.orderBy("table_name")

@@ -1390,12 +1390,20 @@ def publish_aux(df: DataFrame, path: str) -> None:
     previous version never loses files under it; older ones are
     reaped best-effort.
     """
+    publish_aux_dir(lambda vdir: df.coalesce(1).write.parquet(vdir), path)
+
+
+def publish_aux_dir(populate, path: str) -> None:
+    """Directory-artifact variant of :func:`publish_aux`: ``populate``
+    fills a fresh versioned directory (any layout — file copies, a
+    whole store dump), which is then symlink-swapped into ``path``
+    with the same atomicity/retention contract."""
     import glob as _glob
     import shutil as _shutil
     import time as _time
 
     vdir = f"{path}.v{_time.time_ns()}_{os.getpid()}"
-    df.coalesce(1).write.parquet(vdir)
+    populate(vdir)
     if os.path.lexists(path) and not os.path.islink(path):
         _shutil.rmtree(path, ignore_errors=True)  # pre-symlink layout
     tmp = f"{path}.lnk.{os.getpid()}"

@@ -480,6 +480,57 @@ class TxnStateStore:
         out.extend(self._abs(p) for p in tab["appends"])
         return out
 
+    def table_info(self) -> list[dict]:
+        """Operational stats per table — the ``show_table_info`` ops
+        report (reference database/5_functions.sql:13-35: per-table
+        row estimate + total/index/toast bytes out of pg_class). The
+        Spark-native equivalent reads parquet FOOTERS + the commit
+        log — no data scan, exactly like Postgres serving catalog
+        estimates — and is the input the OPTIMIZE cadence decision
+        needs (BENCH_compaction: a 149x scan tax when appends
+        accumulate uncompacted).
+
+        One dict per table: layout (flat|bucketed), live file /
+        row-group / byte / row totals from footers, appends since the
+        last replace generation, distinct recorded chunk values,
+        bucket count, and the snapshot version. At 100 TB this walks
+        file metadata only (a lakehouse catalog serves the same
+        numbers from its manifest); row counts come from footer
+        ``num_rows`` so cost is O(files), not O(rows)."""
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        out = []
+        for table in sorted(snap.tables):
+            tab = snap.tables[table]
+            files: list[str] = []
+            for root in self.current_paths(table):
+                for dirpath, _, fnames in os.walk(root):
+                    files.extend(os.path.join(dirpath, f)
+                                 for f in fnames if f.endswith(".parquet"))
+            rows = groups = nbytes = 0
+            for f in sorted(files):
+                md = pq.ParquetFile(f).metadata
+                rows += md.num_rows
+                groups += md.num_row_groups
+                nbytes += os.path.getsize(f)
+            chunks: set[str] = set()
+            for vals in tab["append_parts"].values():
+                chunks.update(vals)
+            out.append({
+                "table_name": table,
+                "layout": "bucketed" if tab["buckets"] else "flat",
+                "files": len(files),
+                "row_groups": groups,
+                "bytes": nbytes,
+                "rows": rows,
+                "appends": len(tab["appends"]),
+                "chunks": len(chunks),
+                "n_buckets": int(tab["n_buckets"] or 0),
+                "version": snap.version,
+            })
+        return out
+
     def get_meta(self, key: str, default: str | None = None) -> str | None:
         return self.snapshot().meta.get(key, default)
 

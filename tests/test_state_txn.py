@@ -505,3 +505,50 @@ def test_optimize_bucketed_keeps_layout(spark, tmp_path):
     assert spec == (["k"], 4)
     tab = store.snapshot().tables["b"]
     assert len(set(tab["buckets"].values())) == 1  # one map again
+
+
+def test_table_info_reports_layout_rows_and_appends(spark, tmp_path):
+    """show_table_info equivalent (5_functions.sql:13-35): footer-only
+    stats must agree with actual content across flat, chunked-append
+    and bucketed layouts, and track appends since the last replace."""
+    store = TxnStateStore(spark, str(tmp_path / "ti"))
+    df = spark.createDataFrame([(i, f"u{i % 3}", str(i % 2))
+                                for i in range(20)],
+                               "id long, u string, hr string")
+    store.overwrite("flat", df.repartition(2))
+    store.append("logd", df.limit(4), partition_by="hr")
+    store.append("logd", df.limit(6), partition_by="hr")
+    with store.transaction() as txn:
+        txn.replace_bucketed("bkt", df, key_cols=["u"], n_buckets=4)
+
+    info = {i["table_name"]: i for i in store.table_info()}
+    assert info["flat"]["layout"] == "flat"
+    assert info["flat"]["rows"] == 20 and info["flat"]["files"] == 2
+    assert info["flat"]["appends"] == 0
+    assert info["logd"]["appends"] == 2
+    assert info["logd"]["rows"] == 10
+    assert info["logd"]["chunks"] == 2  # hr in {0,1} across both appends
+    assert info["bkt"]["layout"] == "bucketed"
+    assert info["bkt"]["n_buckets"] == 4 and info["bkt"]["rows"] == 20
+    assert all(i["bytes"] > 0 and i["row_groups"] >= i["files"] > 0
+               for i in info.values())
+    # after a replace the append counter resets (compaction signal)
+    store.overwrite("logd", store.read("logd"))
+    info2 = {i["table_name"]: i for i in store.table_info()}
+    assert info2["logd"]["appends"] == 0 and info2["logd"]["rows"] == 10
+
+
+def test_run_store_stats_triggers_threshold_compaction(spark, tmp_path):
+    from obmp_psql_spark.jobs import JobRunner
+
+    store = TxnStateStore(spark, str(tmp_path / "ss"))
+    df = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    for _ in range(3):
+        store.append("t", df)
+    runner = JobRunner(store)
+    stats = runner.run_store_stats(compact_when_appends=3)
+    # returned stats are the BEFORE picture; the store is compacted
+    assert {i["table_name"]: i["appends"] for i in stats} == {"t": 3}
+    after = {i["table_name"]: i for i in store.table_info()}
+    assert after["t"]["appends"] == 0
+    assert after["t"]["rows"] == 24
