@@ -2351,6 +2351,125 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE trainer: k unrolled merge rounds producing an actual merge table
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+_BPE_WORDS = 300
+
+
+def _bpe_train_oracle() -> str:
+    word = _NORM.format(col="text")
+    parts = [
+        f"""words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({word}, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w ORDER BY freq DESC, w ASC LIMIT {_BPE_WORDS}
+)""",
+        "w1 AS (SELECT word, freq, regexp_extract_all(word, '.') AS s "
+        "FROM words)",
+    ]
+    for i in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""p{i} AS (
+  SELECT s[g.i] AS lhs, s[g.i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS n
+  FROM w{i}, UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+  GROUP BY 1, 2
+)""")
+        parts.append(
+            f"m{i} AS (SELECT lhs, rhs, n FROM p{i} "
+            f"ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1)")
+        parts.append(f"""w{i + 1} AS (
+  SELECT word, freq,
+    string_split(
+      list_reduce(s, (acc, x) -> CASE
+        WHEN list_extract(string_split(acc, chr(31)),
+                          len(string_split(acc, chr(31)))) = m{i}.lhs
+             AND x = m{i}.rhs
+        THEN left(acc, len(acc) - len(m{i}.lhs)) || m{i}.lhs || m{i}.rhs
+        ELSE acc || chr(31) || x END),
+      chr(31)) AS s
+  FROM w{i} CROSS JOIN m{i}
+)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, n FROM m{i}"
+        for i in range(1, _BPE_ROUNDS + 1))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT CAST(step AS INT) AS step, lhs, rhs, n "
+            f"FROM ({sel}) ORDER BY step")
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(),
+    survey_ref="training-data tokenizer: full BPE training loop — "
+               f"{_BPE_ROUNDS} unrolled merge rounds over the "
+               "word-frequency table, each round applying the previous "
+               "round's winning merge to the symbol sequences "
+               "(completes the single-step q_bpe_merge_candidates)",
+    doc=f"corpus -> capped word-frequency vocab (top {_BPE_WORDS} by "
+        "freq desc, word asc) -> char symbol arrays -> per round: "
+        "freq-weighted adjacent-pair count, deterministic top-1 "
+        "(n desc, lhs asc, rhs asc), greedy left-to-right non-"
+        "overlapping merge fold applied to every word; returns the "
+        "merge table (step, lhs, rhs, n)",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training the way every production tokenizer trainer does
+    it: ONE corpus-scale aggregation builds the word-frequency table
+    (map-side combinable explode+count), and the k merge rounds then
+    run on that capped vocabulary — O(k x V) work that is independent
+    of corpus size, so the loop costs the same at 100 TB as at sf0.01.
+    Each round collects exactly one row (the winning pair — the same
+    model-sized collect as the classifier's weight vector) and embeds
+    it as a literal in the next round's merge fold
+    (``F.aggregate`` greedy left-to-right: the accumulator's last
+    symbol merges with the next on a rule match, so ``aaa`` under
+    merge (a,a) gives [aa, a] on both engines). The per-round
+    ``localCheckpoint`` cuts the growing lineage on a <=V-row table.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    words = (d.select(F.explode(F.split(norm, " ")).alias("word"))
+             .filter(F.col("word").rlike("^[a-z]+$"))
+             .groupBy("word").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("freq"))
+             .orderBy(F.col("freq").desc(), F.col("word").asc())
+             .limit(_BPE_WORDS)
+             .withColumn("s", F.regexp_extract_all("word", F.lit("."), 0))
+             .localCheckpoint())
+    merges: list[tuple] = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        n_1 = F.greatest(F.size("s") - 1, F.lit(0))
+        z = words.select("freq", F.arrays_zip(
+            F.slice("s", 1, n_1), F.slice("s", 2, n_1)).alias("z"))
+        top = (z.select(F.explode("z").alias("p"), "freq")
+               .groupBy(F.col("p.0").alias("lhs"), F.col("p.1").alias("rhs"))
+               .agg(F.sum("freq").cast("long").alias("n"))
+               .orderBy(F.col("n").desc(), F.col("lhs").asc(),
+                        F.col("rhs").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        lhs, rhs, n = top[0].lhs, top[0].rhs, int(top[0].n)
+        merges.append((i, lhs, rhs, n))
+        fold = F.aggregate(
+            F.slice("s", 2, F.size("s") - 1),
+            F.slice("s", 1, 1),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(lhs)) & (x == F.lit(rhs)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(lhs + rhs)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        words = words.select(
+            "word", "freq",
+            F.when(F.size("s") <= 1, F.col("s")).otherwise(fold).alias("s")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, n long")
+
+
+# ---------------------------------------------------------------------------
 # per-domain cap: keep at most N docs per source, best-first
 # ---------------------------------------------------------------------------
 
