@@ -798,6 +798,87 @@ def shard_oversized_clusters(assignments: DataFrame,
                     .alias(cluster_col)))
 
 
+def _band_code_udf(n_planes: int, seed: int):
+    """Arrow-batch kernel: centered random-hyperplane sign code per
+    vector — ``bits((v - centroid) @ R > 0)`` with the plane matrix
+    generated once per worker from a fixed seed (deterministic given
+    seed + dim). Centering at the CLUSTER centroid is the point:
+    global sign planes saturate inside a dense direction (SURVEY
+    finding: buckets collapse to the cluster count), while centered
+    planes split the cluster's own spread evenly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def code(v_col, c_col):  # type: ignore[no-untyped-def]
+        if not len(v_col):
+            return pd.Series([], dtype="int64")
+        x = np.array(list(v_col), dtype=np.float64)
+        c = np.array(list(c_col), dtype=np.float64)
+        r = np.random.RandomState(seed).standard_normal(
+            (x.shape[1], n_planes))
+        bits = ((x - c) @ r) > 0
+        return pd.Series((bits @ (1 << np.arange(n_planes)))
+                         .astype(np.int64))
+
+    return code
+
+
+def band_oversized_clusters(assignments: DataFrame, vectors: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            cluster_col: str = "cluster_id",
+                            max_cluster_size: int = 500,
+                            n_planes: int = 3, seed: int = 7) -> DataFrame:
+    """Recall-aware alternative to plain ``shard_oversized_clusters``:
+    before capping, split each OVERSIZED cluster by LSH sign-banding
+    around its own centroid, so near-duplicates (small angular
+    distance) stay in the same sub-block with high probability —
+    versus the flat ~1/n_shards survival a random hash shard gives a
+    true pair. Under-cap clusters pass through unchanged (re-keyed
+    into the same widened keyspace).
+
+    The residual cap still applies: a band bucket that remains above
+    ``max_cluster_size`` (a tight sub-cluster all planes agree on) is
+    hash-sharded by the existing policy, so the N x cap pair bound is
+    unconditional. Like the hash shard, this runs entirely on the
+    producer side — consumers and the oracle handshake see only the
+    final blocking key in the published assignment.
+
+    Scale: sizes/centroids are O(clusters) broadcasts; the band code
+    is one Arrow matmul per batch over only the oversized clusters'
+    rows. Pair budget never increases (blocks only get smaller);
+    recall at fixed budget goes up (BENCH_semdedup_band probe)."""
+    sizes = assignments.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("__sz"))
+    a = assignments.join(F.broadcast(sizes), cluster_col)
+    widened = F.col(cluster_col).cast("long") * F.lit(1 << n_planes)
+    small = a.filter(F.col("__sz") <= max_cluster_size).select(
+        F.col(id_col), widened.alias(cluster_col))
+    big = a.filter(F.col("__sz") > max_cluster_size)
+    bigv = big.join(
+        vectors.select(F.col(id_col),
+                       as_double(F.col(vec_col)).alias("__v")), id_col)
+    cents = (bigv.select(cluster_col,
+                         F.posexplode("__v").alias("__pos", "__val"))
+             .groupBy(cluster_col, "__pos")
+             .agg(F.avg("__val").alias("__m"))
+             .groupBy(cluster_col)
+             .agg(F.sort_array(F.collect_list(F.struct("__pos", "__m")))
+                  .alias("__s"))
+             .select(cluster_col,
+                     F.transform("__s", lambda x: x["__m"]).alias("__cent")))
+    code = _band_code_udf(n_planes, seed)
+    banded = (bigv.join(F.broadcast(cents), cluster_col)
+              .select(F.col(id_col),
+                      (widened + code(F.col("__v"), F.col("__cent")))
+                      .alias(cluster_col)))
+    return shard_oversized_clusters(
+        small.unionByName(banded), id_col=id_col, cluster_col=cluster_col,
+        max_cluster_size=max_cluster_size)
+
+
 def semantic_dedup_within(
     assignments: DataFrame, vectors: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -2805,13 +2805,17 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: semantic dedup = k-means clusters -> within-cluster near-dup
 # ---------------------------------------------------------------------------
 
-def _semantic_dedup_oracle(sf_dir: str) -> str:
+def _semantic_dedup_oracle(sf_dir: str,
+                           name: str = "q_semantic_dedup") -> str:
     """DuckDB half of the SemDeDup handshake: read the published
     cluster-assignment dump, join the (clone-augmented) embedding
     table, and re-derive the keep/drop decision with the identical
     within-cluster keep-lowest-id rule. Hash-equal iff both engines
-    agree on every kept/dropped row and representative."""
-    aux = _aux("q_semantic_dedup", _sf_tag(sf_dir))
+    agree on every kept/dropped row and representative. Shared by the
+    hash-sharded (q_semantic_dedup) and LSH-banded
+    (q_semantic_dedup_banded) cap policies — the blocking key is
+    opaque in the published assignment, so the oracle is identical."""
+    aux = _aux(name, _sf_tag(sf_dir))
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -2875,6 +2879,47 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shard_oversized_clusters)
         assigned = similarity.shard_oversized_clusters(
             assigned, max_cluster_size=500)
+        publish_aux(
+            assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
+                            F.col("cluster_id").cast("long")
+                             .alias("cluster_id")),
+            aux)
+    ap = spark.read.parquet(aux)
+    return similarity.semantic_dedup_within(ap, aug, threshold=0.95)
+
+
+@register(
+    "q_semantic_dedup_banded",
+    oracle=lambda sf_dir: _semantic_dedup_oracle(
+        sf_dir, "q_semantic_dedup_banded"),
+    survey_ref="training-data dedup: SemDeDup with recall-aware "
+               "centered-LSH pre-banding of oversized clusters "
+               "(band_oversized_clusters) before the hash-shard cap — "
+               "near-dups co-band instead of surviving the cap at "
+               "~1/n_shards",
+    doc="kmeans_assign -> centered sign-banding of oversized clusters "
+        "-> residual hash-shard cap -> parquet assignment handoff -> "
+        "within-cluster cosine keep-lowest-id, re-derived by both "
+        "engines from the published blocking key",
+)
+def q_semantic_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_semantic_dedup with the recall-aware cap:
+    oversized clusters band by hyperplane signs AROUND THEIR OWN
+    CENTROID (global planes saturate on a dense direction), then the
+    unconditional hash cap handles any still-tight band. A small cap
+    is used so the policy actually engages at driver scale."""
+    from .operators.cache import build_artifacts
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 3 == 0)
+         .withColumn("vec_id", F.col("vec_id") + 10000))
+    aux = _aux("q_semantic_dedup_banded", _sf_tag(sf_dir))
+    with build_artifacts():
+        af = fan_out(aug, spark)
+        assigned = similarity.kmeans_assign(
+            af, n_clusters=16, train_iters=1)
+        assigned = similarity.band_oversized_clusters(
+            assigned, af, max_cluster_size=120, n_planes=3)
         publish_aux(
             assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
                             F.col("cluster_id").cast("long")

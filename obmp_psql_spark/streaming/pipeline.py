@@ -235,17 +235,21 @@ class BmpStreamingIngest:
         )
 
     def start_file_stream(self, msg_type: str, source_dir: str,
-                          checkpoint_dir: str, available_now: bool = True):
+                          checkpoint_dir: str, available_now: bool = True,
+                          trigger_interval: str = "1 second"):
         """Drive the pipeline from a parquet file stream (tests /
         backfill). The production Kafka entry point builds the same
-        writeStream with sources.kafka.read_stream instead."""
+        writeStream with sources.kafka.read_stream instead.
+        ``trigger_interval`` sets the micro-batch cadence for the
+        continuous (``available_now=False``) mode — the freshness
+        knob measured by tools/bench_latency.py."""
         handler = self.HANDLERS[msg_type].__get__(self)
         reader = (
             self.spark.readStream.schema(MESSAGE_SCHEMAS[msg_type])
             .parquet(source_dir)
         )
         trigger = {"availableNow": True} if available_now \
-            else {"processingTime": "1 second"}
+            else {"processingTime": trigger_interval}
         return (
             reader.writeStream
             .foreachBatch(handler)
