@@ -384,3 +384,119 @@ def extract_image_features(df: DataFrame, dim: int = 16,
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, schema="doc_id long, embedding array<double>")
+
+
+# -- audio modality: WAV/PCM as opaque binary ------------------------------
+
+def encode_wav_pcm8(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal canonical-header WAV writer: RIFF/WAVE with one
+    ``fmt `` (PCM, mono, 8-bit) and one ``data`` chunk. Pure struct
+    packing — the audio twin of ``encode_netpbm``."""
+    import struct
+
+    data = bytes(int(s) & 0xFF for s in samples)
+    n = len(data)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   sample_rate, 1, 8)
+           + b"data" + struct.pack("<I", n))
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """Pure-Python WAV decode: walk RIFF chunks (tolerating extra
+    chunks like LIST/INFO and the spec's odd-length padding byte),
+    read ``fmt `` and ``data``, and return (sample_rate, n_channels,
+    bits_per_sample, uint8-sample list). Returns None when the magic
+    is not RIFF/WAVE; raises ValueError on truncated or non-PCM
+    payloads — same error contract as ``decode_netpbm``."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("wav: truncated chunk " + repr(cid))
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError("wav: short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned per spec
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 8:
+        raise ValueError(f"wav: unsupported fmt={audio_fmt} bits={bits}")
+    return rate, n_ch, bits, list(data)
+
+
+def generate_wav_payloads(df: DataFrame, id_col: str = "doc_id",
+                          sample_rate: int = 8000) -> DataFrame:
+    """Deterministic PCM test-audio producer (the audio twin of
+    ``generate_ppm_payloads``): ``n = 64 + id % 129`` samples with
+    ``sample[t] = (id*5 + t*13) % 256`` — every derived statistic is
+    recomputable from the formula alone, so encode->decode->feature
+    pipelines are exactly oracle-checkable without audio fixtures."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 129
+                samples = [(did * 5 + t * 13) % 256 for t in range(n)]
+                ids.append(did)
+                payloads.append(encode_wav_pcm8(samples, sample_rate))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, schema="doc_id long, payload binary")
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Real signal math over decoded PCM: per-clip sample count,
+    integer mean-energy ppm ``sum((s-128)^2) * 1_000_000 // n``,
+    zero-crossing count (sign of s-128, >= 0 counts positive), and
+    peak deviation — all integer arithmetic, hash-stable on any
+    engine. Undecodable payloads yield typed nulls. Runs as an
+    Arrow-batched ``mapInPandas`` over the binary column, the same
+    batch shape a real feature extractor (mel spectrogram) uses."""
+    def feats_one(did: int, p: bytes):
+        try:
+            dec = decode_wav(p)
+        except ValueError:
+            dec = None
+        if dec is None:
+            return (did, None, None, None, None, None)
+        rate, _ch, _bits, samples = dec
+        n = len(samples)
+        if n == 0:
+            return (did, rate, 0, None, None, None)
+        dev = [s - 128 for s in samples]
+        energy = sum(d * d for d in dev)
+        sgn = [1 if d >= 0 else 0 for d in dev]
+        zc = sum(1 for i in range(1, n) if sgn[i] != sgn[i - 1])
+        return (did, rate, n, energy * 1_000_000 // n, zc,
+                max(abs(d) for d in dev))
+
+    cols = ["doc_id", "sample_rate", "n_samples", "energy_ppm",
+            "zero_crossings", "peak_dev"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                [feats_one(int(d), p)
+                 for d, p in zip(pdf[id_col], pdf[payload_col])],
+                columns=cols)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        schema="doc_id long, sample_rate int, n_samples long, "
+               "energy_ppm long, zero_crossings long, peak_dev int")

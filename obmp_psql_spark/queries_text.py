@@ -2358,7 +2358,10 @@ _BPE_ROUNDS = 6
 _BPE_WORDS = 300
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_train_oracle(final_select: str | None = None) -> str:
+    """Unrolled-CTE BPE oracle; ``final_select`` overrides the default
+    merge-table projection (q_bpe_encode selects the final vocab
+    segmentation from the last w CTE instead)."""
     word = _NORM.format(col="text")
     parts = [
         f"""words AS (
@@ -2394,9 +2397,10 @@ def _bpe_train_oracle() -> str:
     sel = " UNION ALL ".join(
         f"SELECT {i} AS step, lhs, rhs, n FROM m{i}"
         for i in range(1, _BPE_ROUNDS + 1))
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT CAST(step AS INT) AS step, lhs, rhs, n "
-            f"FROM ({sel}) ORDER BY step")
+    if final_select is None:
+        final_select = (f"SELECT CAST(step AS INT) AS step, lhs, rhs, n "
+                        f"FROM ({sel}) ORDER BY step")
+    return "WITH " + ",\n".join(parts) + "\n" + final_select
 
 
 @register(
@@ -2428,45 +2432,92 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge (a,a) gives [aa, a] on both engines). The per-round
     ``localCheckpoint`` cuts the growing lineage on a <=V-row table.
     """
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    words = (d.select(F.explode(F.split(norm, " ")).alias("word"))
-             .filter(F.col("word").rlike("^[a-z]+$"))
-             .groupBy("word").agg(F.count(F.lit(1)).cast("long")
-                                  .alias("freq"))
-             .orderBy(F.col("freq").desc(), F.col("word").asc())
-             .limit(_BPE_WORDS)
-             .withColumn("s", F.regexp_extract_all("word", F.lit("."), 0))
-             .localCheckpoint())
-    merges: list[tuple] = []
-    for i in range(1, _BPE_ROUNDS + 1):
-        n_1 = F.greatest(F.size("s") - 1, F.lit(0))
-        z = words.select("freq", F.arrays_zip(
-            F.slice("s", 1, n_1), F.slice("s", 2, n_1)).alias("z"))
-        top = (z.select(F.explode("z").alias("p"), "freq")
-               .groupBy(F.col("p.0").alias("lhs"), F.col("p.1").alias("rhs"))
-               .agg(F.sum("freq").cast("long").alias("n"))
-               .orderBy(F.col("n").desc(), F.col("lhs").asc(),
-                        F.col("rhs").asc())
-               .limit(1).collect())
-        if not top:
-            break
-        lhs, rhs, n = top[0].lhs, top[0].rhs, int(top[0].n)
-        merges.append((i, lhs, rhs, n))
-        fold = F.aggregate(
-            F.slice("s", 2, F.size("s") - 1),
-            F.slice("s", 1, 1),
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == F.lit(lhs)) & (x == F.lit(rhs)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.lit(lhs + rhs)))
-            ).otherwise(F.concat(acc, F.array(x))))
-        words = words.select(
-            "word", "freq",
-            F.when(F.size("s") <= 1, F.col("s")).otherwise(fold).alias("s")
-        ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, lhs string, rhs string, n long")
+    (merge_df, _words) = _bpe_train_run(spark, sf_dir)
+    return merge_df
+
+
+def _bpe_train_run(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns (merge table DataFrame, final
+    segmented vocab DataFrame). Cached per (session, sf) — the encode
+    query reads the same trained state the merge-table query gates."""
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        d = load_tables(spark, sf_dir, ("documents",))["documents"]
+        norm = F.lower(F.trim(F.regexp_replace(F.col("text"),
+                                               r"\s+", " ")))
+        words = (d.select(F.explode(F.split(norm, " ")).alias("word"))
+                 .filter(F.col("word").rlike("^[a-z]+$"))
+                 .groupBy("word").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("freq"))
+                 .orderBy(F.col("freq").desc(), F.col("word").asc())
+                 .limit(_BPE_WORDS)
+                 .withColumn("s", F.regexp_extract_all("word",
+                                                       F.lit("."), 0))
+                 .localCheckpoint())
+        merges: list[tuple] = []
+        for i in range(1, _BPE_ROUNDS + 1):
+            n_1 = F.greatest(F.size("s") - 1, F.lit(0))
+            z = words.select("freq", F.arrays_zip(
+                F.slice("s", 1, n_1), F.slice("s", 2, n_1)).alias("z"))
+            top = (z.select(F.explode("z").alias("p"), "freq")
+                   .groupBy(F.col("p.0").alias("lhs"),
+                            F.col("p.1").alias("rhs"))
+                   .agg(F.sum("freq").cast("long").alias("n"))
+                   .orderBy(F.col("n").desc(), F.col("lhs").asc(),
+                            F.col("rhs").asc())
+                   .limit(1).collect())
+            if not top:
+                break
+            lhs, rhs, n = top[0].lhs, top[0].rhs, int(top[0].n)
+            merges.append((i, lhs, rhs, n))
+            fold = F.aggregate(
+                F.slice("s", 2, F.size("s") - 1),
+                F.slice("s", 1, 1),
+                lambda acc, x: F.when(
+                    (F.element_at(acc, -1) == F.lit(lhs))
+                    & (x == F.lit(rhs)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.lit(lhs + rhs)))
+                ).otherwise(F.concat(acc, F.array(x))))
+            words = words.select(
+                "word", "freq",
+                F.when(F.size("s") <= 1, F.col("s")).otherwise(fold)
+                 .alias("s")
+            ).localCheckpoint()
+        merge_df = spark.createDataFrame(
+            merges, "step int, lhs string, rhs string, n long")
+        return merge_df, words
+
+    return _cached_pipeline("bpe", spark, sf_dir, build)
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_train_oracle(final_select=f"""
+SELECT word, freq, array_to_string(s, '|') AS tokens,
+       CAST(len(s) AS BIGINT) AS n_tokens
+FROM w{_BPE_ROUNDS + 1} ORDER BY word"""),
+    survey_ref="training-data tokenizer: apply the trained BPE merge "
+               "table — the encode half that pairs with q_bpe_train "
+               "(segmentation of the vocab after all merge rounds)",
+    doc="the trained merge sequence applied in order to every vocab "
+        "word's symbol array; returns (word, freq, tokens, n_tokens) "
+        "— both engines derive the segmentation independently from "
+        "the same corpus",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding is the same greedy fold as training, replayed per
+    merge in training order — at corpus scale this runs as a
+    broadcast of the (k-row) merge table into a per-document fold, so
+    the cost is one scan regardless of corpus size; here it is gated
+    on the vocab segmentation both engines can derive exactly."""
+    (_merges, words) = _bpe_train_run(spark, sf_dir)
+    return (words.select(
+        "word", "freq",
+        F.array_join("s", "|").alias("tokens"),
+        F.size("s").cast("long").alias("n_tokens"))
+        .orderBy("word"))
 
 
 # ---------------------------------------------------------------------------
@@ -3443,3 +3494,141 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id").cast("long").alias("cluster_id"),
                     F.col("kept").cast("int").alias("kept"),
                     F.col("dup_of").cast("long").alias("dup_of"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "a", "of", "to", "in", "and")
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_NORM.format(col='text')} AS t FROM documents
+    ), w AS (
+      SELECT doc_id, t, string_split(t, ' ') AS words,
+             CAST(len(replace(t, ' ', '')) AS BIGINT) AS chars
+      FROM n
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             chars * 1000000 // len(words) AS mean_wlen_ppm,
+             CAST(len(list_filter(words, x ->
+                 list_contains({list(_GOPHER_STOPS)}, x))) AS BIGINT)
+               AS stop_hits,
+             CAST(len(list_filter(words, x ->
+                 regexp_matches(x, '[a-z]'))) AS BIGINT) * 1000000
+               // len(words) AS alpha_ppm
+      FROM w
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, mean_wlen_ppm,
+           stop_hits, alpha_ppm,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 10000
+                      AND mean_wlen_ppm BETWEEN 3000000 AND 10000000
+                      AND stop_hits >= 2
+                      AND alpha_ppm >= 800000
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM m
+    """,
+    survey_ref="training-data curation: Gopher rule filter (Rae et al. "
+               "2021 Table A1 subset) — word-count bounds, mean word "
+               "length bounds, stop-word presence, alphabetic-word "
+               "ratio as one composite keep decision",
+    doc="pure-expression per-doc rule evaluation (split + list_filter "
+        "counts, integer-ppm ratios); one scan, no shuffle, no UDF",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four rules evaluate inside whole-stage codegen on a single
+    scan of documents (no shuffle at any scale): array higher-order
+    functions give the per-word counts, and every ratio is integer
+    ppm with floor division so the keep decision is bit-identical on
+    any engine. The thresholds are the Gopher paper's, adapted to the
+    fixture's synthetic prose (word-count floor 30)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    norm.alias("t"),
+                    F.split(norm, " ").alias("words"))
+    m = base.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.expr("length(replace(t, ' ', '')) * cast(1000000 as bigint)"
+               " div size(words)").alias("mean_wlen_ppm"),
+        F.size(F.filter("words",
+                        lambda x: x.isin(*_GOPHER_STOPS)))
+         .cast("long").alias("stop_hits"),
+        (F.size(F.filter("words", lambda x: x.rlike("[a-z]")))
+         .cast("long") * F.lit(1_000_000).cast("long")).alias("__a"),
+    ).withColumn("alpha_ppm", F.expr("__a div n_words")).drop("__a")
+    kept = (F.col("n_words").between(30, 10000)
+            & F.col("mean_wlen_ppm").between(3_000_000, 10_000_000)
+            & (F.col("stop_hits") >= 2)
+            & (F.col("alpha_ppm") >= 800_000))
+    return m.withColumn("kept", kept.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# audio modality: WAV/PCM binary -> decoded signal features
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_audio_features",
+    oracle="""
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+    ns AS (SELECT did, 64 + did % 129 AS n FROM ids),
+    -- generate_series takes no lateral column args; n <= 192 is
+    -- bounded by construction, so a fixed grid + filter is equivalent
+    ts AS (
+      SELECT did, n, tt.t AS t
+      FROM ns CROSS JOIN generate_series(0, 192) AS tt(t)
+      WHERE tt.t < n
+    ),
+    s AS (
+      SELECT did, n, t,
+             (did * 5 + t * 13) % 256 - 128 AS dev,
+             CASE WHEN (did * 5 + t * 13) % 256 - 128 >= 0
+                  THEN 1 ELSE 0 END AS sgn,
+             CASE WHEN (did * 5 + (t - 1) * 13) % 256 - 128 >= 0
+                  THEN 1 ELSE 0 END AS prev_sgn
+      FROM ts
+    ),
+    agg AS (
+      SELECT did, n,
+             sum(dev * dev) AS energy,
+             sum(CASE WHEN t >= 1 AND sgn <> prev_sgn
+                      THEN 1 ELSE 0 END) AS zc,
+             max(abs(dev)) AS peak
+      FROM s GROUP BY did, n
+    )
+    SELECT did AS doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(energy * 1000000 // n AS BIGINT) AS energy_ppm,
+           CAST(zc AS BIGINT) AS zero_crossings,
+           CAST(peak AS INT) AS peak_dev
+    FROM agg
+    """,
+    survey_ref="training-data multimodal: REAL audio decode in-container "
+               "— RIFF/WAVE chunk-walk + PCM signal features complete "
+               "the image(netpbm)/audio(wav)/video(frame-sample) "
+               "binary-column family",
+    doc="deterministic 8-bit PCM WAV payloads per doc_id -> struct-"
+        "packed RIFF encode -> chunk-walk decode -> integer energy-ppm "
+        "/ zero-crossing / peak features; DuckDB recomputes from the "
+        "closed-form sample formula alone, hash-gating the whole byte "
+        "round-trip",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_multimodal_decode for the audio column
+    family: payload bytes are REAL WAV files (canonical 44-byte
+    header) built and parsed by pure-Python kernels, the features are
+    all-integer, and the mapInPandas batch shape is exactly what a
+    mel-spectrogram extractor would use at 100 TB — blobs scanned
+    once, features shuffled never."""
+    from .operators.multimodal import audio_features, generate_wav_payloads
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payloads = generate_wav_payloads(
+        d.select(F.col("doc_id").cast("long").alias("doc_id")))
+    return audio_features(payloads)

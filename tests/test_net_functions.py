@@ -506,3 +506,59 @@ def test_approx_percentile_tracks_exact(spark):
             # small groups + accuracy=10000 -> the sketch is near-exact;
             # allow interpolation-vs-rank-statistic slack of one value gap
             assert abs(e_v - a_v) <= max(30.0, 0.1 * e_v), (src, ex, approx[src])
+
+
+def test_wav_encode_decode_roundtrip():
+    """Pure-Python WAV kernel: PCM8 round-trips exactly; extra RIFF
+    chunks and odd-length padding are tolerated; truncated or non-PCM
+    payloads raise ValueError; non-RIFF returns None."""
+    import struct
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    samples = [(5 * t + 3) % 256 for t in range(100)]
+    p = mm.encode_wav_pcm8(samples, sample_rate=8000)
+    rate, n_ch, bits, got = mm.decode_wav(p)
+    assert (rate, n_ch, bits) == (8000, 1, 8)
+    assert got == samples
+
+    # an extra odd-length LIST chunk before data must be skipped, with
+    # its pad byte honored (word alignment per RIFF spec)
+    body = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    p2 = p[:36] + body + p[36:]
+    p2 = p2[:4] + struct.pack("<I", len(p2) - 8) + p2[8:]
+    assert mm.decode_wav(p2)[3] == samples
+
+    assert mm.decode_wav(b"not audio at all") is None
+    import pytest
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(p[:50])
+    bad_fmt = p[:20] + struct.pack("<H", 3) + p[22:]  # float PCM
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_wav(bad_fmt)
+
+
+def test_audio_features_pipeline(spark):
+    """generate -> decode -> features through mapInPandas matches the
+    closed-form formula, and a corrupt payload yields typed nulls."""
+    from pyspark.sql import functions as F
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in (0, 7, 130)],
+                                "doc_id long")
+    rows = {r["doc_id"]: r
+            for r in mm.audio_features(
+                mm.generate_wav_payloads(ids)).collect()}
+    for did in (0, 7, 130):
+        n = 64 + did % 129
+        dev = [(did * 5 + t * 13) % 256 - 128 for t in range(n)]
+        assert rows[did]["n_samples"] == n
+        assert rows[did]["energy_ppm"] == \
+            sum(d * d for d in dev) * 1_000_000 // n
+        assert rows[did]["peak_dev"] == max(abs(d) for d in dev)
+    corrupt = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxxWAVEdata"))],
+        "doc_id long, payload binary")
+    r = mm.audio_features(corrupt).collect()[0]
+    assert r["n_samples"] is None and r["energy_ppm"] is None
