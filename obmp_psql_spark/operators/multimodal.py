@@ -500,3 +500,113 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
         batches,
         schema="doc_id long, sample_rate int, n_samples long, "
                "energy_ppm long, zero_crossings long, peak_dev int")
+
+
+# -- video modality: concatenated netpbm frames --------------------------
+
+def split_netpbm_stream(payload: bytes) -> list:
+    """Walk a stream of CONCATENATED binary netpbm frames (P5/P6) and
+    return the list of per-frame byte slices — the container-free
+    "video" framing the frame-sampler consumes (a real deployment
+    hands compressed containers to ffmpeg; raw netpbm streams are
+    exactly what e.g. ffmpeg's image2pipe produces). Returns None if
+    the payload does not start with a binary netpbm magic; raises
+    ValueError on a malformed or truncated frame mid-stream."""
+    if len(payload) < 2 or payload[0:1] != b"P" or \
+            payload[1:2] not in b"56":
+        return None
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 1] != b"P" or \
+                payload[pos + 1:pos + 2] not in b"56":
+            raise ValueError(
+                f"netpbm stream: bad frame magic at byte {pos}")
+        # header tokenizer (same grammar as decode_netpbm): three int
+        # fields with whitespace/comments, then ONE whitespace byte,
+        # then the raster
+        p = pos + 2
+        fields = []
+        while len(fields) < 3:
+            while p < len(payload) and payload[p] in b" \t\r\n":
+                p += 1
+            if p < len(payload) and payload[p] in b"#":
+                while p < len(payload) and payload[p] not in b"\n":
+                    p += 1
+                continue
+            start = p
+            while p < len(payload) and payload[p] not in b" \t\r\n#":
+                p += 1
+            if p == start:
+                raise ValueError("netpbm stream: truncated header")
+            fields.append(int(payload[start:p]))
+        w, h, maxval = fields
+        channels = 3 if payload[pos + 1:pos + 2] == b"6" else 1
+        need = w * h * channels * (2 if maxval > 255 else 1)
+        end = p + 1 + need
+        if end > len(payload):
+            raise ValueError(
+                f"netpbm stream: frame raster truncated at byte {pos}")
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def generate_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic test-video producer: ``n_frames = 3 + id % 6``
+    concatenated P6 frames, frame f sized ``(4 + (id+f) % 5) x (3 +
+    (id+f) % 4)`` with ``channel c at (x, y) = (id*(c+1) + 13*f + 7*y
+    + 11*x) % 256`` — the video twin of ``generate_ppm_payloads``,
+    closed-form so sampled-frame statistics are oracle-checkable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                chunks = []
+                for f in range(3 + did % 6):
+                    w, h = 4 + (did + f) % 5, 3 + (did + f) % 4
+                    y = np.arange(h)[:, None]
+                    x = np.arange(w)[None, :]
+                    arr = np.stack(
+                        [(did * (c + 1) + 13 * f + 7 * y + 11 * x) % 256
+                         for c in (0, 1, 2)], axis=2).astype(np.uint8)
+                    chunks.append(encode_netpbm(arr))
+                ids.append(did)
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, schema="doc_id long, payload binary")
+
+
+def sample_video_frames(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload",
+                        every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the concatenated-netpbm stream into
+    frames by walking the actual headers (``split_netpbm_stream``)
+    and emit every ``every_n``-th frame as its own payload row —
+    (doc_id, frame_index, frame_payload). Unparseable payloads yield
+    no rows (same skip contract as an undecodable image). Supersedes
+    the fixed-stride slicing stub ``sample_frames`` whenever the
+    payload is an actual netpbm stream."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = split_netpbm_stream(bytes(p))
+                except ValueError:
+                    frames = None
+                if frames is None:
+                    continue
+                for i in range(0, len(frames), every_n):
+                    rows.append((int(did), i, frames[i]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "frame_payload"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        schema="doc_id long, frame_index int, frame_payload binary")

@@ -562,3 +562,32 @@ def test_audio_features_pipeline(spark):
         "doc_id long, payload binary")
     r = mm.audio_features(corrupt).collect()[0]
     assert r["n_samples"] is None and r["energy_ppm"] is None
+
+
+def test_netpbm_stream_split_and_frame_sampling(spark):
+    """split_netpbm_stream finds frame boundaries by parsing headers
+    (variable frame sizes), rejects truncated streams, and the
+    sampler emits every n-th decodable frame."""
+    import numpy as np
+    import pytest
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    f0 = mm.encode_netpbm(np.zeros((2, 3, 3), dtype=np.uint8))
+    f1 = mm.encode_netpbm(np.full((4, 5, 3), 9, dtype=np.uint8))
+    f2 = mm.encode_netpbm(np.full((1, 2, 3), 255, dtype=np.uint8))
+    stream = f0 + f1 + f2
+    frames = mm.split_netpbm_stream(stream)
+    assert frames == [f0, f1, f2]
+    assert mm.split_netpbm_stream(b"AVI nonsense") is None
+    with pytest.raises(ValueError, match="truncated"):
+        mm.split_netpbm_stream(stream[:-2])
+    with pytest.raises(ValueError, match="bad frame magic"):
+        mm.split_netpbm_stream(f0 + b"XX" + f1)
+
+    df = spark.createDataFrame([(7, bytearray(stream)),
+                                (8, bytearray(b"junk"))],
+                               "doc_id long, payload binary")
+    got = sorted((r["doc_id"], r["frame_index"])
+                 for r in mm.sample_video_frames(df, every_n=2).collect())
+    assert got == [(7, 0), (7, 2)]  # junk payload contributes no rows
