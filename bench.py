@@ -106,11 +106,12 @@ def main() -> None:
         for name in head:
             cold[name] = timings[name]  # first cold build, kept for the JSON
             timings[name] = min(timings[name], cold_run(name))
-        # if the host was loaded during the headline passes, the judged
-        # numbers may carry hypervisor noise — take one more cold pass
-        # per headline so min-of-N has at least one low-noise sample
-        # (bounded: at most 2 extra passes even if load stays high)
-        while os.getloadavg()[0] > 2 and headline_reruns < 2:
+        # if the host was ALREADY loaded when the bench started, the
+        # judged numbers may carry hypervisor noise — take up to two
+        # more cold passes so min-of-N has a low-noise sample. Gated
+        # on the PRE-bench load: the bench's own work always pushes
+        # the 1-minute average past 2, which is expected, not noise.
+        while load_before[0] > 2 and headline_reruns < 2:
             headline_reruns += 1
             for name in head:
                 timings[name] = min(timings[name], cold_run(name))
