@@ -110,3 +110,102 @@ def mg_from_store(store, k: int,
     """Recover the merged heavy-hitters summary from the accumulated
     per-batch partials — the read half of ``incremental_mg_update``."""
     return merge_mg_partials(store.read(partials_table), k)
+
+
+# -- mergeable quantile summary (MRL-style rank sample) --------------------
+
+def _compress(values, weights, k: int):
+    """Collapse a SORTED weighted point set to k equal-weight points
+    at the (i + 0.5)/k cumulative-mass targets. One collapse of a
+    summary with mass W adds <= W/k rank error (Manku-Rajagopalan-
+    Lindsay collapse step) — the quantile analog of the Misra-Gries
+    subtract-reduce."""
+    import numpy as np
+
+    if len(values) <= k:
+        return values, weights
+    w_total = float(weights.sum())
+    step = w_total / k
+    cumw = np.cumsum(weights)
+    idx = np.searchsorted(cumw, (np.arange(k) + 0.5) * step, side="left")
+    idx = np.clip(idx, 0, len(values) - 1)
+    return values[idx], np.full(k, step)
+
+
+def quantile_summary(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Mergeable quantile summary of ``df[col]``: the third member of
+    the sketch family (HLL = distinct, Misra-Gries = frequency,
+    this = quantiles). Each partition emits <= k weighted points;
+    summaries merge by concatenation + one collapse, so any merge
+    tree over any number of shards/batches yields estimates with
+    rank error <= 3N/k: one collapse per Arrow batch (their masses
+    sum to the partition's), one per partition, one at the final
+    merge — each level contributes <= N/k over the whole mass.
+
+    100 TB shape: one sorted-sample pass per partition (state <= 2k
+    points regardless of partition size), a k*P-row result, no
+    shuffle of the data itself. The exact percentile it replaces
+    sorts the full column.
+    """
+    def summarize(batches):
+        import numpy as np
+        import pandas as pd
+
+        vs, ws = [], []
+        for pdf in batches:
+            v = pdf[col].to_numpy(dtype="float64")
+            v = np.sort(v[~np.isnan(v)])
+            if not len(v):
+                continue
+            cv, cw = _compress(v, np.ones(len(v)), k)
+            vs.append(cv)
+            ws.append(cw)
+        if vs:
+            v = np.concatenate(vs)
+            w = np.concatenate(ws)
+            order = np.argsort(v, kind="stable")
+            v, w = _compress(v[order], w[order], k)
+            yield pd.DataFrame({"value": v, "weight": w})
+
+    return df.select(F.col(col).cast("double").alias(col)) \
+        .mapInPandas(summarize, schema="value double, weight double")
+
+
+def quantile_estimates(partials: DataFrame, q_ppms: list[int]) -> list:
+    """Merge quantile-summary partials and answer rank queries:
+    returns [(q_ppm, estimate)] — for each target, the first summary
+    point whose cumulative weight reaches ``q * W``. The summary is
+    sketch-sized by construction (<= ~k points per partition), so the
+    final selection is a bounded summary-sized collect, exactly like
+    Misra-Gries' (k+1)-row threshold collect — never the data."""
+    rows = sorted((r["value"], r["weight"]) for r in partials.collect())
+    w_total = sum(w for _, w in rows) or 1.0
+    out = []
+    for q in sorted(q_ppms):
+        target = q / 1_000_000 * w_total
+        cum = 0.0
+        est = rows[-1][0] if rows else None
+        for v, w in rows:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        out.append((q, est))
+    return out
+
+
+def incremental_quantile_update(store, batch_df: DataFrame, col: str,
+                                k: int = 256, *, batch_id: int,
+                                partials_table: str = "quantile_partials"
+                                ) -> None:
+    """Streaming quantile maintenance: append this micro-batch's
+    summary (<= k*P rows) atomically — the quantile member of the
+    incremental-index family (MinHash bands, IVF lists, PCA Gram
+    partials, MG counters). Mergeability makes batch boundaries
+    irrelevant: per-batch collapse errors sum over DISJOINT masses,
+    so the recovered summary keeps the <= 3N/k rank bound no matter
+    how ingestion was batched. Replayed batch ids are skipped before
+    any compute (exactly-once)."""
+    with store.transaction(f"quantile_sketch:{partials_table}",
+                           batch_id) as txn:
+        txn.append(partials_table, quantile_summary(batch_df, col, k))

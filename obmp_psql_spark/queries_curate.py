@@ -2119,3 +2119,171 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (out,) = _cached_pipeline("streammg", spark, sf_dir, build)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary with a rank-error gate (MRL collapse)
+# ---------------------------------------------------------------------------
+
+_QS_K = 256
+_QS_TARGETS = (100_000, 250_000, 500_000, 750_000, 900_000, 990_000)
+
+
+def _qs_oracle(sf_dir: str, name: str = "q_quantile_sketch") -> str:
+    from .queries_text import _aux, _sf_tag
+    dump = _aux(name, _sf_tag(sf_dir))
+    return f"""
+    WITH dump AS (
+      SELECT CAST(q_ppm AS BIGINT) AS q_ppm, est
+      FROM read_parquet('{dump}/*.parquet')
+    ),
+    src AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE value IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM src),
+    sc AS (
+      SELECT d.q_ppm, d.est,
+             (SELECT CAST(count(*) AS BIGINT) FROM src
+               WHERE v < d.est) AS r_lt,
+             (SELECT CAST(count(*) AS BIGINT) FROM src
+               WHERE v <= d.est) AS r_le,
+             (SELECT total FROM n) AS total,
+             d.q_ppm * (SELECT total FROM n) // 1000000 AS target
+      FROM dump d
+    ),
+    e AS (
+      SELECT q_ppm, est, total,
+             CASE WHEN target BETWEEN r_lt AND r_le THEN 0
+                  ELSE least(abs(r_lt - target), abs(r_le - target))
+             END AS err
+      FROM sc
+    )
+    SELECT q_ppm, est,
+           CAST(err * 1000000 // total AS BIGINT) AS rank_err_ppm,
+           CAST(err * {_QS_K} <= 3 * total AS BOOLEAN) AS ok
+    FROM e ORDER BY q_ppm
+    """
+
+
+def _qs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    return ev.select(F.col("value").cast("double").alias("v")) \
+        .filter(F.col("v").isNotNull())
+
+
+def _qs_score(spark: SparkSession, sf_dir: str, ests: list,
+              src: DataFrame, name: str) -> DataFrame:
+    """Publish the estimates, then score rank errors against the
+    Spark-side exact column (one conditional-count aggregation — the
+    est values enter as literals from the sketch-sized estimate
+    list, never via a cross join)."""
+    from .queries_text import _aux, _sf_tag, publish_aux
+
+    aux = _aux(name, _sf_tag(sf_dir))
+    publish_aux(
+        spark.createDataFrame(ests, "q_ppm long, est double"), aux)
+    pairs = [(int(r["q_ppm"]), float(r["est"]))
+             for r in spark.read.parquet(aux).collect()]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, (_, est) in enumerate(pairs):
+        aggs.append(F.sum((F.col("v") < F.lit(est)).cast("long"))
+                    .alias(f"lt{i}"))
+        aggs.append(F.sum((F.col("v") <= F.lit(est)).cast("long"))
+                    .alias(f"le{i}"))
+    row = src.agg(*aggs).collect()[0]
+    n = int(row["n"])
+    out = []
+    for i, (q, est) in enumerate(pairs):
+        r_lt, r_le = int(row[f"lt{i}"]), int(row[f"le{i}"])
+        target = q * n // 1_000_000
+        err = 0 if r_lt <= target <= r_le \
+            else min(abs(r_lt - target), abs(r_le - target))
+        out.append((q, est, err * 1_000_000 // n, err * _QS_K <= 3 * n))
+    return spark.createDataFrame(
+        out, "q_ppm long, est double, rank_err_ppm long, ok boolean") \
+        .orderBy("q_ppm")
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=_qs_oracle,
+    survey_ref="training-data sketches: mergeable quantile summary "
+               "(MRL collapse) — the quantile member completing the "
+               "sketch family next to HLL (distinct) and Misra-Gries "
+               "(frequency); <= k weighted points per partition, "
+               "associative merge, rank error <= 3N/k gated through "
+               "the parquet handshake (both engines score the same "
+               "published estimates against their own exact ranks)",
+    doc=f"events.value -> per-partition sorted rank-sample summaries "
+        f"(k={_QS_K}, mapInPandas, state independent of partition "
+        f"size) -> concatenate+collapse merge -> p10/p25/p50/p75/p90/"
+        f"p99 estimates published and scored for rank error vs the "
+        f"3N/k bound on both engines",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary replaces a full sort with one sorted-sample pass
+    per partition plus a k*P-row merge — at 100 TB, percentiles
+    without shuffling the column. The gate does not trust the
+    theory: both engines recompute exact ranks of the SAME published
+    estimates, so a collapse off-by-one (the rank-target fencepost)
+    turns the driver row red instead of silently biasing
+    percentiles."""
+    from .operators.sketch import quantile_estimates, quantile_summary
+
+    src = _qs_source(spark, sf_dir)
+    ests = quantile_estimates(quantile_summary(src, "v", _QS_K),
+                              list(_QS_TARGETS))
+    return _qs_score(spark, sf_dir, ests, src, "q_quantile_sketch")
+
+
+@register(
+    "q_stream_quantile_sketch",
+    oracle=lambda sf: _qs_oracle(sf, "q_stream_quantile_sketch"),
+    survey_ref="training-data sketches: STREAMING quantiles — "
+               "per-micro-batch summaries appended atomically to the "
+               "transactional store (the quantile member of the "
+               "incremental-index family); collapse errors sum over "
+               "disjoint batch masses, so the 3N/k bound is "
+               "batch-layout independent",
+    doc=f"3 batches (event_id mod 3) -> incremental_quantile_update "
+        f"(exactly-once txn, replayed batch no-ops) -> merged "
+        f"estimates -> the same published-estimate rank gate as "
+        f"q_quantile_sketch (k={_QS_K})",
+)
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each batch pays one sorted-sample pass over its OWN rows plus
+    a <= k*P-row append; history is never rescanned. The read-side
+    merge concatenates partials and answers from cumulative weights.
+    The gate scores the merged estimates against exact ranks over
+    the FULL column, so a lost append or a double-applied replay
+    turns the driver row red."""
+    from .operators.sketch import (incremental_quantile_update,
+                                   quantile_estimates)
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"],
+                     spark)
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="qsketch_"))
+        for b in range(3):
+            batch = (ev.filter(F.col("event_id") % 3 == b)
+                     .select(F.col("value").cast("double").alias("v"))
+                     .filter(F.col("v").isNotNull()))
+            incremental_quantile_update(store, batch, "v", _QS_K,
+                                        batch_id=b)
+        # replay batch 1: must no-op (txn counter), not double-weight
+        incremental_quantile_update(
+            store, ev.filter(F.col("event_id") % 3 == 1)
+            .select(F.col("value").cast("double").alias("v"))
+            .filter(F.col("v").isNotNull()), "v", _QS_K, batch_id=1)
+        return (store.read("quantile_partials",
+                           schema=spark.createDataFrame(
+                               [], "value double, weight double").schema),)
+
+    (partials,) = _cached_pipeline("qsketch", spark, sf_dir, build)
+    ests = quantile_estimates(partials, list(_QS_TARGETS))
+    return _qs_score(spark, sf_dir, ests, _qs_source(spark, sf_dir),
+                     "q_stream_quantile_sketch")

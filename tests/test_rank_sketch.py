@@ -118,3 +118,53 @@ def test_quantize_bounds(spark):
     assert got[3] == 255        # top cell
     assert got[4] == 255        # hi boundary clamps into the top cell
     assert got[5] == 255        # clamped above
+
+
+def test_quantile_summary_bound_on_hard_distributions(spark):
+    """Rank error of the merged summary stays within 3N/k on skewed,
+    heavy-tied, and pre-sorted inputs, at a deliberately tiny k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from obmp_psql_spark.operators.sketch import (quantile_estimates,
+                                                  quantile_summary)
+
+    k = 32
+    rng = np.random.RandomState(11)
+    cases = {
+        "skewed": np.concatenate([rng.exponential(1, 4000),
+                                  rng.exponential(100, 400)]),
+        "ties": np.repeat(np.arange(40.0), 120),
+        "sorted": np.arange(5000, dtype="float64"),
+    }
+    for name, data in cases.items():
+        df = spark.createDataFrame([(float(v),) for v in data],
+                                   "v double").repartition(8)
+        ests = quantile_estimates(quantile_summary(df, "v", k),
+                                  [100_000, 500_000, 900_000])
+        xs = np.sort(data)
+        n = len(xs)
+        for q, est in ests:
+            target = q * n // 1_000_000
+            r_lt = int(np.searchsorted(xs, est, side="left"))
+            r_le = int(np.searchsorted(xs, est, side="right"))
+            err = 0 if r_lt <= target <= r_le \
+                else min(abs(r_lt - target), abs(r_le - target))
+            assert err * k <= 3 * n, (name, q, err, n)
+
+
+def test_incremental_quantile_replay_is_noop(spark, tmp_path):
+    from obmp_psql_spark.operators.sketch import (
+        incremental_quantile_update, quantile_estimates)
+    from obmp_psql_spark.state import TxnStateStore
+
+    store = TxnStateStore(spark, str(tmp_path / "qs"))
+    df = spark.createDataFrame([(float(i),) for i in range(1000)],
+                               "v double")
+    incremental_quantile_update(store, df, "v", 64, batch_id=0)
+    before = store.read("quantile_partials").count()
+    incremental_quantile_update(store, df, "v", 64, batch_id=0)  # replay
+    assert store.read("quantile_partials").count() == before
+    (q, est), = quantile_estimates(store.read("quantile_partials"),
+                                   [500_000])
+    assert abs(est - 500.0) <= 1000 * 3 / 64
