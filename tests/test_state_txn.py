@@ -552,3 +552,18 @@ def test_run_store_stats_triggers_threshold_compaction(spark, tmp_path):
     after = {i["table_name"]: i for i in store.table_info()}
     assert after["t"]["appends"] == 0
     assert after["t"]["rows"] == 24
+
+
+def test_append_schema_evolution_reads_with_nulls(spark, tmp_path):
+    """Lakehouse-parity schema evolution: an append that ADDS a column
+    is readable alongside older files (old rows surface NULL for the
+    new column), and a later replace consolidates the widened schema."""
+    store = TxnStateStore(spark, str(tmp_path / "evo"))
+    store.append("t", spark.createDataFrame([(1, "a")], "id long, s string"))
+    store.append("t", spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"))
+    got = {r["id"]: (r["s"], r["score"]) for r in store.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    store.overwrite("t", store.read("t"))
+    assert set(store.read("t").columns) == {"id", "s", "score"}
+    assert store.read("t").count() == 2
