@@ -40,6 +40,10 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row aggregate (high-watermark) broadcast for the relative
     # retention window — the scalar-subquery pattern
     "q_retention_purge": "broadcast 1-row watermark aggregate",
+    # two 1-row cohort-total aggregates broadcast onto the fixed
+    # 10-row bin grid — the scalar-subquery pattern, bounded by the
+    # grid not the data
+    "q_drift_psi": "broadcast 1-row cohort totals onto a 10-row bin grid",
     # 1-row corpus-size aggregate broadcast into the idf expression —
     # the same scalar-subquery pattern
     "q_doc_tfidf": "broadcast 1-row corpus-count aggregate (idf)",

@@ -2287,3 +2287,106 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ests = quantile_estimates(partials, list(_QS_TARGETS))
     return _qs_score(spark, sf_dir, ests, _qs_source(spark, sf_dir),
                      "q_stream_quantile_sketch")
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: population stability index between two cohorts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_drift_psi",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id % 2 AS INT) AS half,
+             CAST(least(9, greatest(0, CAST(floor(value) AS BIGINT)))
+                  AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT half, CAST(count(*) AS BIGINT) AS total FROM src
+          GROUP BY half),
+    c AS (SELECT half, bin, CAST(count(*) AS BIGINT) AS cnt FROM src
+          GROUP BY half, bin),
+    grid AS (SELECT b.bin FROM generate_series(0, 9) AS b(bin)),
+    p AS (
+      SELECT g.bin,
+             coalesce((SELECT cnt FROM c WHERE half = 0 AND bin = g.bin),
+                      0) AS c1,
+             coalesce((SELECT cnt FROM c WHERE half = 1 AND bin = g.bin),
+                      0) AS c2,
+             (SELECT total FROM n WHERE half = 0) AS n1,
+             (SELECT total FROM n WHERE half = 1) AS n2
+      FROM grid g
+    ),
+    t AS (
+      SELECT CAST(bin AS BIGINT) AS bin, c1, c2,
+             c1 * 1000000 // n1 + 1 AS p1_ppm,
+             c2 * 1000000 // n2 + 1 AS p2_ppm
+      FROM p
+    ),
+    e AS (
+      SELECT bin, c1, c2, p1_ppm, p2_ppm,
+             CAST(round((p1_ppm - p2_ppm)
+                  * ln(CAST(p1_ppm AS DOUBLE) / p2_ppm)) AS BIGINT)
+               AS term_micro
+      FROM t
+    )
+    SELECT bin, c1, c2, p1_ppm, p2_ppm, term_micro,
+           CAST(sum(term_micro) OVER () AS BIGINT) AS psi_micro
+    FROM e ORDER BY bin
+    """,
+    survey_ref="training-data quality ops: distribution-drift monitor "
+               "— population stability index between two cohorts "
+               "(crawl snapshots / time halves), the gate a pipeline "
+               "runs before mixing a new dump into the training set",
+    doc="value-binned histograms per cohort -> integer-ppm shares "
+        "(+1 smoothing for empty bins) -> per-bin PSI terms rounded "
+        "to integer micro-units BEFORE the sum (order-independent), "
+        "total as a 10-row window",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan + one 20-group aggregate at any corpus size; the PSI
+    arithmetic is integer-ppm with per-bin micro-rounding before the
+    sum, so the verdict is bit-identical on any engine (the
+    q_doc_unigram_ppl convention for transcendental terms). The
+    10-row total window is bounded by the bin grid, not the data."""
+    from pyspark.sql.window import Window as W
+
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    src = (ev.filter(F.col("value").isNotNull())
+           .select((F.col("event_id") % 2).cast("int").alias("half"),
+                   F.least(F.lit(9), F.greatest(
+                       F.lit(0), F.floor("value").cast("bigint")))
+                   .cast("bigint").alias("bin")))
+    c = src.groupBy("half", "bin").agg(F.count(F.lit(1)).cast("long")
+                                       .alias("cnt"))
+    n = src.groupBy("half").agg(F.count(F.lit(1)).cast("long")
+                                .alias("total"))
+    grid = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    h1 = c.filter(F.col("half") == 0).select("bin",
+                                             F.col("cnt").alias("c1"))
+    h2 = c.filter(F.col("half") == 1).select("bin",
+                                             F.col("cnt").alias("c2"))
+    n1 = n.filter(F.col("half") == 0).select(F.col("total").alias("n1"))
+    n2 = n.filter(F.col("half") == 1).select(F.col("total").alias("n2"))
+    p = (grid.join(F.broadcast(h1), "bin", "left")
+         .join(F.broadcast(h2), "bin", "left")
+         .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+         .select("bin",
+                 F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+                 F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+                 "n1", "n2"))
+    t = p.select(
+        "bin", "c1", "c2",
+        (F.expr("c1 * 1000000 div n1") + 1).alias("p1_ppm"),
+        (F.expr("c2 * 1000000 div n2") + 1).alias("p2_ppm"))
+    e = t.withColumn(
+        "term_micro",
+        F.round((F.col("p1_ppm") - F.col("p2_ppm"))
+                * F.log(F.col("p1_ppm").cast("double")
+                        / F.col("p2_ppm"))).cast("long"))
+    return e.withColumn(
+        "psi_micro",
+        F.sum("term_micro").over(
+            W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                        W.unboundedFollowing))
+        .cast("long")).orderBy("bin")
