@@ -188,11 +188,18 @@ class Transaction:
         self.meta: dict[str, str] = {}
         self._staged_dirs: list[str] = []
 
-    def replace(self, table: str, df: DataFrame) -> None:
+    def replace(self, table: str, df: DataFrame,
+                write_options: dict | None = None) -> None:
         """Stage a full new snapshot of ``table`` (the result of a
-        MERGE computed by the operator layer)."""
+        MERGE computed by the operator layer). ``write_options``
+        passes parquet writer options through (bloom filters, page
+        sizes) — layout is a property of the staged files, so it
+        rides the same atomic commit as the data."""
         d = self.store._stage_dir(table, "v")
-        df.write.mode("overwrite").parquet(d)
+        w = df.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.parquet(d)
         self._staged_dirs.append(d)
         self.actions.append({"table": table, "kind": "replace",
                              "dir": self.store._rel(d),
@@ -612,7 +619,9 @@ class TxnStateStore:
 
     # -- maintenance ---------------------------------------------------
     def optimize(self, table: str, num_files: int = 8,
-                 zorder: Column | None = None) -> None:
+                 zorder: Column | None = None,
+                 bloom_cols: list[str] | None = None,
+                 bloom_ndv: int = 1_000_000) -> None:
         """Compact a table's current snapshot — replace dir plus all
         accumulated appends — into ``num_files`` range-clustered
         files as ONE atomic replace commit (Delta's ``OPTIMIZE``;
@@ -633,6 +642,15 @@ class TxnStateStore:
         into one clean bucket map (``zorder``/``num_files`` don't
         apply — the bucket hash IS the layout co-located merges
         rely on).
+
+        ``bloom_cols`` writes a parquet bloom filter per named column
+        (``bloom_ndv`` expected distinct values per file): the
+        point-lookup complement to z-order's range pruning — an
+        equality predicate on a high-cardinality key (``hash_id``,
+        where dictionary pages fall back to plain encoding and stop
+        pruning) skips whole row groups on the bloom instead of
+        scanning (measured 27% warm at 4M rows; the win is IO at
+        scale, BENCH_bloom.json).
         """
         spec = self.bucket_spec(table)
         if spec is not None:
@@ -652,8 +670,12 @@ class TxnStateStore:
             df = cluster_by_zorder(df, zorder, num_files)
         else:
             df = df.repartition(num_files)
+        opts = {}
+        for c in bloom_cols or ():
+            opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(bloom_ndv)
         with self.transaction() as txn:
-            txn.replace(table, df)
+            txn.replace(table, df, write_options=opts or None)
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove data dirs not referenced by the current snapshot:

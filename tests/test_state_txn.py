@@ -567,3 +567,30 @@ def test_append_schema_evolution_reads_with_nulls(spark, tmp_path):
     store.overwrite("t", store.read("t"))
     assert set(store.read("t").columns) == {"id", "s", "score"}
     assert store.read("t").count() == 2
+
+
+def test_optimize_bloom_filter_layout(spark, tmp_path):
+    """optimize(bloom_cols=...) writes parquet bloom filters (visible
+    as a deterministic file-size increase for the same data + layout)
+    and the compacted table reads back identically."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(
+        F.md5(F.col("id").cast("string")).alias("hash_id"),
+        F.col("id"))
+    sizes = {}
+    for tag, cols in (("plain", None), ("bloom", ["hash_id"])):
+        store = TxnStateStore(spark, str(tmp_path / tag))
+        store.append("t", df)
+        store.optimize("t", num_files=2, bloom_cols=cols, bloom_ndv=20000)
+        files = [os.path.join(dp, f)
+                 for p in store.current_paths("t")
+                 for dp, _, fs in os.walk(p)
+                 for f in fs if f.endswith(".parquet")]
+        assert len(files) == 2
+        sizes[tag] = sum(os.path.getsize(f) for f in files)
+        assert store.read("t").count() == 20000
+        # the bloom-pruned point lookup must still find present keys
+        probe = df.limit(1).collect()[0]["hash_id"]
+        assert store.read("t").filter(F.col("hash_id") == probe).count() == 1
+    assert sizes["bloom"] > sizes["plain"]
