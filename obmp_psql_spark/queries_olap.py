@@ -811,3 +811,110 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cnt(s.intersect(e), "intersect")
             .unionAll(cnt(s.exceptAll(e).distinct(), "except"))
             .unionAll(cnt(s.union(e).distinct(), "union")))
+
+
+# ---------------------------------------------------------------------------
+# EWMA rate anomalies: sequential per-key fold with integer arithmetic
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rate_anomaly",
+    oracle=f"""
+    WITH {_EV},
+    src AS (
+      SELECT 'p' || CAST(user_id % 10 AS VARCHAR) AS peer,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute_epoch
+      FROM ev
+    ),
+    cnts AS (
+      SELECT peer, minute_epoch, CAST(count(*) AS BIGINT) AS cnt
+      FROM src GROUP BY peer, minute_epoch
+    ),
+    g AS (
+      SELECT peer,
+             list(minute_epoch ORDER BY minute_epoch) AS ms,
+             list(cnt ORDER BY minute_epoch) AS cs
+      FROM cnts GROUP BY peer
+    ),
+    folded AS (
+      SELECT peer, ms, cs,
+        string_split(string_split(
+          list_reduce(
+            list_prepend('-1#',
+                         list_transform(cs, x -> CAST(x AS VARCHAR))),
+            (acc, x) -> CASE
+              WHEN CAST(split_part(acc, '#', 1) AS BIGINT) < 0
+              THEN x || '#' || split_part(acc, '#', 2) || ',_'
+              ELSE CAST((3 * CAST(split_part(acc, '#', 1) AS BIGINT)
+                         + CAST(x AS BIGINT)) // 4 AS VARCHAR)
+                   || '#' || split_part(acc, '#', 2) || ','
+                   || split_part(acc, '#', 1)
+            END),
+          '#')[2], ',') AS parts
+      FROM g
+    )
+    SELECT peer, ms[g.i] AS minute_epoch, cs[g.i] AS cnt,
+           CASE WHEN parts[g.i + 1] = '_' THEN NULL
+                ELSE CAST(parts[g.i + 1] AS BIGINT) END AS ewma_prev,
+           CAST(CASE WHEN parts[g.i + 1] <> '_'
+                      AND cs[g.i] > 2 * CAST(parts[g.i + 1] AS BIGINT)
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM folded, UNNEST(generate_series(1, len(cs))) AS g(i)
+    """,
+    survey_ref="ops analytics: EWMA rate-anomaly detection over the "
+               "peer update-rate series (the monitoring layer on top "
+               "of A8 update-rate stats) — sequential per-key "
+               "exponential smoothing with all-integer arithmetic",
+    doc="per-(peer, minute) counts -> per-key ordered fold "
+        "ewma' = (3*ewma + x) div 4 carrying the PREVIOUS ewma per "
+        "bucket -> flag cnt > 2*ewma_prev; integer floor division "
+        "at every step so the flags are bit-identical on any engine",
+)
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA is inherently sequential per key, which windows cannot
+    express — the same per-key ordered-fold shape as the BPE merge
+    apply and the OHLC run-length patterns: ONE aggregation builds
+    each key's ordered (minute, count) array (bounded by the series
+    length per key, not the corpus), and the smoothing runs inside
+    ``F.aggregate`` with integer floor division. At 100 TB the
+    per-key series is the retention window's minute count (~40k rows
+    per peer-month) — array-safe; the alternative per-row UDAF would
+    serialize the same state with Python overhead."""
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
+         .alias("peer"),
+        F.expr("cast(ts as long) div 60").alias("minute_epoch"))
+    cnts = (src.groupBy("peer", "minute_epoch")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    g = cnts.groupBy("peer").agg(
+        F.sort_array(F.collect_list(F.struct("minute_epoch", "cnt")))
+         .alias("arr"))
+    cs = F.transform("arr", lambda s: s["cnt"])
+    folded = F.aggregate(
+        cs,
+        F.struct(F.lit(-1).cast("long").alias("e"),
+                 F.array().cast("array<long>").alias("eps")),
+        lambda acc, x: F.struct(
+            F.when(acc["e"] < 0, x)
+             .otherwise(F.floor((acc["e"] * 3 + x) / 4).cast("long"))
+             .alias("e"),
+            F.concat(
+                acc["eps"],
+                F.array(F.when(acc["e"] < 0,
+                               F.lit(None).cast("long"))
+                        .otherwise(acc["e"]))).alias("eps")))
+    z = g.select(
+        "peer",
+        F.arrays_zip(
+            F.transform("arr", lambda s: s["minute_epoch"]),
+            cs, folded["eps"]).alias("z")) \
+        .select("peer", F.explode("z").alias("r"))
+    return z.select(
+        "peer",
+        F.col("r.0").alias("minute_epoch"),
+        F.col("r.1").alias("cnt"),
+        F.col("r.eps").alias("ewma_prev"),
+        (F.col("r.eps").isNotNull()
+         & (F.col("r.1") > 2 * F.col("r.eps"))).cast("int")
+        .alias("is_anomaly"))
