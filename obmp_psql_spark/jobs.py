@@ -211,6 +211,24 @@ class JobRunner:
         self.store.checkpoint_log()
         return removed
 
+    def run_maintenance(self, compact_when_appends: int = 8,
+                        vacuum_age_seconds: float = 3600.0) -> dict:
+        """One-call operational cycle, the cron entry a deployment
+        schedules between ingest triggers: measure (store stats, the
+        show_table_info report), act (threshold compaction for any
+        table whose append backlog crossed the line — the 149x scan
+        tax guard), reclaim (age-gated vacuum), fold (commit-log
+        checkpoint, via run_vacuum). Returns what it saw and did so
+        the run is auditable: {'stats': [...], 'compacted': [...],
+        'vacuumed': [...]}."""
+        stats = self.run_store_stats(
+            compact_when_appends=compact_when_appends)
+        compacted = [i["table_name"] for i in stats
+                     if i["appends"] >= compact_when_appends]
+        removed = self.run_vacuum(min_age_seconds=vacuum_age_seconds)
+        return {"stats": stats, "compacted": compacted,
+                "vacuumed": removed}
+
     # every add_retention_policy in the reference schema, as
     # (table, timestamp column, window) — 1_base.sql:236,261,369,
     # 539,635,698; 2_aggregations.sql:28,54,81,161,414,464;

@@ -594,3 +594,24 @@ def test_optimize_bloom_filter_layout(spark, tmp_path):
         probe = df.limit(1).collect()[0]["hash_id"]
         assert store.read("t").filter(F.col("hash_id") == probe).count() == 1
     assert sizes["bloom"] > sizes["plain"]
+
+
+def test_run_maintenance_cycle(spark, tmp_path):
+    """measure -> compact -> vacuum -> checkpoint in one call, with an
+    auditable report of what it saw and did."""
+    from obmp_psql_spark.jobs import JobRunner
+
+    store = TxnStateStore(spark, str(tmp_path / "mx"))
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    for _ in range(4):
+        store.append("busy", df)
+    store.append("quiet", df)
+    report = JobRunner(store).run_maintenance(compact_when_appends=3,
+                                              vacuum_age_seconds=0.0)
+    assert report["compacted"] == ["busy"]
+    after = {i["table_name"]: i for i in store.table_info()}
+    assert after["busy"]["appends"] == 0 and after["busy"]["rows"] == 24
+    assert after["quiet"]["appends"] == 1
+    # vacuum(0) reclaimed the superseded pre-compaction files
+    assert isinstance(report["vacuumed"], list)
+    assert store.read("busy").count() == 24
