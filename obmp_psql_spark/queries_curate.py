@@ -2390,3 +2390,125 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy().rowsBetween(W.unboundedPreceding,
                                         W.unboundedFollowing))
         .cast("long")).orderBy("bin")
+
+
+def _stream_psi_oracle(sf_dir: str) -> str:
+    """Reference histogram = batch 0 (event_id % 3 = 0); each later
+    batch scores against it with the identical integer-ppm PSI."""
+    parts = [f"""src AS (
+      SELECT CAST(event_id % 3 AS INT) AS b,
+             CAST(least(9, greatest(0, CAST(floor(value) AS BIGINT)))
+                  AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT b, CAST(count(*) AS BIGINT) AS total FROM src GROUP BY b),
+    c AS (SELECT b, bin, CAST(count(*) AS BIGINT) AS cnt FROM src
+          GROUP BY b, bin),
+    grid AS (SELECT bb.b, g.bin
+             FROM generate_series(1, 2) AS bb(b)
+             CROSS JOIN generate_series(0, 9) AS g(bin))"""]
+    sel = f"""
+    SELECT CAST(g.b AS INT) AS batch_id, CAST(g.bin AS BIGINT) AS bin,
+           coalesce(r.cnt, 0) AS ref_cnt, coalesce(x.cnt, 0) AS cnt,
+           coalesce(r.cnt, 0) * 1000000
+             // (SELECT total FROM n WHERE b = 0) + 1 AS p_ref_ppm,
+           coalesce(x.cnt, 0) * 1000000
+             // (SELECT total FROM n WHERE b = g.b) + 1 AS p_ppm
+    FROM grid g
+    LEFT JOIN (SELECT bin, cnt FROM c WHERE b = 0) r ON r.bin = g.bin
+    LEFT JOIN c x ON x.b = g.b AND x.bin = g.bin"""
+    return f"""
+    WITH {','.join(parts)},
+    p AS ({sel}),
+    e AS (
+      SELECT batch_id, bin, ref_cnt, cnt, p_ref_ppm, p_ppm,
+             CAST(round((p_ref_ppm - p_ppm)
+                  * ln(CAST(p_ref_ppm AS DOUBLE) / p_ppm)) AS BIGINT)
+               AS term_micro
+      FROM p
+    )
+    SELECT batch_id, bin, ref_cnt, cnt, p_ref_ppm, p_ppm, term_micro,
+           CAST(sum(term_micro) OVER (PARTITION BY batch_id) AS BIGINT)
+             AS psi_micro
+    FROM e ORDER BY batch_id, bin
+    """
+
+
+@register(
+    "q_stream_drift_psi",
+    oracle=_stream_psi_oracle,
+    survey_ref="training-data quality ops: STREAMING drift — the "
+               "reference histogram is committed to the txn store by "
+               "the first batch and every later micro-batch scores "
+               "its own distribution against it (the drift member of "
+               "the incremental family; the gate a pipeline runs on "
+               "each arriving crawl shard before admitting it)",
+    doc="batch 0 histogram -> atomic store commit as drift_ref; "
+        "batches 1..2 (event_id mod 3) -> per-batch histograms "
+        "scored vs the STORED reference with q_drift_psi's "
+        "integer-micro PSI; replayed batch no-ops (txn counter)",
+)
+def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference histogram is 10 rows in the store — each batch
+    pays one scan of its OWN rows plus a 10-row broadcast join, so
+    drift scoring is O(batch) regardless of corpus history. PSI
+    terms follow the micro-rounding convention, so the verdict is
+    engine-stable."""
+    from pyspark.sql.window import Window as W
+
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"],
+                     spark)
+        src = (ev.filter(F.col("value").isNotNull())
+               .select((F.col("event_id") % 3).cast("int").alias("b"),
+                       F.least(F.lit(9), F.greatest(
+                           F.lit(0), F.floor("value").cast("bigint")))
+                       .cast("bigint").alias("bin")))
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="drift_"))
+        hist0 = (src.filter(F.col("b") == 0).groupBy("bin")
+                 .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        with store.transaction("drift_ref", 0) as txn:
+            txn.replace("drift_ref", hist0)
+        with store.transaction("drift_ref", 0) as txn:  # replay: no-op
+            txn.replace("drift_ref", hist0.limit(0))
+        ref = store.read("drift_ref",
+                         schema=hist0.schema).collect()
+        ref_n = sum(r["cnt"] for r in ref)
+        ref_map = {int(r["bin"]): int(r["cnt"]) for r in ref}
+        grid = spark.createDataFrame(
+            [(b, bin, ref_map.get(bin, 0))
+             for b in (1, 2) for bin in range(10)],
+            "batch_id int, bin long, ref_cnt long")
+        hist = (src.filter(F.col("b") > 0)
+                .groupBy(F.col("b").alias("batch_id"), "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        n = (src.filter(F.col("b") > 0).groupBy(F.col("b").alias("batch_id"))
+             .agg(F.count(F.lit(1)).cast("long").alias("total")))
+        p = (grid.join(F.broadcast(hist), ["batch_id", "bin"], "left")
+             .join(F.broadcast(n), "batch_id")
+             .select("batch_id", "bin", "ref_cnt",
+                     F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+                     (F.lit(ref_n)).alias("ref_n"), "total"))
+        t = p.select(
+            "batch_id", "bin", "ref_cnt", "cnt",
+            (F.expr("ref_cnt * 1000000 div ref_n") + 1).alias("p_ref_ppm"),
+            (F.expr("cnt * 1000000 div total") + 1).alias("p_ppm"))
+        e = t.withColumn(
+            "term_micro",
+            F.round((F.col("p_ref_ppm") - F.col("p_ppm"))
+                    * F.log(F.col("p_ref_ppm").cast("double")
+                            / F.col("p_ppm"))).cast("long"))
+        out = e.withColumn(
+            "psi_micro",
+            F.sum("term_micro").over(W.partitionBy("batch_id"))
+            .cast("long"))
+        return (out,)
+
+    (out,) = _cached_pipeline("streamdrift", spark, sf_dir, build)
+    return out.orderBy("batch_id", "bin")
