@@ -171,18 +171,13 @@ class JobRunner:
                        target_partitions: int = 8) -> None:
         """Small-file compaction for append-heavy logs (every
         micro-batch appends a few files; Delta OPTIMIZE equivalent).
-        Rewrites the current version coalesced; the commit swap keeps
-        readers safe. Bucketed state tables are rewritten through
-        ``replace_bucketed`` with their committed key/bucket spec so
-        compaction never silently de-buckets a table."""
-        df = self.store.read(table)
-        spec = self.store.bucket_spec(table)
-        with self.store.transaction() as txn:
-            if spec:
-                key_cols, n = spec
-                txn.replace_bucketed(table, df, key_cols, n)
-            else:
-                txn.replace(table, df.coalesce(target_partitions))
+        Delegates to ``TxnStateStore.optimize``, which picks the
+        layout-preserving rewrite: bucketed tables re-stage through
+        ``replace_bucketed`` with their committed key/bucket spec
+        (never silently de-bucketed), chunked log tables re-cluster
+        by range on their recorded chunk column (min/max pruning
+        survives compaction), everything else coalesces."""
+        self.store.optimize(table, num_files=target_partitions)
         # fold the commit-log prefix into a checkpoint record so log
         # replay stays O(recent) under continuous micro-batching
         self.store.checkpoint_log()

@@ -101,7 +101,8 @@ class _Snapshot:
     def _new_tab() -> dict:
         return {"replace": None, "appends": [], "history": [],
                 "n_buckets": None, "buckets": {}, "key_cols": None,
-                "append_parts": {}}  # append dir -> partition values
+                "append_parts": {},  # append dir -> partition values
+                "partition_col": None}  # the recorded chunk column
 
     def apply(self, version: int, commit: dict) -> None:
         self.version = version
@@ -152,6 +153,8 @@ class _Snapshot:
                     tab["appends"].append(act["dir"])
                     if act.get("partitions"):
                         tab["append_parts"][act["dir"]] = act["partitions"]
+                    if act.get("partition_col"):
+                        tab["partition_col"] = act["partition_col"]
             elif act["kind"] == "drop_appends":
                 # retention metadata-drop: whole expired append dirs
                 # leave the snapshot without any data rewrite (the
@@ -226,6 +229,7 @@ class Transaction:
         act = {"table": table, "kind": "append",
                "dir": self.store._rel(d)}
         if partition_by:
+            act["partition_col"] = partition_by
             act["partitions"] = sorted(
                 r[0] for r in df.select(
                     F.col(partition_by).cast("string"))
@@ -665,9 +669,20 @@ class TxnStateStore:
                                      n_buckets=n_buckets)
             return
         df = self.read(table)
+        part_col = (self.snapshot().tables.get(table) or {}) \
+            .get("partition_col")
         if zorder is not None:
             from .operators.layout import cluster_by_zorder
             df = cluster_by_zorder(df, zorder, num_files)
+        elif part_col is not None and part_col in df.columns:
+            # chunked log tables: a hash repartition would DESTROY the
+            # range clustering the append path established (each file
+            # covering a contiguous chunk range is what lets parquet
+            # min/max stats prune time predicates, finding #21's same
+            # mechanism) — compact by range on the recorded chunk
+            # column so pruning survives compaction
+            df = df.repartitionByRange(num_files, F.col(part_col)) \
+                .sortWithinPartitions(part_col)
         else:
             df = df.repartition(num_files)
         opts = {}
@@ -735,6 +750,8 @@ class TxnStateStore:
                        "dir": d, "has_files": True}
                 if d in tab["append_parts"]:
                     act["partitions"] = tab["append_parts"][d]
+                if tab["partition_col"]:
+                    act["partition_col"] = tab["partition_col"]
                 actions.append(act)
         record = {"actions": actions, "meta": base.meta, "ts": time.time(),
                   "checkpoint_of": base.version,

@@ -615,3 +615,39 @@ def test_run_maintenance_cycle(spark, tmp_path):
     # vacuum(0) reclaimed the superseded pre-compaction files
     assert isinstance(report["vacuumed"], list)
     assert store.read("busy").count() == 24
+
+
+def test_optimize_preserves_chunk_range_clustering(spark, tmp_path):
+    """Compacting a chunked log table must keep range clustering on
+    the recorded chunk column: post-OPTIMIZE files cover DISJOINT
+    chunk ranges (parquet min/max prune time predicates), surviving
+    a commit-log checkpoint of the partition_col metadata."""
+    import pyarrow.parquet as pq
+
+    store = TxnStateStore(spark, str(tmp_path / "rng"))
+    df = spark.createDataFrame(
+        [(i, str(i % 24)) for i in range(4800)], "id long, hr string")
+    for k in range(4):
+        store.append("log", df.filter(F.col("id") % 4 == k),
+                     partition_by="hr")
+    store.checkpoint_log(keep=2)  # partition_col must survive folding
+    store.optimize("log", num_files=4)
+    files = [os.path.join(dp, f)
+             for p in store.current_paths("log")
+             for dp, _, fs in os.walk(p)
+             for f in fs if f.endswith(".parquet")]
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("hr")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # disjoint (touching allowed)
+    assert store.read("log").count() == 4800
