@@ -68,12 +68,18 @@ def main() -> None:
                      "load_before": [round(x, 2) for x in os.getloadavg()],
                      "triggers": {}}
 
-    for trig in TRIGGERS:
+    # (trigger, rib_buckets): the bucketed sink variant runs at the
+    # representative 1 s trigger — merge_buckets rewrites only the
+    # buckets the batch touches, trading a bucket-prune distinct for
+    # smaller writes; this measures which side wins at gate scale
+    configs = [(t, None) for t in TRIGGERS] + [("1 second", 32)]
+    for trig, buckets in configs:
+        tag = trig if buckets is None else f"{trig} bucketed"
         root = tempfile.mkdtemp(prefix="lat_store_")
         srcdir = tempfile.mkdtemp(prefix="lat_src_")
         ckpt = tempfile.mkdtemp(prefix="lat_ckpt_")
         store = TxnStateStore(spark, root)
-        ing = BmpStreamingIngest(spark, store)
+        ing = BmpStreamingIngest(spark, store, rib_buckets=buckets)
         q = ing.start_file_stream("unicast_prefix", srcdir, ckpt,
                                   available_now=False,
                                   trigger_interval=trig)
@@ -85,7 +91,11 @@ def main() -> None:
             # commit record, which would register as instant latency
             n = 0
             for name in os.listdir(log_dir):
-                if not name.endswith(".json"):
+                # skip the committer's fsync'd .tmp_* staging entry —
+                # it transiently holds the SAME content as the final
+                # linked name and otherwise double-counts an in-flight
+                # commit (observed as false ~0 ms rounds)
+                if not name.endswith(".json") or name.startswith("."):
                     continue
                 try:
                     with open(os.path.join(log_dir, name)) as f:
@@ -118,14 +128,14 @@ def main() -> None:
         finally:
             q.stop()
         warm, steady = lats[0], lats[1:]
-        results["triggers"][trig] = {
+        results["triggers"][tag] = {
             "warmup_s": warm,
             "min_s": min(steady),
             "median_s": round(statistics.median(steady), 3),
             "p95_s": round(sorted(steady)[int(0.95 * (len(steady) - 1))], 3),
             "all_s": steady,
         }
-        print(trig, json.dumps(results["triggers"][trig]), flush=True)
+        print(tag, json.dumps(results["triggers"][tag]), flush=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
     results["load_after"] = [round(x, 2) for x in os.getloadavg()]
