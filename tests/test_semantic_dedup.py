@@ -133,3 +133,47 @@ def test_incremental_semantic_dedup_replay_and_crossbatch(spark):
     assert all(r.kept == 1 for r in rows if r.batch_id == 0)
     for c in clones:  # same cluster as the source (identical vector)
         assert by_id[c.dup_of].cluster_id == c.cluster_id
+
+
+def test_band_oversized_clusters_coband_and_cap(spark):
+    """Centered-LSH pre-banding: near-identical vectors in an
+    oversized cluster land in the SAME sub-block (the recall
+    property), opposite-side vectors split, under-cap clusters pass
+    through whole, and the residual hash cap bounds occupancy."""
+    import numpy as np
+    from collections import Counter
+
+    from obmp_psql_spark.operators.similarity import band_oversized_clusters
+
+    rng = np.random.RandomState(3)
+    rows = []
+    # oversized cluster 1: two tight antipodal lobes around a centroid
+    for i in range(60):
+        v = (np.array([10.0, 0.0, 0.0])
+             + (1 if i % 2 == 0 else -1) * np.array([1.0, 1.0, 1.0])
+             + rng.normal(0, 0.01, 3))
+        rows.append((i, 1, [float(x) for x in v]))
+    # near-duplicate pair injected into the same lobe
+    rows.append((900, 1, [11.0, 1.0, 1.0]))
+    rows.append((901, 1, [11.0, 1.0, 1.0001]))
+    # under-cap cluster 2
+    for i in range(10):
+        rows.append((1000 + i, 2, [0.0, 5.0, float(i) * 0.01]))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, cluster_id long, "
+                               "embedding array<double>")
+    assigned = df.select("vec_id", "cluster_id")
+    out = band_oversized_clusters(assigned, df, max_cluster_size=40,
+                                  n_planes=2).collect()
+    assert len(out) == len(rows)
+    key = {r.vec_id: r.cluster_id for r in out}
+    # the near-dup pair co-bands (this is the whole point)
+    assert key[900] == key[901]
+    # under-cap cluster: exactly one block
+    assert len({key[1000 + i] for i in range(10)}) == 1
+    # residual cap holds
+    occ = Counter(key.values())
+    assert max(occ.values()) <= 40
+    # banding actually split the oversized cluster
+    big_blocks = {key[i] for i in range(60)}
+    assert len(big_blocks) >= 2
