@@ -202,26 +202,6 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id",
         batches, schema=META_SCHEMA)
 
 
-def sample_frames(df: DataFrame, id_col: str = "doc_id",
-                  payload_col: str = "payload", every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits (doc_id, frame_index,
-    frame_payload) rows; the decoder is stubbed to slice the payload
-    deterministically (a real impl hands the batch to ffmpeg)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
-        for pdf in it:
-            for did, p in zip(pdf[id_col], pdf[payload_col]):
-                n_frames = max(1, len(p) // 100)
-                for i in range(0, n_frames, every_n):
-                    rows.append((did, i, p[i * 100:(i + 1) * 100]))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame_payload"])
-            rows = []
-
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        batches, schema="doc_id long, frame_index int, frame_payload binary")
-
-
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
                   id_col: str = "doc_id", payload_col: str = "payload",
                   kernel: str = "auto") -> DataFrame:
@@ -589,9 +569,10 @@ def sample_video_frames(df: DataFrame, id_col: str = "doc_id",
     frames by walking the actual headers (``split_netpbm_stream``)
     and emit every ``every_n``-th frame as its own payload row —
     (doc_id, frame_index, frame_payload). Unparseable payloads yield
-    no rows (same skip contract as an undecodable image). Supersedes
-    the fixed-stride slicing stub ``sample_frames`` whenever the
-    payload is an actual netpbm stream."""
+    no rows (same skip contract as an undecodable image). Compressed
+    containers (mp4 etc.) belong to an ffmpeg-equipped deployment;
+    the Spark-side contract — batch iteration, schema, per-frame
+    payload rows — is identical."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
