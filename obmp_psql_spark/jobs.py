@@ -182,20 +182,29 @@ class JobRunner:
         # replay stays O(recent) under continuous micro-batching
         self.store.checkpoint_log()
 
+    @staticmethod
+    def needs_compaction(info: dict, threshold: int) -> bool:
+        """THE compaction predicate — one definition so the stats
+        report, the inline hook, and the maintenance cycle can never
+        disagree about what was compacted."""
+        return info["appends"] >= threshold
+
     def run_store_stats(self, compact_when_appends: int | None = None
                         ) -> list[dict]:
         """The ``show_table_info()`` ops report (5_functions.sql:13-35)
         over the txn store — per-table live files / footer rows / bytes
         / appends-since-replace — and, when ``compact_when_appends`` is
         set, the compaction-cadence decision it exists to feed: any
-        table whose accumulated append count reaches the threshold is
-        compacted in place (BENCH_compaction: 149x scan tax when this
-        is missed). Returns the stats as measured BEFORE compaction."""
+        table for which ``needs_compaction`` holds is compacted in
+        place through the layout-preserving ``optimize``
+        (BENCH_compaction: 149x scan tax when this is missed; log
+        folding is left to the vacuum/maintenance cadence). Returns
+        the stats as measured BEFORE compaction."""
         stats = self.store.table_info()
         if compact_when_appends is not None:
             for info in stats:
-                if info["appends"] >= compact_when_appends:
-                    self.run_compaction(info["table_name"])
+                if self.needs_compaction(info, compact_when_appends):
+                    self.store.optimize(info["table_name"])
         return stats
 
     def run_vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
@@ -219,7 +228,7 @@ class JobRunner:
         stats = self.run_store_stats(
             compact_when_appends=compact_when_appends)
         compacted = [i["table_name"] for i in stats
-                     if i["appends"] >= compact_when_appends]
+                     if self.needs_compaction(i, compact_when_appends)]
         removed = self.run_vacuum(min_age_seconds=vacuum_age_seconds)
         return {"stats": stats, "compacted": compacted,
                 "vacuumed": removed}

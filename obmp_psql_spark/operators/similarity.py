@@ -874,8 +874,20 @@ def band_oversized_clusters(assignments: DataFrame, vectors: DataFrame,
               .select(F.col(id_col),
                       (widened + code(F.col("__v"), F.col("__cent")))
                       .alias(cluster_col)))
+    # assignment rows whose id has no vector (retention-trimmed
+    # embeddings, caller-filtered vector table) must NOT vanish from
+    # the published blocking table — route them to a deterministic
+    # pseudo-band by id hash instead (the residual cap still bounds
+    # whatever lands together)
+    unbanded = (big.join(vectors.select(F.col(id_col)), id_col,
+                         "left_anti")
+                .select(F.col(id_col),
+                        (widened + F.pmod(F.xxhash64(F.col(id_col)),
+                                          F.lit(1 << n_planes)))
+                        .alias(cluster_col)))
     return shard_oversized_clusters(
-        small.unionByName(banded), id_col=id_col, cluster_col=cluster_col,
+        small.unionByName(banded).unionByName(unbanded),
+        id_col=id_col, cluster_col=cluster_col,
         max_cluster_size=max_cluster_size)
 
 

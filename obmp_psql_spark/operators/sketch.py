@@ -142,16 +142,30 @@ def quantile_summary(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     sum to the partition's), one per partition, one at the final
     merge — each level contributes <= N/k over the whole mass.
 
-    100 TB shape: one sorted-sample pass per partition (state <= 2k
-    points regardless of partition size), a k*P-row result, no
-    shuffle of the data itself. The exact percentile it replaces
-    sorts the full column.
+    100 TB shape: one sorted-sample pass per partition with task
+    state bounded at ~128k weighted points regardless of partition
+    size (two-level chunked folding over Arrow batches), a k*P-row
+    result, no shuffle of the data itself. The exact percentile it
+    replaces sorts the full column.
     """
     def summarize(batches):
         import numpy as np
         import pandas as pd
 
-        vs, ws = [], []
+        def fold(vs, ws):
+            v = np.concatenate(vs)
+            w = np.concatenate(ws)
+            order = np.argsort(v, kind="stable")
+            return _compress(v[order], w[order], k)
+
+        # two-level chunked accumulation keeps task state bounded at
+        # ~128k points no matter how many Arrow batches a partition
+        # has: every 64 batch summaries fold into one level-2 summary
+        # (disjoint masses, so each fold level adds <= N_p/k rank
+        # error total). Up to 64*64 batches that is one extra level;
+        # the documented 3N/k bound covers <= 64 batches/partition
+        # and degrades by +N/k per additional fold level beyond it.
+        lvl2_v, lvl2_w, vs, ws = [], [], [], []
         for pdf in batches:
             v = pdf[col].to_numpy(dtype="float64")
             v = np.sort(v[~np.isnan(v)])
@@ -160,11 +174,16 @@ def quantile_summary(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             cv, cw = _compress(v, np.ones(len(v)), k)
             vs.append(cv)
             ws.append(cw)
-        if vs:
-            v = np.concatenate(vs)
-            w = np.concatenate(ws)
-            order = np.argsort(v, kind="stable")
-            v, w = _compress(v[order], w[order], k)
+            if len(vs) >= 64:
+                fv, fw = fold(vs, ws)
+                lvl2_v.append(fv)
+                lvl2_w.append(fw)
+                vs, ws = [], []
+                if len(lvl2_v) >= 64:
+                    fv, fw = fold(lvl2_v, lvl2_w)
+                    lvl2_v, lvl2_w = [fv], [fw]
+        if vs or lvl2_v:
+            v, w = fold(lvl2_v + vs, lvl2_w + ws)
             yield pd.DataFrame({"value": v, "weight": w})
 
     return df.select(F.col(col).cast("double").alias(col)) \

@@ -2382,17 +2382,25 @@ def _bpe_train_oracle(final_select: str | None = None) -> str:
         parts.append(
             f"m{i} AS (SELECT lhs, rhs, n FROM p{i} "
             f"ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1)")
+        # sentinel-coalesced twin: if a round has NO candidate pairs
+        # (vocab exhausted before the last round), the cross join must
+        # not annihilate later CTEs — an impossible merge pair makes
+        # w{i+1} = w{i}, matching the Spark side's loop break
+        parts.append(
+            f"mm{i} AS (SELECT "
+            f"coalesce((SELECT lhs FROM m{i}), chr(1)) AS lhs, "
+            f"coalesce((SELECT rhs FROM m{i}), chr(1)) AS rhs)")
         parts.append(f"""w{i + 1} AS (
   SELECT word, freq,
     string_split(
       list_reduce(s, (acc, x) -> CASE
         WHEN list_extract(string_split(acc, chr(31)),
-                          len(string_split(acc, chr(31)))) = m{i}.lhs
-             AND x = m{i}.rhs
-        THEN left(acc, len(acc) - len(m{i}.lhs)) || m{i}.lhs || m{i}.rhs
+                          len(string_split(acc, chr(31)))) = mm{i}.lhs
+             AND x = mm{i}.rhs
+        THEN left(acc, len(acc) - len(mm{i}.lhs)) || mm{i}.lhs || mm{i}.rhs
         ELSE acc || chr(31) || x END),
       chr(31)) AS s
-  FROM w{i} CROSS JOIN m{i}
+  FROM w{i} CROSS JOIN mm{i}
 )""")
     sel = " UNION ALL ".join(
         f"SELECT {i} AS step, lhs, rhs, n FROM m{i}"

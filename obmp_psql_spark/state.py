@@ -116,15 +116,22 @@ class _Snapshot:
                 tab["history"].extend(tab["appends"])
                 tab["history"].extend(sorted(set(tab["buckets"].values())))
                 tab["appends"] = []
+                tab["append_parts"] = {}  # chunk metadata of superseded appends
                 tab["buckets"] = {}
                 tab["n_buckets"] = None
                 tab["replace"] = act["dir"] if act.get("has_files") else None
+                # a checkpoint's folded replace carries the recorded
+                # chunk column so range-preserving compaction survives
+                # log folding even when no append action remains live
+                if act.get("partition_col"):
+                    tab["partition_col"] = act["partition_col"]
             elif act["kind"] == "replace_bucketed":
                 tab["history"].extend(tab["appends"])
                 tab["history"].extend(sorted(set(tab["buckets"].values())))
                 if tab["replace"] is not None:
                     tab["history"].append(tab["replace"])
                 tab["appends"] = []
+                tab["append_parts"] = {}
                 tab["replace"] = None
                 tab["n_buckets"] = int(act["n_buckets"])
                 tab["key_cols"] = act.get("key_cols")
@@ -737,8 +744,11 @@ class TxnStateStore:
         actions = []
         for table, tab in base.tables.items():
             if tab["replace"]:
-                actions.append({"table": table, "kind": "replace",
-                                "dir": tab["replace"], "has_files": True})
+                act = {"table": table, "kind": "replace",
+                       "dir": tab["replace"], "has_files": True}
+                if tab["partition_col"]:
+                    act["partition_col"] = tab["partition_col"]
+                actions.append(act)
             if tab["buckets"]:
                 actions.append({"table": table, "kind": "checkpoint_buckets",
                                 "n_buckets": tab["n_buckets"],

@@ -177,3 +177,11 @@ def test_band_oversized_clusters_coband_and_cap(spark):
     # banding actually split the oversized cluster
     big_blocks = {key[i] for i in range(60)}
     assert len(big_blocks) >= 2
+    # an assignment row with NO vector must survive into the published
+    # blocking table (round-8 review regression: inner join dropped it)
+    assigned2 = assigned.unionByName(
+        spark.createDataFrame([(5000, 1)], "vec_id long, cluster_id long"))
+    out2 = band_oversized_clusters(assigned2, df, max_cluster_size=40,
+                                   n_planes=2).collect()
+    assert len(out2) == len(rows) + 1
+    assert any(r.vec_id == 5000 for r in out2)

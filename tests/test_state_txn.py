@@ -651,3 +651,40 @@ def test_optimize_preserves_chunk_range_clustering(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges  # disjoint (touching allowed)
     assert store.read("log").count() == 4800
+
+
+def test_partition_col_survives_replace_only_checkpoint(spark, tmp_path):
+    """Round-8 review regression: after compaction folds every append
+    into a replace, a commit-log checkpoint must still carry the
+    recorded chunk column — and a FRESH store replaying the folded
+    log must range-cluster the next optimize, not hash-repartition."""
+    store = TxnStateStore(spark, str(tmp_path / "pc"))
+    df = spark.createDataFrame([(i, str(i % 4)) for i in range(64)],
+                               "id long, hr string")
+    for k in range(3):
+        store.append("log", df.filter(F.col("id") % 3 == k),
+                     partition_by="hr")
+    store.optimize("log", num_files=2)   # live state is now replace-only
+    for _ in range(12):                  # bury the appends, then fold
+        store.append("other", df.limit(1))
+    store.checkpoint_log(keep=2)
+    fresh = TxnStateStore(spark, str(tmp_path / "pc"))
+    assert fresh.snapshot().tables["log"]["partition_col"] == "hr"
+    # and stale chunk metadata does not leak into the stats report
+    info = {i["table_name"]: i for i in fresh.table_info()}
+    assert info["log"]["appends"] == 0 and info["log"]["chunks"] == 0
+
+
+def test_replace_clears_stale_chunk_metadata(spark, tmp_path):
+    """table_info must not report phantom chunks after a compaction
+    supersedes the chunked appends (round-8 review regression)."""
+    store = TxnStateStore(spark, str(tmp_path / "ph"))
+    df = spark.createDataFrame([(i, str(i % 2)) for i in range(10)],
+                               "id long, hr string")
+    store.append("t", df, partition_by="hr")
+    info = {i["table_name"]: i for i in store.table_info()}
+    assert info["t"]["chunks"] == 2
+    store.overwrite("t", store.read("t"))
+    info = {i["table_name"]: i for i in store.table_info()}
+    assert info["t"]["appends"] == 0 and info["t"]["chunks"] == 0
+    assert store.append_partitions("t") == {}

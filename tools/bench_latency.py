@@ -132,7 +132,11 @@ def main() -> None:
             "warmup_s": warm,
             "min_s": min(steady),
             "median_s": round(statistics.median(steady), 3),
-            "p95_s": round(sorted(steady)[int(0.95 * (len(steady) - 1))], 3),
+            # nearest-rank p95 (ceil), not a floor index — with 8
+            # samples this is the max, never one rank too optimistic
+            "p95_s": round(sorted(steady)[
+                min(len(steady) - 1,
+                    -(-95 * len(steady) // 100) - 1)], 3),
             "all_s": steady,
         }
         print(tag, json.dumps(results["triggers"][tag]), flush=True)
