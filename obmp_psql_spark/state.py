@@ -257,18 +257,26 @@ class Transaction:
                              "dirs": sorted(dirs)})
 
     def replace_bucketed(self, table: str, df: DataFrame,
-                         key_cols: list[str], n_buckets: int) -> None:
+                         key_cols: list[str], n_buckets: int,
+                         write_options: dict | None = None) -> None:
         """Stage a full snapshot hash-bucketed on the merge key.
         Subsequent ``merge_buckets`` commits rewrite only touched
         buckets — the file-level pruning a lakehouse MERGE does
-        (Delta matched-file rewrite), O(batch) not O(table)."""
+        (Delta matched-file rewrite), O(batch) not O(table).
+        ``write_options`` passes parquet writer options through
+        (bloom filters on the merge key compose with bucketing:
+        the bucket prunes to one dir, the bloom prunes row groups
+        inside it)."""
         d = self.store._stage_dir(table, "b")
         # cluster rows by bucket before the partitioned write: one
         # file per bucket instead of (tasks x buckets) small files
         # (at real scale, size n_buckets so a bucket is ~1 GB)
-        df.withColumn("_bucket", bucket_of(key_cols, n_buckets)) \
+        w = df.withColumn("_bucket", bucket_of(key_cols, n_buckets)) \
             .repartition(n_buckets, "_bucket") \
-            .write.partitionBy("_bucket").mode("overwrite").parquet(d)
+            .write.partitionBy("_bucket").mode("overwrite")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.parquet(d)
         self._staged_dirs.append(d)
         self.actions.append({
             "table": table, "kind": "replace_bucketed",
@@ -663,6 +671,11 @@ class TxnStateStore:
         scanning (measured 27% warm at 4M rows; the win is IO at
         scale, BENCH_bloom.json).
         """
+        bloom_opts = {}
+        for c in bloom_cols or ():
+            bloom_opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            bloom_opts[f"parquet.bloom.filter.expected.ndv#{c}"] = \
+                str(bloom_ndv)
         spec = self.bucket_spec(table)
         if spec is not None:
             if zorder is not None:
@@ -673,7 +686,8 @@ class TxnStateStore:
             with self.transaction() as txn:
                 txn.replace_bucketed(table, self.read(table),
                                      key_cols=key_cols,
-                                     n_buckets=n_buckets)
+                                     n_buckets=n_buckets,
+                                     write_options=bloom_opts or None)
             return
         df = self.read(table)
         part_col = (self.snapshot().tables.get(table) or {}) \
@@ -692,12 +706,8 @@ class TxnStateStore:
                 .sortWithinPartitions(part_col)
         else:
             df = df.repartition(num_files)
-        opts = {}
-        for c in bloom_cols or ():
-            opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
-            opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(bloom_ndv)
         with self.transaction() as txn:
-            txn.replace(table, df, write_options=opts or None)
+            txn.replace(table, df, write_options=bloom_opts or None)
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove data dirs not referenced by the current snapshot:

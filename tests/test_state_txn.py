@@ -594,6 +594,23 @@ def test_optimize_bloom_filter_layout(spark, tmp_path):
         probe = df.limit(1).collect()[0]["hash_id"]
         assert store.read("t").filter(F.col("hash_id") == probe).count() == 1
     assert sizes["bloom"] > sizes["plain"]
+    # bucketed tables compose blooms with the bucket map (same data,
+    # same layout, bloom'd files measurably larger)
+    sizes_b = {}
+    for tag, cols in (("bplain", None), ("bbloom", ["hash_id"])):
+        store = TxnStateStore(spark, str(tmp_path / tag))
+        with store.transaction() as txn:
+            txn.replace_bucketed("t", df, key_cols=["hash_id"],
+                                 n_buckets=4)
+        store.optimize("t", bloom_cols=cols, bloom_ndv=20000)
+        files = [os.path.join(dp, f)
+                 for p in store.current_paths("t")
+                 for dp, _, fs in os.walk(p)
+                 for f in fs if f.endswith(".parquet")]
+        sizes_b[tag] = sum(os.path.getsize(f) for f in files)
+        assert store.read("t").count() == 20000
+        assert store.bucket_spec("t") == (["hash_id"], 4)
+    assert sizes_b["bbloom"] > sizes_b["bplain"]
 
 
 def test_run_maintenance_cycle(spark, tmp_path):
