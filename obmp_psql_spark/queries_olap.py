@@ -817,9 +817,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EWMA rate anomalies: sequential per-key fold with integer arithmetic
 # ---------------------------------------------------------------------------
 
-@register(
-    "q_rate_anomaly",
-    oracle=f"""
+_RATE_ANOMALY_ORACLE = f"""
     WITH {_EV},
     src AS (
       SELECT 'p' || CAST(user_id % 10 AS VARCHAR) AS peer,
@@ -860,7 +858,12 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AND cs[g.i] > 2 * CAST(parts[g.i + 1] AS BIGINT)
                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
     FROM folded, UNNEST(generate_series(1, len(cs))) AS g(i)
-    """,
+    """
+
+
+@register(
+    "q_rate_anomaly",
+    oracle=_RATE_ANOMALY_ORACLE,
     survey_ref="ops analytics: EWMA rate-anomaly detection over the "
                "peer update-rate series (the monitoring layer on top "
                "of A8 update-rate stats) — sequential per-key "
@@ -918,3 +921,109 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.eps").isNotNull()
          & (F.col("r.1") > 2 * F.col("r.eps"))).cast("int")
         .alias("is_anomaly"))
+
+
+@register(
+    "q_stream_rate_anomaly",
+    oracle=_RATE_ANOMALY_ORACLE,
+    survey_ref="ops analytics: STREAMING EWMA anomalies — per-peer "
+               "smoothing state carried across micro-batches in the "
+               "txn store (the monitoring member of the incremental "
+               "family); gated against the IDENTICAL full-series "
+               "oracle, so any batch-boundary seeding error breaks "
+               "the hash",
+    doc="minutes split into 3 consecutive time slices -> per batch: "
+        "seed each peer's fold from the stored EWMA, flag anomalies, "
+        "commit flags + new state atomically (replayed batch no-ops) "
+        "-> accumulated flags must equal the single-pass fold",
+)
+def q_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental == batch is the whole gate: EWMA is a left fold,
+    so folding consecutive time slices seeded with the carried state
+    must reproduce the full-series fold bit-for-bit. Each batch pays
+    one aggregation over its OWN minutes plus a peer-count-sized
+    state replace; history is never rescanned. A wrong seed (state
+    read before commit, replay double-apply, missing peer carry)
+    shifts every later ewma_prev and turns the driver row red."""
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        ev = _events(spark, sf_dir)
+        src = (ev.select(
+            F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
+             .alias("peer"),
+            F.expr("cast(ts as long) div 60").alias("minute_epoch"))
+            .groupBy("peer", "minute_epoch")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .localCheckpoint())
+        lo, hi = src.agg(F.min("minute_epoch"),
+                         F.max("minute_epoch")).collect()[0]
+        width = (int(hi) - int(lo)) // 3 + 1
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="ewma_"))
+        state_schema = "peer string, e long"
+        for b in range(3):
+            batch = src.filter(
+                ((F.col("minute_epoch") - F.lit(int(lo))) / width)
+                .cast("long") == b)
+            state = store.read("ewma_state",
+                               spark.createDataFrame([], state_schema)
+                               .schema)
+            g = (batch.groupBy("peer")
+                 .agg(F.sort_array(
+                     F.collect_list(F.struct("minute_epoch", "cnt")))
+                     .alias("arr"))
+                 .join(state, "peer", "left"))
+            cs = F.transform("arr", lambda s_: s_["cnt"])
+            folded = F.aggregate(
+                cs,
+                F.struct(F.coalesce(F.col("e"), F.lit(-1).cast("long"))
+                         .alias("e"),
+                         F.array().cast("array<long>").alias("eps")),
+                lambda acc, x: F.struct(
+                    F.when(acc["e"] < 0, x)
+                     .otherwise(F.floor((acc["e"] * 3 + x) / 4)
+                                .cast("long")).alias("e"),
+                    F.concat(acc["eps"],
+                             F.array(F.when(acc["e"] < 0,
+                                            F.lit(None).cast("long"))
+                                     .otherwise(acc["e"]))).alias("eps")))
+            z = g.select("peer",
+                         folded["e"].alias("new_e"),
+                         F.arrays_zip(
+                             F.transform("arr",
+                                         lambda s_: s_["minute_epoch"]),
+                             cs, folded["eps"]).alias("z"))
+            flags = (z.select("peer", F.explode("z").alias("r"))
+                     .select("peer",
+                             F.col("r.0").alias("minute_epoch"),
+                             F.col("r.1").alias("cnt"),
+                             F.col("r.eps").alias("ewma_prev"),
+                             (F.col("r.eps").isNotNull()
+                              & (F.col("r.1") > 2 * F.col("r.eps")))
+                             .cast("int").alias("is_anomaly")))
+            new_state = (state.join(z.select("peer"), "peer",
+                                    "left_anti")
+                         .unionByName(z.select(
+                             "peer", F.col("new_e").alias("e"))))
+            with store.transaction("rate_anomaly", b) as txn:
+                txn.append("rate_flags", flags)
+                txn.replace("ewma_state", new_state)
+        # replay batch 1 with REAL rows: if the txn guard failed,
+        # these duplicates would land in rate_flags and break the hash
+        replay = src.filter(
+            ((F.col("minute_epoch") - F.lit(int(lo))) / width)
+            .cast("long") == 1).select(
+            "peer", "minute_epoch", "cnt",
+            F.lit(0).cast("long").alias("ewma_prev"),
+            F.lit(1).cast("int").alias("is_anomaly"))
+        with store.transaction("rate_anomaly", 1) as txn:
+            txn.append("rate_flags", replay)
+        return (store.read("rate_flags"),)
+
+    (flags,) = _cached_pipeline("ewmastream", spark, sf_dir, build)
+    return flags.select("peer", "minute_epoch", "cnt", "ewma_prev",
+                        "is_anomaly")
