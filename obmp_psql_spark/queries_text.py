@@ -2865,6 +2865,94 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "id_checksum"))
 
 
+@register(
+    "q_leakage_split",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    fp AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5({_NORM.format(col='text')}), 1, 12))
+               AS BIGINT) AS fp64
+      FROM corpus
+    ), grp AS (
+      SELECT fp64, min(doc_id) AS group_rep FROM fp GROUP BY fp64
+    ), assigned AS (
+      SELECT fp.doc_id, grp.group_rep,
+             CAST(('0x' || substr(md5('{_SPLIT_SALT}'
+                   || CAST(grp.group_rep AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS gb,
+             CAST(('0x' || substr(md5('{_SPLIT_SALT}'
+                   || CAST(fp.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS nb
+      FROM fp JOIN grp USING (fp64)
+    ), labeled AS (
+      SELECT doc_id, group_rep,
+             CASE WHEN gb < 90 THEN 'train'
+                  WHEN gb < 95 THEN 'val' ELSE 'test' END AS split,
+             CASE WHEN nb < 90 THEN 'train'
+                  WHEN nb < 95 THEN 'val' ELSE 'test' END AS naive_split
+      FROM assigned
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT group_rep) AS BIGINT) AS n_groups,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(count(*) FILTER (WHERE naive_split <> split) AS BIGINT)
+             AS rescued_docs
+    FROM labeled GROUP BY split
+    """,
+    survey_ref="training-data pipeline: leakage-safe train/val/test "
+               "split — the split unit is the DEDUP GROUP, not the "
+               "document, so exact near-copies can never straddle "
+               "train and eval (contamination-by-construction guard; "
+               "composes q_dedup_exact's fingerprint with "
+               "q_train_val_split's hash buckets)",
+    doc="fingerprint-group min-id representative -> hash-bucket the "
+        "REPRESENTATIVE; rescued_docs counts members the naive per-doc "
+        "split would have separated from their group",
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split: every member of an exact-dup cluster gets
+    the cluster representative's bucket. On the clone-augmented corpus
+    the naive per-doc hash provably leaks (doc and its +10000 clone
+    hash independently: ~10% of pairs straddle); the group split
+    leaks zero by construction and `rescued_docs` quantifies the
+    difference. One groupBy + one broadcast-sized join; the
+    fingerprint grain is the same as q_dedup_exact. The rep join keys
+    on fp64 — the same key the groupBy just shuffled on — so the sort
+    -merge join reuses that partitioning rather than re-shuffling;
+    AQE may downgrade it to broadcast when the group table is small,
+    but at 100 TB it is N-sized, so we don't force a broadcast."""
+    c = _corpus(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    fp = c.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(norm), 1, 12), 16, 10)
+         .cast("long").alias("fp64"))
+    grp = fp.groupBy("fp64").agg(F.min("doc_id").alias("group_rep"))
+
+    def bucket(col):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(_SPLIT_SALT), col.cast("string"))),
+            1, 8), 16, 10).cast("long") % 100)
+
+    def label(b):
+        return (F.when(b < 90, "train").when(b < 95, "val")
+                .otherwise("test"))
+
+    assigned = (fp.join(grp, "fp64")
+                .select("doc_id", "group_rep",
+                        label(bucket(F.col("group_rep"))).alias("split"),
+                        label(bucket(F.col("doc_id"))).alias("naive_split")))
+    return (assigned.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("group_rep").cast("long")
+                  .alias("n_groups"),
+                 F.sum("doc_id").cast("long").alias("id_checksum"),
+                 F.sum(F.when(F.col("naive_split") != F.col("split"), 1)
+                        .otherwise(0)).cast("long").alias("rescued_docs")))
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup = k-means clusters -> within-cluster near-dup
 # ---------------------------------------------------------------------------

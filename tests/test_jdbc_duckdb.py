@@ -1,0 +1,201 @@
+"""S5 JDBC sink executed against a REAL embedded database.
+
+The container has no Postgres, but DuckDB speaks the same
+``INSERT ... ON CONFLICT (keys) DO UPDATE SET c=excluded.c`` dialect
+the reference emits (UnicastPrefixQuery.java:24-41), so the full sink
+path — statement generation, batching, per-statement commit, the
+PSQLHandler.java:156-224 retry ladder — runs here against a live DB:
+
+* end-to-end through ``df.foreachPartition`` with MULTIPLE Spark
+  worker processes contending for DuckDB's exclusive file lock — the
+  lock error is classified ``reconnect`` and the losing worker redials
+  until the winner releases, which is precisely the reference's
+  "redial until connect() succeeds" loop under a dropped connection;
+* driver-side ``write_rows_upsert`` with fault-injecting connection
+  wrappers proving each branch: deadlock→backoff-and-replay,
+  connection→reconnect-and-replay, syntax→no retry, retry exhaustion
+  raises (task-level replay is the outer loop; upserts idempotent).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from obmp_psql_spark.sources.jdbc import (
+    classify_sql_error,
+    jdbc_upsert_writer,
+    write_rows_upsert,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k int, v string")
+
+
+def _init_db(path: str) -> None:
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE ip_rib (k INT PRIMARY KEY, v TEXT)")
+    con.close()
+
+
+# ---------------------------------------------------------------- unit
+
+
+class _FlakyConn:
+    """Delegates to a real DuckDB connection, failing the first
+    ``fail_n`` execute() calls with ``err``."""
+
+    def __init__(self, path: str, fail_n: int, err: str, log: list[str]):
+        self._con = duckdb.connect(path)
+        self._fail = fail_n
+        self._err = err
+        self._log = log
+
+    def execute(self, sql: str):
+        if self._fail > 0:
+            self._fail -= 1
+            self._log.append("fail")
+            raise RuntimeError(self._err)
+        self._log.append("exec")
+        return self._con.execute(sql)
+
+    def commit(self):
+        self._con.commit()
+
+    def close(self):
+        self._log.append("close")
+        self._con.close()
+
+
+def _read_all(path: str) -> dict[int, str]:
+    con = duckdb.connect(path)
+    try:
+        return dict(con.execute("SELECT k, v FROM ip_rib").fetchall())
+    finally:
+        con.close()
+
+
+def test_classifier_matches_reference_ladder():
+    assert classify_sql_error(Exception("deadlock detected")) == "backoff"
+    assert classify_sql_error(
+        Exception("TransactionContext Error: write-write conflict")
+    ) == "backoff"
+    assert classify_sql_error(Exception("Broken pipe")) == "reconnect"
+    assert classify_sql_error(
+        Exception("connection reset by peer")) == "reconnect"
+    assert classify_sql_error(Exception(
+        'IO Error: Could not set lock on file "x.db"')) == "reconnect"
+    assert classify_sql_error(
+        Exception('syntax error at or near "FORM"')) == "fatal"
+
+
+def test_deadlock_backoff_replays_statement(spark, tmp_path):
+    db = str(tmp_path / "a.db")
+    _init_db(db)
+    log: list[str] = []
+    naps: list[float] = []
+    n = write_rows_upsert(
+        iter(_rows(spark, [(1, "a"), (2, "b")]).collect()),
+        ["k", "v"], "ip_rib", ["k"],
+        lambda: _FlakyConn(db, 1, "deadlock detected", log),
+        sleep=naps.append)
+    assert n == 1
+    assert log == ["fail", "exec", "close"]  # one nap, one replay
+    assert naps == [0.15]
+    assert _read_all(db) == {1: "a", 2: "b"}
+
+
+def test_connection_error_redials_and_replays(spark, tmp_path):
+    db = str(tmp_path / "b.db")
+    _init_db(db)
+    log: list[str] = []
+    dials = []
+
+    def factory():
+        dials.append(1)
+        return _FlakyConn(db, 1 if len(dials) == 1 else 0,
+                          "connection reset by peer", log)
+
+    write_rows_upsert(
+        iter(_rows(spark, [(1, "a")]).collect()),
+        ["k", "v"], "ip_rib", ["k"], factory, sleep=lambda s: None)
+    assert len(dials) == 2          # broken session replaced
+    assert log == ["fail", "close", "exec", "close"]
+    assert _read_all(db) == {1: "a"}
+
+
+def test_syntax_error_not_retried(spark, tmp_path):
+    db = str(tmp_path / "c.db")
+    _init_db(db)
+    log: list[str] = []
+    with pytest.raises(RuntimeError, match="syntax error"):
+        write_rows_upsert(
+            iter(_rows(spark, [(1, "a")]).collect()),
+            ["k", "v"], "ip_rib", ["k"],
+            lambda: _FlakyConn(db, 99, 'syntax error at or near "FORM"',
+                               log),
+            sleep=lambda s: None)
+    assert log == ["fail", "close"]  # exactly one attempt, no replay
+
+
+def test_retry_exhaustion_raises(spark, tmp_path):
+    db = str(tmp_path / "d.db")
+    _init_db(db)
+    log: list[str] = []
+    with pytest.raises(RuntimeError, match="failed after 3 attempts"):
+        write_rows_upsert(
+            iter(_rows(spark, [(1, "a")]).collect()),
+            ["k", "v"], "ip_rib", ["k"],
+            lambda: _FlakyConn(db, 99, "deadlock detected", log),
+            retries=3, sleep=lambda s: None)
+    assert log.count("fail") == 3
+
+
+def test_statement_batching(spark, tmp_path):
+    db = str(tmp_path / "e.db")
+    _init_db(db)
+    log: list[str] = []
+    n = write_rows_upsert(
+        iter(_rows(spark, [(i, f"v{i}") for i in range(5)]).collect()),
+        ["k", "v"], "ip_rib", ["k"],
+        lambda: _FlakyConn(db, 0, "", log), batch_rows=2)
+    assert n == 3                    # 2 + 2 + 1
+    assert log.count("exec") == 3
+    assert _read_all(db) == {i: f"v{i}" for i in range(5)}
+
+
+# ------------------------------------------------- end-to-end (Spark)
+
+
+def test_foreach_partition_upsert_with_lock_contention(spark, tmp_path):
+    """Two micro-batches, 4 partitions each, through real Spark worker
+    processes into one DuckDB file. Workers race for the exclusive
+    file lock; losers hit 'Could not set lock', classified reconnect,
+    and redial until the holder commits+closes — the container's live
+    rehearsal of the reference's reconnect loop. Second batch
+    overwrites overlapping keys (ON CONFLICT semantics end-to-end)."""
+    db = str(tmp_path / "ee.db")
+    _init_db(db)
+    writer = jdbc_upsert_writer(
+        "ip_rib", ["k"], lambda: duckdb.connect(db),
+        batch_rows=3, retries=120, reconnect_wait_s=0.25)
+    writer(_rows(spark, [(i, f"b0_{i}") for i in range(20)])
+           .repartition(4), 0)
+    writer(_rows(spark, [(i, f"b1_{i}") for i in range(10, 30)])
+           .repartition(4), 1)
+    got = _read_all(db)
+    want = {i: f"b0_{i}" for i in range(10)}
+    want.update({i: f"b1_{i}" for i in range(10, 30)})
+    assert got == want
+
+
+def test_read_table_roundtrip_requires_jdbc_jar(spark):
+    """spark.read.jdbc needs a JDBC driver jar absent from this
+    container; assert the source fails at load time with the clean
+    missing-driver error, not silently."""
+    from obmp_psql_spark.sources.jdbc import read_table
+    with pytest.raises(Exception):
+        read_table(spark, "jdbc:postgresql://nohost/db", "t").collect()
