@@ -649,6 +649,240 @@ def q_fuzzy_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage: EM over agreement patterns
+# ---------------------------------------------------------------------------
+
+_EM_ITERS = 8
+_EM_NAME_DIST = 4
+_EM_INIT = (100000, 900000, 100000)  # lambda, m_k, u_k in micro-units
+
+
+def _em_pat_sql() -> str:
+    """Candidate pairs (same noun-block + shard-cap as q_fuzzy_match)
+    reduced to agreement-PATTERN counts: gamma = (brand equal,
+    type equal, name edit-distance <= dist). EM never needs the
+    pairs again — 2^3 pattern rows carry the full likelihood."""
+    return f"""
+    p0 AS (
+      SELECT p_partkey, p_name, p_brand, p_type,
+             string_split(p_name, ' ')[2] AS noun
+      FROM part
+    ),
+    sz AS (SELECT noun, count(*) AS bsz FROM p0 GROUP BY noun),
+    p AS (
+      SELECT p0.*, p0.p_partkey % ((sz.bsz + {_FUZZY_BLOCK_CAP - 1})
+                                   // {_FUZZY_BLOCK_CAP}) AS shard
+      FROM p0 JOIN sz USING (noun)
+    ),
+    pat AS (
+      SELECT CAST(a.p_brand = b.p_brand AS INT) AS g1,
+             CAST(a.p_type = b.p_type AS INT) AS g2,
+             CAST(levenshtein(a.p_name, b.p_name) <= {_EM_NAME_DIST}
+                  AS INT) AS g3,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p a JOIN p b
+        ON a.noun = b.noun AND a.shard = b.shard
+       AND a.p_partkey < b.p_partkey
+      GROUP BY g1, g2, g3
+    )"""
+
+
+def _em_ab_sql(src: str) -> str:
+    """a = lambda * prod(m-term), b = (1-lambda) * prod(u-term) —
+    left-associated multiply order matches the Python fold exactly."""
+    mterms = " * ".join(
+        f"(CASE WHEN g{k} = 1 THEN m{k} / 1000000.0 "
+        f"ELSE 1.0 - m{k} / 1000000.0 END)" for k in (1, 2, 3))
+    uterms = " * ".join(
+        f"(CASE WHEN g{k} = 1 THEN u{k} / 1000000.0 "
+        f"ELSE 1.0 - u{k} / 1000000.0 END)" for k in (1, 2, 3))
+    return (f"SELECT pat.*, lam, m1, m2, m3, u1, u2, u3, "
+            f"lam / 1000000.0 * {mterms} AS a, "
+            f"(1.0 - lam / 1000000.0) * {uterms} AS b "
+            f"FROM pat CROSS JOIN {src}")
+
+
+def _em_iter_sql(i: int) -> str:
+    clamp = "GREATEST(1, LEAST(999999, {}))"
+    lam = clamp.format(
+        "CAST(floor(CAST(GREATEST(sum(sw), 1) AS DOUBLE)"
+        " / sum(n_pairs) + 0.5) AS BIGINT)")
+    ms = ", ".join(clamp.format(
+        f"CAST(floor(CAST(sum(CASE WHEN g{k} = 1 THEN sw ELSE 0 END)"
+        f" AS DOUBLE) / CAST(GREATEST(sum(sw), 1) AS DOUBLE)"
+        f" * 1000000.0 + 0.5) AS BIGINT)") + f" AS m{k}"
+        for k in (1, 2, 3))
+    us = ", ".join(clamp.format(
+        f"CAST(floor(CAST(sum(CASE WHEN g{k} = 1 THEN su ELSE 0 END)"
+        f" AS DOUBLE) / CAST(GREATEST(sum(su), 1) AS DOUBLE)"
+        f" * 1000000.0 + 0.5) AS BIGINT)") + f" AS u{k}"
+        for k in (1, 2, 3))
+    return f"""
+    e{i} AS (
+      SELECT n_pairs, g1, g2, g3,
+             CAST(floor(n_pairs * (a / (a + b)) * 1000000.0 + 0.5)
+               AS BIGINT) AS sw,
+             CAST(floor(n_pairs * (1.0 - a / (a + b)) * 1000000.0 + 0.5)
+               AS BIGINT) AS su
+      FROM ({_em_ab_sql(f"it{i - 1}")})
+    ),
+    it{i} AS (
+      SELECT {lam} AS lam, {ms}, {us} FROM e{i}
+    )"""
+
+
+def _em_oracle() -> str:
+    lam0, m0, u0 = _EM_INIT
+    init = (f"it0 AS (SELECT CAST({lam0} AS BIGINT) AS lam, "
+            + ", ".join(f"CAST({m0} AS BIGINT) AS m{k}" for k in (1, 2, 3))
+            + ", "
+            + ", ".join(f"CAST({u0} AS BIGINT) AS u{k}" for k in (1, 2, 3))
+            + ")")
+    iters = ",".join(_em_iter_sql(i) for i in range(1, _EM_ITERS + 1))
+    pm = " * ".join(
+        f"(CASE WHEN g{k} = 1 THEN m{k} / 1000000.0 "
+        f"ELSE 1.0 - m{k} / 1000000.0 END)" for k in (1, 2, 3))
+    pu = " * ".join(
+        f"(CASE WHEN g{k} = 1 THEN u{k} / 1000000.0 "
+        f"ELSE 1.0 - u{k} / 1000000.0 END)" for k in (1, 2, 3))
+    return f"""
+    WITH {_em_pat_sql()},
+    {init},{iters}
+    SELECT g1, g2, g3, n_pairs,
+           lam AS lam_micro,
+           m1 AS m1_micro, m2 AS m2_micro, m3 AS m3_micro,
+           u1 AS u1_micro, u2 AS u2_micro, u3 AS u3_micro,
+           CAST(floor((a / (a + b)) * 1000000.0 + 0.5) AS BIGINT)
+             AS posterior_micro,
+           CAST(floor(log2(({pm}) / ({pu})) * 1000000.0 + 0.5) AS BIGINT)
+             AS weight_micro
+    FROM ({_em_ab_sql(f"it{_EM_ITERS}")})
+    """
+
+
+def _em_fit(rows: list[tuple[int, int, int, int]]):
+    """Driver-side EM on the <=8 pattern counts, arithmetically
+    IDENTICAL to the generated DuckDB CTE chain: left-associated
+    double products, per-pattern micro-rounding of the expected
+    match/unmatch mass BEFORE the (integer, order-independent) sums,
+    micro-rounded + [1, 999999]-clamped parameters each iteration."""
+    import math
+
+    def clamp(v: int) -> int:
+        return max(1, min(999999, v))
+
+    lam, (m, u) = _EM_INIT[0], ([_EM_INIT[1]] * 3, [_EM_INIT[2]] * 3)
+    n_total = sum(n for *_, n in rows)
+    for _ in range(_EM_ITERS):
+        sw_t = su_t = 0
+        swg, sug = [0, 0, 0], [0, 0, 0]
+        for g1, g2, g3, n in rows:
+            gs = (g1, g2, g3)
+            a = lam / 1000000.0
+            b = 1.0 - lam / 1000000.0
+            for k in range(3):
+                a *= (m[k] / 1000000.0 if gs[k] == 1
+                      else 1.0 - m[k] / 1000000.0)
+                b *= (u[k] / 1000000.0 if gs[k] == 1
+                      else 1.0 - u[k] / 1000000.0)
+            sw = math.floor(n * (a / (a + b)) * 1000000.0 + 0.5)
+            su = math.floor(n * (1.0 - a / (a + b)) * 1000000.0 + 0.5)
+            sw_t += sw
+            su_t += su
+            for k in range(3):
+                if gs[k] == 1:
+                    swg[k] += sw
+                    sug[k] += su
+        sw_t, su_t = max(sw_t, 1), max(su_t, 1)
+        lam = clamp(math.floor(sw_t / n_total + 0.5))
+        m = [clamp(math.floor(swg[k] / sw_t * 1000000.0 + 0.5))
+             for k in range(3)]
+        u = [clamp(math.floor(sug[k] / su_t * 1000000.0 + 0.5))
+             for k in range(3)]
+    return lam, m, u
+
+
+@register(
+    "q_er_em_weights",
+    oracle=_em_oracle(),
+    survey_ref="entity resolution: Fellegi-Sunter probabilistic "
+               "record linkage — EM-estimated m/u probabilities and "
+               "log2 match weights per agreement pattern (the Splink/"
+               "Dedupe model); upgrades the threshold fuzzy joins "
+               "(q_fuzzy_match/q_fuzzy_sorted) to calibrated match "
+               "posteriors without labeled data",
+    doc=f"blocked candidate pairs -> 2^3 agreement-pattern counts "
+        f"(brand, container, name edit<= {_EM_NAME_DIST}) -> "
+        f"{_EM_ITERS} EM iterations with micro-rounded parameters "
+        f"each step (both engines walk the identical integer "
+        f"trajectory) -> per-pattern posterior + log2 weight",
+)
+def q_er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM needs only the agreement-pattern HISTOGRAM, so the heavy
+    lifting is one blocked pair join + one groupBy producing <= 2^3
+    rows; the iterations run driver-side on those counts (the
+    q_quality_classifier pattern — distributed aggregate, tiny
+    driver model update) and are byte-replicated by the oracle's
+    unrolled CTE chain. At 100 TB the pair stage is the same
+    N x cap-bounded shape as q_fuzzy_match; EM cost is independent
+    of corpus size. Final weights are computed from the collected
+    pattern rows (a <= 8-row local table), not a distributed map."""
+    import math
+
+    t = load_tables(spark, sf_dir, ("part",))["part"]
+    p = t.select("p_partkey", "p_name", "p_brand", "p_type",
+                 F.split("p_name", " ").getItem(1).alias("noun"))
+    bsz = p.groupBy("noun").agg(F.count(F.lit(1)).alias("__bsz"))
+    p = (p.join(F.broadcast(bsz), "noun")
+         .withColumn("__shard",
+                     F.pmod(F.col("p_partkey"),
+                            F.expr(f"(__bsz + {_FUZZY_BLOCK_CAP - 1}) "
+                                   f"div {_FUZZY_BLOCK_CAP}")))
+         .drop("__bsz"))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(b, (F.col("a.noun") == F.col("b.noun"))
+                   & (F.col("a.__shard") == F.col("b.__shard"))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+    pat = (pairs.select(
+        (F.col("a.p_brand") == F.col("b.p_brand")).cast("int").alias("g1"),
+        (F.col("a.p_type") == F.col("b.p_type")).cast("int")
+         .alias("g2"),
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+         <= _EM_NAME_DIST).cast("int").alias("g3"))
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    rows = sorted((r.g1, r.g2, r.g3, r.n_pairs) for r in pat.collect())
+    lam, m, u = _em_fit(rows)
+
+    out = []
+    for g1, g2, g3, n in rows:
+        gs = (g1, g2, g3)
+        av = lam / 1000000.0
+        bv = 1.0 - lam / 1000000.0
+        pm = pu = 1.0
+        for k in range(3):
+            tm = (m[k] / 1000000.0 if gs[k] == 1
+                  else 1.0 - m[k] / 1000000.0)
+            tu = (u[k] / 1000000.0 if gs[k] == 1
+                  else 1.0 - u[k] / 1000000.0)
+            av *= tm
+            bv *= tu
+            pm *= tm
+            pu *= tu
+        out.append((g1, g2, g3, n, lam, m[0], m[1], m[2],
+                    u[0], u[1], u[2],
+                    math.floor(av / (av + bv) * 1000000.0 + 0.5),
+                    math.floor(math.log2(pm / pu) * 1000000.0 + 0.5)))
+    return spark.createDataFrame(
+        out,
+        schema="g1 int, g2 int, g3 int, n_pairs bigint, "
+               "lam_micro bigint, m1_micro bigint, m2_micro bigint, "
+               "m3_micro bigint, u1_micro bigint, u2_micro bigint, "
+               "u3_micro bigint, posterior_micro bigint, "
+               "weight_micro bigint")
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout: Morton codes for multi-dimensional data skipping
 # ---------------------------------------------------------------------------
 

@@ -192,6 +192,40 @@ def test_foreach_partition_upsert_with_lock_contention(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_foreach_batch_sink(spark, tmp_path):
+    """The writer's intended seat: a Structured Streaming foreachBatch
+    sink. Two availableNow passes over a growing source dir land in
+    DuckDB with upsert semantics (second file overwrites overlapping
+    keys); the coalesce(1) wrapper is the documented low-contention
+    deployment shape for a single-writer DBMS target."""
+    db = str(tmp_path / "s.db")
+    _init_db(db)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    writer = jdbc_upsert_writer("ip_rib", ["k"],
+                                lambda: duckdb.connect(db), retries=60,
+                                reconnect_wait_s=0.25)
+
+    def run_pass():
+        stream = (spark.readStream.schema("k int, v string")
+                  .parquet(str(src)))
+        q = (stream.writeStream
+             .foreachBatch(lambda df, bid: writer(df.coalesce(1), bid))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _rows(spark, [(1, "a"), (2, "b")]).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    run_pass()
+    assert _read_all(db) == {1: "a", 2: "b"}
+    _rows(spark, [(2, "B"), (3, "c")]).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    run_pass()
+    assert _read_all(db) == {1: "a", 2: "B", 3: "c"}
+
+
 def test_read_table_roundtrip_requires_jdbc_jar(spark):
     """spark.read.jdbc needs a JDBC driver jar absent from this
     container; assert the source fails at load time with the clean
