@@ -171,6 +171,16 @@ def q_bmp_txn_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed snapshot read back from disk — gating the commit
     protocol itself, not just the DataFrame algebra. A duplicate
     delivery of batch 1 exercises the exactly-once txn guard."""
+    state, _ = _run_txn_pipeline(spark, sf_dir)
+    return state.select("peer_hash_id", "hash_id", "base_attr_hash_id",
+                        "origin_as", "is_withdrawn", "timestamp",
+                        "first_added_timestamp", "prefix")
+
+
+def _run_txn_pipeline(spark: SparkSession, sf_dir: str):
+    """Shared two-batch ingest through the durable store; returns the
+    final committed ip_rib AND the time-travel read of the snapshot as
+    committed after batch 1 (q_store_time_diff's old side)."""
     def build():
         import tempfile
 
@@ -183,13 +193,11 @@ def q_bmp_txn_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
         ing.unicast_prefix_batch(b1, 0)
+        v1 = store.snapshot().version
         ing.unicast_prefix_batch(b2, 1)
         ing.unicast_prefix_batch(b1, 0)  # replayed batch: must be a no-op
-        return (store.read("ip_rib"),)
-    (state,) = _cached_pipeline("txnstore", spark, sf_dir, build)
-    return state.select("peer_hash_id", "hash_id", "base_attr_hash_id",
-                        "origin_as", "is_withdrawn", "timestamp",
-                        "first_added_timestamp", "prefix")
+        return (store.read("ip_rib"), store.read_at("ip_rib", v1))
+    return _cached_pipeline("txnstore", spark, sf_dir, build)
 
 
 @register(
@@ -223,6 +231,63 @@ def q_bmp_txn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("peer_hash_id", "hash_id", "base_attr_hash_id",
                         "origin_as", "is_withdrawn", "timestamp",
                         "first_added_timestamp", "prefix")
+
+
+@register(
+    "q_store_time_diff",
+    oracle=f"""
+    WITH {_STATE_CTES},
+    v1 AS (
+      SELECT peer AS peer_hash_id, h AS hash_id,
+             attr AS base_attr_hash_id, wd AS is_withdrawn,
+             mts AS timestamp
+      FROM l1
+    ),
+    v2 AS ({_STATE_SELECT})
+    SELECT * FROM (
+      SELECT coalesce(v2.peer_hash_id, v1.peer_hash_id) AS peer_hash_id,
+             coalesce(v2.hash_id, v1.hash_id) AS hash_id,
+             CASE WHEN v1.hash_id IS NULL THEN 'added'
+                  WHEN v2.hash_id IS NULL THEN 'removed'
+                  WHEN (v2.base_attr_hash_id IS DISTINCT FROM
+                        v1.base_attr_hash_id)
+                    OR (v2.is_withdrawn IS DISTINCT FROM v1.is_withdrawn)
+                    OR (v2.timestamp IS DISTINCT FROM v1.timestamp)
+                  THEN 'changed' ELSE 'unchanged' END AS change,
+             v1.base_attr_hash_id AS old_base_attr_hash_id,
+             v1.is_withdrawn AS old_is_withdrawn,
+             v1.timestamp AS old_timestamp,
+             v2.base_attr_hash_id AS new_base_attr_hash_id,
+             v2.is_withdrawn AS new_is_withdrawn,
+             v2.timestamp AS new_timestamp
+      FROM v2 FULL OUTER JOIN v1
+        ON v2.peer_hash_id = v1.peer_hash_id AND v2.hash_id = v1.hash_id
+    ) WHERE change <> 'unchanged'
+    """,
+    survey_ref="lakehouse time travel as CDC: per-key diff between two "
+               "retained store versions (Delta table_changes / Iceberg "
+               "changelog equivalent over TxnStateStore.read_at) — the "
+               "reference can only answer this where a trigger "
+               "pre-declared a log table (9_triggers.sql); a commit-log "
+               "store derives it between ANY two versions after the fact",
+    doc="durable two-batch ingest; old side = read_at(ip_rib, version "
+        "after batch 1), new side = final committed snapshot; "
+        "snapshot_diff classifies added/changed/removed with old/new "
+        "values, unchanged keys dropped (output is O(churn))",
+)
+def q_store_time_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The old side comes off the REAL commit log (read_at replays
+    retained commits), so this gates version pinning + time-travel
+    assembly, not just the diff algebra. The diff itself is one
+    full-outer equi-join on the merge key — with bucketed layout both
+    sides co-partition; output is bounded by churn between the
+    versions."""
+    from .operators.diff import snapshot_diff
+
+    state, state_v1 = _run_txn_pipeline(spark, sf_dir)
+    return snapshot_diff(
+        state_v1, state, keys=["peer_hash_id", "hash_id"],
+        compare_cols=["base_attr_hash_id", "is_withdrawn", "timestamp"])
 
 
 _LOG_ORACLE = f"""

@@ -705,3 +705,32 @@ def test_replace_clears_stale_chunk_metadata(spark, tmp_path):
     info = {i["table_name"]: i for i in store.table_info()}
     assert info["t"]["appends"] == 0 and info["t"]["chunks"] == 0
     assert store.append_partitions("t") == {}
+
+
+def test_snapshot_diff_classification(spark):
+    """operators.diff.snapshot_diff: added / removed / changed /
+    unchanged (dropped), with null-safe value compares — incl. the
+    'removed' branch the rib-merge oracle scenario can never reach."""
+    from obmp_psql_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("p", "k1", "a", 1), ("p", "k2", None, 2), ("p", "k3", "c", 3),
+         ("p", "k4", "d", 4)],
+        "peer string, hash string, attr string, v int")
+    new = spark.createDataFrame(
+        [("p", "k1", "a", 1),            # unchanged -> dropped
+         ("p", "k2", "B", 2),            # changed (NULL -> 'B')
+         ("p", "k4", None, 4),           # changed ('d' -> NULL)
+         ("p", "k5", "e", 5)],           # added; k3 removed
+        "peer string, hash string, attr string, v int")
+    got = {r["hash"]: r.asDict() for r in snapshot_diff(
+        old, new, keys=["peer", "hash"],
+        compare_cols=["attr", "v"]).collect()}
+    assert set(got) == {"k2", "k3", "k4", "k5"}
+    assert got["k2"]["change"] == "changed"
+    assert got["k2"]["old_attr"] is None and got["k2"]["new_attr"] == "B"
+    assert got["k3"]["change"] == "removed"
+    assert got["k3"]["old_attr"] == "c" and got["k3"]["new_attr"] is None
+    assert got["k4"]["change"] == "changed"
+    assert got["k5"]["change"] == "added"
+    assert got["k5"]["new_v"] == 5 and got["k5"]["old_v"] is None
