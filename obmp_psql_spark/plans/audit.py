@@ -65,6 +65,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row trained logistic-regression weight dump broadcast into the
     # scoring expression — the scalar-subquery pattern
     "q_quality_classifier": "broadcast 1-row trained-weight dump",
+    "q_uncertainty_select": "broadcast 1-row trained-weight dump",
+    "q_mix_temperature": "broadcast 1-row normalizing-total aggregate",
     # 1-row LM totals (corpus total + smoothed target denominator)
     # broadcast into the per-token LLR — the scalar-subquery pattern
     "q_dsir_select": "broadcast 1-row LM-totals aggregate",

@@ -1882,6 +1882,70 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("n_kept"))
 
 
+@register(
+    "q_mix_temperature",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+               AS BIGINT) AS r_micro
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+             CAST(sum(r_micro) AS BIGINT) AS t_r
+      FROM per
+    )
+    SELECT source, n_docs, n_chars,
+           CAST((n_docs * 1000000 + t_docs // 2) // t_docs AS BIGINT)
+             AS share_ppm,
+           CAST((r_micro * 1000000 + t_r // 2) // t_r AS BIGINT)
+             AS weight_ppm,
+           CAST(((r_micro * 1000000 + t_r // 2) // t_r) * 1000000
+                // GREATEST((n_docs * 1000000 + t_docs // 2) // t_docs, 1)
+             AS BIGINT) AS boost_micro
+    FROM per CROSS JOIN tot
+    """,
+    survey_ref="training-data pipeline: temperature-weighted domain "
+               "mixing — sampling weights w_d proportional to n_d^0.5 "
+               "(the mBERT/XLM-R exponential-smoothing formula, "
+               "alpha=0.5), flattening the natural distribution so "
+               "small domains aren't drowned; complements "
+               "q_domain_mix's downsample-to-uniform and q_domain_cap's "
+               "hard ceiling",
+    doc="per-source sqrt(count) rounded to integer micro BEFORE the "
+        "normalizing sum, then pure-integer ppm ratios (weight, natural "
+        "share, boost = weight/share) — no float crosses rows",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tiny aggregates (one per-source, one 1-row total crossed
+    back in as a broadcast) — corpus scanned once, output is
+    |sources| rows. The only float op is one sqrt per SOURCE, rounded
+    to integer micro before the normalizing sum, so the fold is
+    order-independent and engine-stable at any partitioning."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.expr("cast(floor(sqrt(cast(count(1) as double)) * 1000000.0d "
+               "+ 0.5d) as bigint)").alias("r_micro"))
+    tot = F.broadcast(per.agg(
+        F.sum("n_docs").cast("long").alias("t_docs"),
+        F.sum("r_micro").cast("long").alias("t_r")))
+    return (per.crossJoin(tot)
+            .select(
+                "source", "n_docs", "n_chars",
+                F.expr("(n_docs * 1000000 + t_docs div 2) div t_docs")
+                 .cast("long").alias("share_ppm"),
+                F.expr("(r_micro * 1000000 + t_r div 2) div t_r")
+                 .cast("long").alias("weight_ppm"),
+                F.expr("((r_micro * 1000000 + t_r div 2) div t_r) "
+                       "* 1000000 div greatest((n_docs * 1000000 "
+                       "+ t_docs div 2) div t_docs, 1L)")
+                 .cast("long").alias("boost_micro")))
+
+
 # ---------------------------------------------------------------------------
 # prefix dedup: boilerplate-prefix duplicate groups
 # ---------------------------------------------------------------------------
@@ -3214,14 +3278,15 @@ def q_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model-based quality filtering: distributed logistic regression
 # ---------------------------------------------------------------------------
 
-def _quality_classifier_oracle(sf_dir: str) -> str:
+def _quality_classifier_oracle(sf_dir: str,
+                               name: str = "q_quality_classifier") -> str:
     """DuckDB half of the classifier handshake: rebuild the identical
     feature vector per document (the q_quality_score parity
     expressions), read the published trained weights, and score with
     the same left-associated linear form. No transcendental enters
     the gate — the sigmoid is monotone, so the raw margin and its
     sign carry the full decision."""
-    aux = _aux("q_quality_classifier", _sf_tag(sf_dir))
+    aux = _aux(name, _sf_tag(sf_dir))
     return f"""
     WITH f AS (
       SELECT doc_id,
@@ -3267,6 +3332,20 @@ def _quality_classifier_oracle(sf_dir: str) -> str:
         "is the deterministic stopword-ratio rule the model must learn",
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _train_quality_scores(spark, sf_dir, "q_quality_classifier")
+    return scored.select(
+        "doc_id", "score",
+        F.expr("cast(case when score >= 0.0d then 1 else 0 "
+               "end as int)").alias("pred"),
+        "label")
+
+
+def _train_quality_scores(spark: SparkSession, sf_dir: str,
+                          aux_name: str) -> DataFrame:
+    """Shared trainer+scorer: quality features -> 6-round full-batch
+    logreg -> weights published under ``aux_name`` -> per-doc linear
+    margin. Each consumer publishes its OWN aux dump so the driver can
+    run it standalone (no cross-query ordering dependency)."""
     from .functions.text import quality_features
     from .operators.cache import build_artifacts, owned_persist
     from .operators.classifier import logreg_train
@@ -3287,7 +3366,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (feats["n_tokens"].cast("double") / F.lit(256.0)).alias("x3"))
     base = base.withColumn(
         "label", F.when(F.col("x1") >= 0.0, 1).otherwise(0).cast("int"))
-    aux = _aux("q_quality_classifier", _sf_tag(sf_dir))
+    aux = _aux(aux_name, _sf_tag(sf_dir))
     with build_artifacts():
         # feature extraction is regex-heavy: persist for the 12
         # gradient scans, release once the weights are published
@@ -3302,11 +3381,69 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             aux)
     wdf = spark.read.parquet(aux)
     return (base.crossJoin(F.broadcast(wdf))
-            .withColumn("score", F.expr("w0*x0 + w1*x1 + w2*x2 + w3*x3"))
-            .select("doc_id", "score",
-                    F.expr("cast(case when score >= 0.0d then 1 else 0 "
-                           "end as int)").alias("pred"),
-                    "label"))
+            .withColumn("score", F.expr("w0*x0 + w1*x1 + w2*x2 + w3*x3")))
+
+
+_UNCERTAIN_K = 32
+
+
+def _uncertainty_oracle(sf_dir: str) -> str:
+    """Same trained-weights scoring CTEs as the classifier gate (over
+    THIS query's own aux dump), then the deterministic bottom-K by
+    |margin| with doc_id tie-break. The linear margin is the identical
+    IEEE expression on both engines (proven by q_quality_classifier's
+    raw-double hash match), so ordering on it is engine-stable."""
+    scored = _quality_classifier_oracle(sf_dir, "q_uncertainty_select")
+    return f"""
+    WITH scored AS ({scored}),
+    k AS (
+      SELECT doc_id, score, pred
+      FROM scored ORDER BY abs(score), doc_id LIMIT {_UNCERTAIN_K}
+    )
+    SELECT doc_id,
+           CAST(floor(abs(score) * 1000000000.0 + 0.5) AS BIGINT)
+             AS margin_nano,
+           CAST(pred AS INT) AS pred,
+           CAST(row_number() OVER (ORDER BY abs(score), doc_id)
+             AS BIGINT) AS sel_rank
+    FROM k
+    """
+
+
+@register(
+    "q_uncertainty_select",
+    oracle=_uncertainty_oracle,
+    survey_ref="training-data pipeline: active-learning selection — "
+               "the K documents nearest the quality classifier's "
+               "decision boundary (smallest |margin|), the uncertainty-"
+               "sampling batch a labeling loop sends for human review; "
+               "composes the q_quality_classifier trainer",
+    doc=f"train (6 GD rounds) -> publish weights -> score -> "
+        f"distributed bottom-{_UNCERTAIN_K} by |margin| (TakeOrdered, "
+        f"doc_id tie-break) -> margin_nano + selection rank",
+)
+def q_uncertainty_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global bottom-K is Spark's TakeOrderedAndProject — each
+    partition keeps K candidates, the driver merges K x partitions
+    rows — never a full sort, so the selection costs one scan at any
+    corpus size. The K-row window rank is driver-scale by
+    construction."""
+    from pyspark.sql import Window
+
+    scored = _train_quality_scores(spark, sf_dir, "q_uncertainty_select")
+    sel = (scored
+           .select("doc_id", "score",
+                   F.expr("cast(case when score >= 0.0d then 1 else 0 "
+                          "end as int)").alias("pred"))
+           .orderBy(F.abs(F.col("score")), F.col("doc_id"))
+           .limit(_UNCERTAIN_K))
+    w = Window.orderBy(F.abs(F.col("score")), F.col("doc_id"))
+    return sel.select(
+        "doc_id",
+        F.expr("cast(floor(abs(score) * 1000000000.0d + 0.5d) as bigint)")
+         .alias("margin_nano"),
+        "pred",
+        F.row_number().over(w).cast("long").alias("sel_rank"))
 
 
 # ---------------------------------------------------------------------------
