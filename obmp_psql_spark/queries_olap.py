@@ -1157,6 +1157,98 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_anomaly"))
 
 
+# ---------------------------------------------------------------------------
+# robust outliers: median / MAD via exact order statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH {_EV},
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY event_type),
+    r1 AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM ev
+    ),
+    med AS (
+      SELECT r1.event_type, r1.value AS med
+      FROM r1 JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT ev.event_type, ev.event_id, med.med,
+             abs(ev.value - med.med) AS dev
+      FROM ev JOIN med USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, dev, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn
+      FROM d
+    ),
+    mad AS (
+      SELECT r2.event_type, r2.dev AS mad
+      FROM r2 JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, n.n,
+           CAST(floor(min(d.med) * 1000000.0 + 0.5) AS BIGINT)
+             AS med_micro,
+           CAST(floor(min(mad.mad) * 1000000.0 + 0.5) AS BIGINT)
+             AS mad_micro,
+           CAST(count(*) FILTER (WHERE d.dev > 3.0 * mad.mad) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN mad USING (event_type) JOIN n USING (event_type)
+    GROUP BY d.event_type, n.n
+    """,
+    survey_ref="ops analytics: robust outlier census — median/MAD "
+               "(the estimator a heavy-tailed value column needs where "
+               "mean/stddev are themselves dragged by the outliers); "
+               "the robust-statistics member of the monitoring tier "
+               "next to the EWMA rate anomalies and the PSI drift gate",
+    doc="lower-median order statistic ((n+1) div 2-th by (value, "
+        "event_id)) via row_number — NO percentile interpolation, so "
+        "the statistic is an actual data element and engine-exact on "
+        "doubles; MAD = same order statistic of |value - median|; "
+        "flags strict > 3*MAD",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics need one per-group sort (two window
+    passes); group count here is |event_type|, and each sort is
+    partition-parallel across groups — the same bounded-group stance
+    as q_doc_percentiles. The unbounded-group / single-pass path is
+    the mergeable quantile sketch (operators/sketch.py) with rank
+    error 3N/k; this query is the exact gate the sketch is scored
+    against. Joins key on the groupBy key, so no extra shuffle."""
+    ev = fan_out(_events(spark, sf_dir), spark).select(
+        "event_type", "value", "event_id")
+    n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w1 = W.partitionBy("event_type").orderBy("value", "event_id")
+    r1 = ev.select("event_type", "value", "event_id",
+                   F.row_number().over(w1).alias("rn"))
+    med = (r1.join(n, "event_type")
+           .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("event_type", F.col("value").alias("med")))
+    d = (ev.join(med, "event_type")
+         .select("event_type", "event_id", "med",
+                 F.abs(F.col("value") - F.col("med")).alias("dev")))
+    w2 = W.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = d.select("event_type", "dev", F.row_number().over(w2).alias("rn"))
+    mad = (r2.join(n, "event_type")
+           .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("event_type", F.col("dev").alias("mad")))
+    return (d.join(mad, "event_type").join(n, "event_type")
+            .groupBy("event_type", "n")
+            .agg(F.expr("cast(floor(min(med) * 1000000.0d + 0.5d) "
+                        "as bigint)").alias("med_micro"),
+                 F.expr("cast(floor(min(mad) * 1000000.0d + 0.5d) "
+                        "as bigint)").alias("mad_micro"),
+                 F.sum(F.when(F.col("dev") > 3.0 * F.col("mad"), 1)
+                        .otherwise(0)).cast("long").alias("n_outliers")))
+
+
 @register(
     "q_stream_rate_anomaly",
     oracle=_RATE_ANOMALY_ORACLE,

@@ -92,6 +92,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q_l3vpn_chg_stats",
     "q_asof_enrich",
     "q_stream_doc_dedup",
+    # commit-log time travel: read_at version pinning + snapshot diff
+    "q_store_time_diff",
 )
 
 
