@@ -25,19 +25,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     added (no old row), removed (no new row), or changed (any compare
     column IS DISTINCT FROM its old value); emit old_*/new_* value
     pairs. Unchanged keys are filtered out."""
+    # literal presence markers, NOT key nullability: the join is
+    # null-safe on purpose, so a legitimately-NULL key value must not
+    # read as "row absent on this side"
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.lit(True).alias("__old_present"),
         *[F.col(c).alias(f"old_{c}") for c in compare_cols])
     n = new.select(
-        *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+        *keys, F.lit(True).alias("__new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols])
     cond = None
     for k in keys:
         eq = F.col(k).eqNullSafe(F.col(f"__ok_{k}"))
         cond = eq if cond is None else cond & eq
     j = n.join(o, cond, "full_outer")
 
-    new_present = F.col(keys[0]).isNotNull()
-    old_present = F.col(f"__ok_{keys[0]}").isNotNull()
+    new_present = F.col("__new_present").isNotNull()
+    old_present = F.col("__old_present").isNotNull()
     differs = None
     for c in compare_cols:
         d = ~F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))

@@ -213,22 +213,14 @@ _FUZZY_MAX_DIST = 2
 _FUZZY_BLOCK_CAP = 128
 
 
-def fuzzy_blocked_pairs(t: DataFrame,
-                        cap: int | None = _FUZZY_BLOCK_CAP) -> DataFrame:
-    """Blocked edit-distance pair histogram over part names.
-
-    Block on the noun token; when ``cap`` is set, each block is
-    hash-sharded into ceil(block_size / cap) sub-shards by
-    ``p_partkey % n_shards`` and pairs form only WITHIN a shard —
-    bounding pair work at ~N x cap/2 even when the block key is
-    degenerate (the lsh_topk bucket-cap move in the string domain;
-    recall is traded deterministically, identically on both
-    engines). ``cap=None`` is the unguarded quadratic variant the
-    scale probe measures."""
-    p = t.select(
-        "p_partkey", "p_name",
-        F.split("p_name", " ").getItem(1).alias("noun"),
-        F.length("p_name").alias("nlen"))
+def _shard_blocks(p: DataFrame, cap: int | None) -> tuple[DataFrame,
+                                                          list[str]]:
+    """THE noun-block shard assignment: when ``cap`` is set, each
+    noun block is hash-sharded into ceil(block_size / cap) sub-shards
+    by ``p_partkey % n_shards``. Single definition shared by
+    fuzzy_blocked_pairs and q_er_em_weights (and mirrored by both
+    oracles via _SHARDED_PARTS_SQL) so the blocked-ER family can
+    never silently diverge on its blocking scheme."""
     keys = ["noun"]
     if cap is not None:
         bsz = p.groupBy("noun").agg(F.count(F.lit(1)).alias("__bsz"))
@@ -239,6 +231,42 @@ def fuzzy_blocked_pairs(t: DataFrame,
                                        f"div {cap}")))
              .drop("__bsz"))
         keys = ["noun", "__shard"]
+    return p, keys
+
+
+def _sharded_parts_sql(cap: int, cols: str = "") -> str:
+    """DuckDB mirror of _shard_blocks over part: CTEs p0 (noun token
+    + ``cols`` extras) / sz / p (with shard)."""
+    return f"""
+    p0 AS (
+      SELECT p_partkey, p_name{cols},
+             string_split(p_name, ' ')[2] AS noun
+      FROM part
+    ),
+    sz AS (SELECT noun, count(*) AS bsz FROM p0 GROUP BY noun),
+    p AS (
+      SELECT p0.*, p0.p_partkey % ((sz.bsz + {cap - 1})
+                                   // {cap}) AS shard
+      FROM p0 JOIN sz USING (noun)
+    )"""
+
+
+def fuzzy_blocked_pairs(t: DataFrame,
+                        cap: int | None = _FUZZY_BLOCK_CAP) -> DataFrame:
+    """Blocked edit-distance pair histogram over part names.
+
+    Block on the noun token; when ``cap`` is set, each block is
+    hash-sharded (``_shard_blocks``) and pairs form only WITHIN a
+    shard — bounding pair work at ~N x cap/2 even when the block key
+    is degenerate (the lsh_topk bucket-cap move in the string domain;
+    recall is traded deterministically, identically on both
+    engines). ``cap=None`` is the unguarded quadratic variant the
+    scale probe measures."""
+    p = t.select(
+        "p_partkey", "p_name",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+        F.length("p_name").alias("nlen"))
+    p, keys = _shard_blocks(p, cap)
     a, b = p.alias("a"), p.alias("b")
     cond = (F.col("a.p_partkey") < F.col("b.p_partkey")) \
         & (F.abs(F.col("a.nlen") - F.col("b.nlen")) <= _FUZZY_MAX_DIST)
@@ -256,18 +284,8 @@ def fuzzy_blocked_pairs(t: DataFrame,
 @register(
     "q_fuzzy_match",
     oracle=f"""
-    WITH p0 AS (
-      SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS noun,
-             length(p_name) AS nlen
-      FROM part
-    ),
-    sz AS (SELECT noun, count(*) AS bsz FROM p0 GROUP BY noun),
-    p AS (
-      SELECT p0.*,
-             p0.p_partkey % ((sz.bsz + {_FUZZY_BLOCK_CAP - 1})
-                             // {_FUZZY_BLOCK_CAP}) AS shard
-      FROM p0 JOIN sz USING (noun)
-    ),
+    WITH {_sharded_parts_sql(_FUZZY_BLOCK_CAP,
+                             cols=", length(p_name) AS nlen")},
     pairs AS (
       SELECT a.noun, levenshtein(a.p_name, b.p_name) AS dist
       FROM p a JOIN p b
@@ -658,22 +676,13 @@ _EM_INIT = (100000, 900000, 100000)  # lambda, m_k, u_k in micro-units
 
 
 def _em_pat_sql() -> str:
-    """Candidate pairs (same noun-block + shard-cap as q_fuzzy_match)
-    reduced to agreement-PATTERN counts: gamma = (brand equal,
-    type equal, name edit-distance <= dist). EM never needs the
-    pairs again — 2^3 pattern rows carry the full likelihood."""
+    """Candidate pairs (THE q_fuzzy_match blocking, via
+    _sharded_parts_sql) reduced to agreement-PATTERN counts: gamma =
+    (brand equal, type equal, name edit-distance <= dist). EM never
+    needs the pairs again — 2^3 pattern rows carry the full
+    likelihood."""
     return f"""
-    p0 AS (
-      SELECT p_partkey, p_name, p_brand, p_type,
-             string_split(p_name, ' ')[2] AS noun
-      FROM part
-    ),
-    sz AS (SELECT noun, count(*) AS bsz FROM p0 GROUP BY noun),
-    p AS (
-      SELECT p0.*, p0.p_partkey % ((sz.bsz + {_FUZZY_BLOCK_CAP - 1})
-                                   // {_FUZZY_BLOCK_CAP}) AS shard
-      FROM p0 JOIN sz USING (noun)
-    ),
+    {_sharded_parts_sql(_FUZZY_BLOCK_CAP, cols=", p_brand, p_type")},
     pat AS (
       SELECT CAST(a.p_brand = b.p_brand AS INT) AS g1,
              CAST(a.p_type = b.p_type AS INT) AS g2,
@@ -832,17 +841,12 @@ def q_er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("part",))["part"]
     p = t.select("p_partkey", "p_name", "p_brand", "p_type",
                  F.split("p_name", " ").getItem(1).alias("noun"))
-    bsz = p.groupBy("noun").agg(F.count(F.lit(1)).alias("__bsz"))
-    p = (p.join(F.broadcast(bsz), "noun")
-         .withColumn("__shard",
-                     F.pmod(F.col("p_partkey"),
-                            F.expr(f"(__bsz + {_FUZZY_BLOCK_CAP - 1}) "
-                                   f"div {_FUZZY_BLOCK_CAP}")))
-         .drop("__bsz"))
+    p, keys = _shard_blocks(p, _FUZZY_BLOCK_CAP)
     a, b = p.alias("a"), p.alias("b")
-    pairs = a.join(b, (F.col("a.noun") == F.col("b.noun"))
-                   & (F.col("a.__shard") == F.col("b.__shard"))
-                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+    cond = F.col("a.p_partkey") < F.col("b.p_partkey")
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    pairs = a.join(b, cond)
     pat = (pairs.select(
         (F.col("a.p_brand") == F.col("b.p_brand")).cast("int").alias("g1"),
         (F.col("a.p_type") == F.col("b.p_type")).cast("int")

@@ -2881,18 +2881,40 @@ def q_doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_SALT = "split-v1:"
 
 
+def _split_bucket(col):
+    """md5(salt || id) % 100 — THE split bucket. One definition shared
+    by q_train_val_split (per-doc) and q_leakage_split (per-group
+    representative) so the two queries can never disagree about which
+    split an id lands in; the DuckDB mirrors inline the same salt and
+    thresholds via _SPLIT_SALT / _SPLIT_CASE_SQL."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(_SPLIT_SALT), col.cast("string"))),
+        1, 8), 16, 10).cast("long") % 100)
+
+
+def _split_label(bucket):
+    """90/5/5 thresholds over a _split_bucket value."""
+    return (F.when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test"))
+
+
+# the same bucket + thresholds in DuckDB SQL, templated on the id expr
+_SPLIT_BUCKET_SQL = ("CAST(('0x' || substr(md5('" + _SPLIT_SALT
+                     + "' || CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT)"
+                     " % 100")
+_SPLIT_CASE_SQL = ("CASE WHEN {b} < 90 THEN 'train' "
+                   "WHEN {b} < 95 THEN 'val' ELSE 'test' END")
+
+
 @register(
     "q_train_val_split",
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source, n_chars,
-             CAST(('0x' || substr(md5('{_SPLIT_SALT}'
-                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
-               AS b
+             {_SPLIT_BUCKET_SQL.format(id='doc_id')} AS b
       FROM documents
     ), labeled AS (
-      SELECT CASE WHEN b < 90 THEN 'train'
-                  WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      SELECT {_SPLIT_CASE_SQL.format(b='b')} AS split,
              doc_id, source, n_chars
       FROM s
     )
@@ -2912,11 +2934,7 @@ _SPLIT_SALT = "split-v1:"
 )
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    b = (F.conv(F.substring(F.md5(F.concat(F.lit(_SPLIT_SALT),
-                                           F.col("doc_id").cast("string"))),
-                            1, 8), 16, 10).cast("long") % 100)
-    split = (F.when(b < 90, "train").when(b < 95, "val")
-             .otherwise("test").alias("split"))
+    split = _split_label(_split_bucket(F.col("doc_id"))).alias("split")
     return (d.select(split, "doc_id", "source", "n_chars")
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -2942,19 +2960,13 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT fp64, min(doc_id) AS group_rep FROM fp GROUP BY fp64
     ), assigned AS (
       SELECT fp.doc_id, grp.group_rep,
-             CAST(('0x' || substr(md5('{_SPLIT_SALT}'
-                   || CAST(grp.group_rep AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 100 AS gb,
-             CAST(('0x' || substr(md5('{_SPLIT_SALT}'
-                   || CAST(fp.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 100 AS nb
+             {_SPLIT_BUCKET_SQL.format(id='grp.group_rep')} AS gb,
+             {_SPLIT_BUCKET_SQL.format(id='fp.doc_id')} AS nb
       FROM fp JOIN grp USING (fp64)
     ), labeled AS (
       SELECT doc_id, group_rep,
-             CASE WHEN gb < 90 THEN 'train'
-                  WHEN gb < 95 THEN 'val' ELSE 'test' END AS split,
-             CASE WHEN nb < 90 THEN 'train'
-                  WHEN nb < 95 THEN 'val' ELSE 'test' END AS naive_split
+             {_SPLIT_CASE_SQL.format(b='gb')} AS split,
+             {_SPLIT_CASE_SQL.format(b='nb')} AS naive_split
       FROM assigned
     )
     SELECT split,
@@ -2994,20 +3006,12 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(norm), 1, 12), 16, 10)
          .cast("long").alias("fp64"))
     grp = fp.groupBy("fp64").agg(F.min("doc_id").alias("group_rep"))
-
-    def bucket(col):
-        return (F.conv(F.substring(
-            F.md5(F.concat(F.lit(_SPLIT_SALT), col.cast("string"))),
-            1, 8), 16, 10).cast("long") % 100)
-
-    def label(b):
-        return (F.when(b < 90, "train").when(b < 95, "val")
-                .otherwise("test"))
-
     assigned = (fp.join(grp, "fp64")
                 .select("doc_id", "group_rep",
-                        label(bucket(F.col("group_rep"))).alias("split"),
-                        label(bucket(F.col("doc_id"))).alias("naive_split")))
+                        _split_label(_split_bucket(F.col("group_rep")))
+                        .alias("split"),
+                        _split_label(_split_bucket(F.col("doc_id")))
+                        .alias("naive_split")))
     return (assigned.groupBy("split")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.countDistinct("group_rep").cast("long")

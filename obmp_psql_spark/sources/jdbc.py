@@ -74,19 +74,33 @@ def upsert_statement(table: str, columns: list[str], rows: list[Row],
     )
 
 
+_RECONNECT_PHRASES = (
+    # specific connection-lifecycle phrases, NOT the bare word
+    # "connection" — a constraint named fk_connection_id must stay fatal
+    "connection refused", "connection reset", "connection timed out",
+    "connection is closed", "connection closed", "connection lost",
+    "server closed the connection", "broken pipe", "not connected",
+    "could not set lock", "database is locked",
+)
+
+_BACKOFF_PHRASES = (
+    "deadlock", "write-write conflict", "database is busy",
+    "serialize access", "lock timeout",
+)
+
+
 def classify_sql_error(exc: BaseException) -> str:
     """Map a DB error to a retry action, mirroring the reference's
     message-sniffing (PSQLHandler.java:188-207): ``reconnect`` for
-    connection/broken-pipe (and DuckDB's exclusive file lock, this
-    container's stand-in for a dropped connection), ``backoff`` for
-    deadlock-class transients, ``fatal`` for everything else (the
-    reference refuses to retry syntax errors, state 42601)."""
+    connection-lifecycle/broken-pipe failures (and DuckDB's exclusive
+    file lock, this container's stand-in for a dropped connection),
+    ``backoff`` for deadlock-class transients, ``fatal`` for
+    everything else (the reference refuses to retry syntax errors,
+    state 42601)."""
     msg = str(exc).lower()
-    if ("connection" in msg or "broken pipe" in msg
-            or "could not set lock" in msg or "database is locked" in msg):
+    if any(p in msg for p in _RECONNECT_PHRASES):
         return "reconnect"
-    if ("deadlock" in msg or "write-write conflict" in msg
-            or "database is busy" in msg or "serialize access" in msg):
+    if any(p in msg for p in _BACKOFF_PHRASES):
         return "backoff"
     return "fatal"
 
@@ -119,12 +133,13 @@ def write_rows_upsert(
 
     def dial():
         last: BaseException | None = None
-        for _ in range(retries):
+        for i in range(retries):
             try:
                 return connection_factory()
             except Exception as exc:  # noqa: BLE001 — driver-specific
                 last = exc
-                sleep(reconnect_wait_s)
+                if i < retries - 1:  # no pointless nap before raising
+                    sleep(reconnect_wait_s)
         raise RuntimeError(
             f"jdbc sink: connect failed after {retries} attempts") from last
 
@@ -134,7 +149,7 @@ def write_rows_upsert(
         def run(sql: str) -> None:
             nonlocal conn
             last: BaseException | None = None
-            for _ in range(retries):
+            for i in range(retries):
                 try:
                     conn.execute(sql)
                     conn.commit()
@@ -149,10 +164,21 @@ def write_rows_upsert(
                             conn.close()
                         except Exception:  # noqa: BLE001 — already broken
                             pass
-                        sleep(reconnect_wait_s)
-                        conn = dial()
+                        if i < retries - 1:
+                            sleep(reconnect_wait_s)
+                            conn = dial()
                     else:  # backoff
-                        sleep(backoff_s)
+                        # a non-autocommit session (Postgres default)
+                        # is in an ABORTED transaction after a
+                        # deadlock — replaying without rollback would
+                        # fail 'current transaction is aborted' and
+                        # read as fatal, defeating the backoff branch
+                        try:
+                            conn.rollback()
+                        except Exception:  # noqa: BLE001 — autocommit
+                            pass
+                        if i < retries - 1:
+                            sleep(backoff_s)
             raise RuntimeError(
                 f"jdbc sink: statement failed after {retries} "
                 f"attempts") from last

@@ -65,6 +65,9 @@ class _FlakyConn:
     def commit(self):
         self._con.commit()
 
+    def rollback(self):
+        self._log.append("rollback")
+
     def close(self):
         self._log.append("close")
         self._con.close()
@@ -90,6 +93,12 @@ def test_classifier_matches_reference_ladder():
         'IO Error: Could not set lock on file "x.db"')) == "reconnect"
     assert classify_sql_error(
         Exception('syntax error at or near "FORM"')) == "fatal"
+    # permanent errors that merely CONTAIN the word "connection" must
+    # fail fast, not burn the reconnect ladder
+    assert classify_sql_error(Exception(
+        'violates foreign key constraint "fk_connection_id"')) == "fatal"
+    assert classify_sql_error(Exception(
+        'relation "peer_connections" does not exist')) == "fatal"
 
 
 def test_deadlock_backoff_replays_statement(spark, tmp_path):
@@ -103,7 +112,10 @@ def test_deadlock_backoff_replays_statement(spark, tmp_path):
         lambda: _FlakyConn(db, 1, "deadlock detected", log),
         sleep=naps.append)
     assert n == 1
-    assert log == ["fail", "exec", "close"]  # one nap, one replay
+    # aborted txn rolled back BEFORE the nap + replay (Postgres
+    # sessions are non-autocommit: replay without rollback would hit
+    # 'current transaction is aborted' and read as fatal)
+    assert log == ["fail", "rollback", "exec", "close"]
     assert naps == [0.15]
     assert _read_all(db) == {1: "a", 2: "b"}
 
@@ -145,13 +157,15 @@ def test_retry_exhaustion_raises(spark, tmp_path):
     db = str(tmp_path / "d.db")
     _init_db(db)
     log: list[str] = []
+    naps: list[float] = []
     with pytest.raises(RuntimeError, match="failed after 3 attempts"):
         write_rows_upsert(
             iter(_rows(spark, [(1, "a")]).collect()),
             ["k", "v"], "ip_rib", ["k"],
             lambda: _FlakyConn(db, 99, "deadlock detected", log),
-            retries=3, sleep=lambda s: None)
+            retries=3, sleep=naps.append)
     assert log.count("fail") == 3
+    assert len(naps) == 2  # no pointless nap after the final attempt
 
 
 def test_statement_batching(spark, tmp_path):
@@ -231,5 +245,5 @@ def test_read_table_roundtrip_requires_jdbc_jar(spark):
     container; assert the source fails at load time with the clean
     missing-driver error, not silently."""
     from obmp_psql_spark.sources.jdbc import read_table
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="(?i)driver"):
         read_table(spark, "jdbc:postgresql://nohost/db", "t").collect()

@@ -734,3 +734,25 @@ def test_snapshot_diff_classification(spark):
     assert got["k4"]["change"] == "changed"
     assert got["k5"]["change"] == "added"
     assert got["k5"]["new_v"] == 5 and got["k5"]["old_v"] is None
+
+
+def test_snapshot_diff_null_keys(spark):
+    """A NULL key VALUE must not read as 'row absent on this side':
+    the join is null-safe, presence comes from literal markers."""
+    from obmp_psql_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "a", 1), ("k2", None, 2), ("k3", "c", 3)],
+        "hash string, attr string, v int")
+    new = spark.createDataFrame(
+        [(None, "A", 1), ("k3", "c", 3)],
+        "hash string, attr string, v int")
+    got = {r["hash"]: r.asDict() for r in snapshot_diff(
+        old, new, keys=["hash"], compare_cols=["attr", "v"]).collect()}
+    # NULL-key row present on BOTH sides with a changed value
+    assert got[None]["change"] == "changed"
+    assert got[None]["old_attr"] == "a" and got[None]["new_attr"] == "A"
+    # k2 exists only in old -> removed (NOT 'added')
+    assert got["k2"]["change"] == "removed"
+    # k3 unchanged -> dropped
+    assert "k3" not in got
