@@ -640,6 +640,119 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# label propagation: community detection by synchronous mode-vote
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 4
+_LP_BLOCK = 50        # 10 planted blocks of 50 nodes
+_LP_BRIDGE_MOD = 31   # sparse inter-block bridges (graph stays ONE CC)
+
+
+def _label_prop_oracle() -> str:
+    # planted-community graph: dense intra-block edges + sparse
+    # inter-block bridges — connected as ONE component, but multiple
+    # dense groups (see the Spark docstring)
+    sym = (
+        f"b AS (SELECT CAST(user_id % {_PR_NODES} AS BIGINT) AS src,"
+        f" CAST(user_id % {_PR_NODES} AS BIGINT) // {_LP_BLOCK}"
+        f" AS blk, event_id FROM events),\n"
+        f"raw AS (SELECT DISTINCT src,"
+        f" blk * {_LP_BLOCK} + (src + event_id) % {_LP_BLOCK} AS dst"
+        f" FROM b WHERE src <> blk * {_LP_BLOCK}"
+        f" + (src + event_id) % {_LP_BLOCK}"
+        f" UNION SELECT DISTINCT src,"
+        f" (src + {_LP_BLOCK}) % {_PR_NODES} AS dst"
+        f" FROM b WHERE event_id % {_LP_BRIDGE_MOD} = 0),\n"
+        "sym AS (SELECT src, dst FROM raw"
+        " UNION SELECT dst, src FROM raw)"
+    )
+    parts = [
+        sym,
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for i in range(1, _LP_ITERS + 1):
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label ASC) AS rn FROM ("
+            f"SELECT e.dst AS node, r.label, CAST(count(*) AS BIGINT) AS c "
+            f"FROM sym e JOIN l{i-1} r ON e.src = r.node "
+            f"GROUP BY e.dst, r.label)) WHERE rn = 1)"
+        )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, CAST(label AS BIGINT) AS community "
+              f"FROM l{_LP_ITERS}")
+
+
+@register(
+    "q_label_propagation",
+    oracle=_label_prop_oracle(),
+    survey_ref="graph analytics: community detection by synchronous "
+               "label propagation (Raghavan et al. 2007) over the "
+               "symmetrized interaction graph — the domain-clustering "
+               "primitive next to PageRank (quality) and connected "
+               "components (exact reachability); unlike CC's min-label "
+               "fixpoint, the mode vote finds DENSE groups, not merely "
+               "connected ones",
+    doc=f"symmetrized edge list -> {_LP_ITERS} unrolled rounds: each "
+        "node adopts the most frequent neighbor label, ties broken by "
+        "smallest label (row_number over (count DESC, label ASC)) — "
+        "fully deterministic, no RNG, hash-stable per round",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA as DataFrame rounds: per round one hash join of
+    the (static, src-partitioned) symmetric edge list with the O(nodes)
+    label vector, one (node, label) count aggregate, one per-node
+    window top-1. The classic LPA pitfall — RANDOM tie-breaking, which
+    makes runs non-reproducible — is replaced by the deterministic
+    (count DESC, label ASC) order, so every round is hash-gated on
+    both engines. Same scale shape as q_pagerank: edges stay put,
+    only the narrow label vector re-shuffles per round.
+
+    The derived graph PLANTS community structure (the raw event graph
+    at gate scale is near-complete — LPA on it collapses to one label
+    and demonstrates nothing): dense edges inside blocks of _LP_BLOCK
+    nodes plus sparse inter-block bridges. The bridges make the graph
+    ONE connected component — a min-label CC pass would merge
+    everything — while the mode vote keeps dense blocks apart
+    (3 communities over 194 active nodes at the sf0.01 gate):
+    exactly the CC-vs-LPA distinction the survey row claims."""
+    from pyspark.sql import Window as W
+
+    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
+    src = (F.col("user_id") % _PR_NODES).cast("long")
+    blk = F.expr(f"cast(user_id % {_PR_NODES} as bigint) "
+                 f"div {_LP_BLOCK}")
+    intra_dst = (blk * _LP_BLOCK
+                 + (src + F.col("event_id")) % _LP_BLOCK).cast("long")
+    intra = (ev.select(src.alias("src"), intra_dst.alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    bridge = (ev.filter(F.col("event_id") % _LP_BRIDGE_MOD == 0)
+              .select(src.alias("src"),
+                      ((src + _LP_BLOCK) % _PR_NODES).cast("long")
+                      .alias("dst"))
+              .distinct())
+    raw = intra.union(bridge).distinct()
+    sym = raw.union(raw.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+    labels = sym.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    w = W.partitionBy("node").orderBy(F.col("c").desc(),
+                                      F.col("label").asc())
+    for _ in range(_LP_ITERS):
+        votes = (sym.join(labels, sym["src"] == labels["node"])
+                 .select(F.col("dst").alias("node"), "label")
+                 .groupBy("node", "label")
+                 .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        labels = (votes.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "label"))
+    return labels.select("node", F.col("label").cast("long")
+                         .alias("community"))
+
+
+# ---------------------------------------------------------------------------
 # kNN label classification over the embedding table
 # ---------------------------------------------------------------------------
 
