@@ -1162,6 +1162,163 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters double smoothing: level + trend forecast anomalies
+# ---------------------------------------------------------------------------
+
+_HW_ORACLE = f"""
+    WITH {_EV},
+    src AS (
+      SELECT 'p' || CAST(user_id % 10 AS VARCHAR) AS peer,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute_epoch
+      FROM ev
+    ),
+    cnts AS (
+      SELECT peer, minute_epoch, CAST(count(*) AS BIGINT) AS cnt
+      FROM src GROUP BY peer, minute_epoch
+    ),
+    g AS (
+      SELECT peer,
+             list(minute_epoch ORDER BY minute_epoch) AS ms,
+             list(cnt ORDER BY minute_epoch) AS cs
+      FROM cnts GROUP BY peer
+    ),
+    folded AS (
+      SELECT peer, ms, cs,
+        string_split(split_part(
+          list_reduce(
+            list_prepend('0,0,0#',
+                         list_transform(cs,
+                                        x -> CAST(x * 1000 AS VARCHAR))),
+            (acc, x) -> CASE
+              WHEN split_part(split_part(acc, '#', 1), ',', 1) = '0'
+              THEN '1,' || x || ',0#' || split_part(acc, '#', 2) || '_;'
+              ELSE '1,'
+                || CAST(CAST(floor((3 * (
+                     CAST(split_part(split_part(acc, '#', 1), ',', 2)
+                          AS BIGINT)
+                     + CAST(split_part(split_part(acc, '#', 1), ',', 3)
+                            AS BIGINT))
+                     + CAST(x AS BIGINT)) / 4.0) AS BIGINT) AS VARCHAR)
+                || ','
+                || CAST(CAST(floor((
+                     CAST(floor((3 * (
+                       CAST(split_part(split_part(acc, '#', 1), ',', 2)
+                            AS BIGINT)
+                       + CAST(split_part(split_part(acc, '#', 1), ',', 3)
+                              AS BIGINT))
+                       + CAST(x AS BIGINT)) / 4.0) AS BIGINT)
+                     - CAST(split_part(split_part(acc, '#', 1), ',', 2)
+                            AS BIGINT)
+                     + 7 * CAST(split_part(split_part(acc, '#', 1), ',', 3)
+                                AS BIGINT)) / 8.0) AS BIGINT) AS VARCHAR)
+                || '#' || split_part(acc, '#', 2)
+                || CAST(CAST(split_part(split_part(acc, '#', 1), ',', 2)
+                             AS BIGINT)
+                        + CAST(split_part(split_part(acc, '#', 1), ',', 3)
+                               AS BIGINT) AS VARCHAR)
+                || '|'
+                || split_part(split_part(acc, '#', 1), ',', 3) || ';'
+            END),
+          '#', 2), ';') AS parts
+      FROM g
+    )
+    SELECT peer, ms[g.i] AS minute_epoch, cs[g.i] AS cnt,
+           CASE WHEN parts[g.i] = '_' THEN NULL
+                ELSE CAST(split_part(parts[g.i], '|', 1) AS BIGINT)
+           END AS forecast_prev_milli,
+           CASE WHEN parts[g.i] = '_' THEN NULL
+                ELSE CAST(split_part(parts[g.i], '|', 2) AS BIGINT)
+           END AS trend_prev_milli,
+           CAST(CASE WHEN parts[g.i] <> '_'
+                      AND cs[g.i] * 1000 > 2 * GREATEST(
+                        CAST(split_part(parts[g.i], '|', 1) AS BIGINT),
+                        1000)
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM folded, UNNEST(generate_series(1, len(cs))) AS g(i)
+    """
+
+
+@register(
+    "q_holt_winters",
+    oracle=_HW_ORACLE,
+    survey_ref="ops analytics: Holt-Winters double exponential "
+               "smoothing (level + trend) over the peer update-rate "
+               "series — the ramp-aware forecaster next to the "
+               "trendless EWMA (q_rate_anomaly): a steadily growing "
+               "rate stays un-flagged because the trend term follows "
+               "it, while the EWMA lags and false-alarms",
+    doc="per-(peer, minute) counts -> ordered fold carrying (level, "
+        "trend): level' = floor((3*(level+trend) + x) / 4), trend' = "
+        "floor((level' - level + 7*trend) / 8) (alpha 1/4, beta 1/8); "
+        "state in milli-units so the 1/8 trend step resolves below "
+        "one count; flags cnt > 2*max(forecast, 1); floor division on BOTH "
+        "engines so negative trends round identically",
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-aggregation-per-key shape as q_rate_anomaly (windows
+    cannot express the coupled recurrence): the fold carries a
+    (seen, level, trend, forecasts, trends) struct and appends the
+    PRE-update forecast per bucket. All state is integer; the only
+    float op is the /4.0 and /8.0 floor divisions, exact on
+    integer-valued doubles — both engines produce bit-identical
+    series, including negative trends (floor, not truncation,
+    verified on both). At 100 TB: per-key series bounded by the
+    retention window, the array fold is partition-local."""
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
+         .alias("peer"),
+        F.expr("cast(ts as long) div 60").alias("minute_epoch"))
+    cnts = (src.groupBy("peer", "minute_epoch")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    g = cnts.groupBy("peer").agg(
+        F.sort_array(F.collect_list(F.struct("minute_epoch", "cnt")))
+         .alias("arr"))
+    cs = F.transform("arr", lambda s: s["cnt"])
+    cs_milli = F.transform("arr", lambda s: s["cnt"] * 1000)
+    nul = F.lit(None).cast("long")
+    folded = F.aggregate(
+        cs_milli,
+        F.struct(F.lit(False).alias("seen"),
+                 F.lit(0).cast("long").alias("lev"),
+                 F.lit(0).cast("long").alias("tr"),
+                 F.array().cast("array<long>").alias("fs"),
+                 F.array().cast("array<long>").alias("ts")),
+        lambda acc, x: F.struct(
+            F.lit(True).alias("seen"),
+            F.when(~acc["seen"], x)
+             .otherwise(F.floor((3 * (acc["lev"] + acc["tr"]) + x) / 4)
+                        .cast("long")).alias("lev"),
+            F.when(~acc["seen"], F.lit(0).cast("long"))
+             .otherwise(F.floor(
+                 (F.floor((3 * (acc["lev"] + acc["tr"]) + x) / 4)
+                  .cast("long") - acc["lev"] + 7 * acc["tr"]) / 8)
+                 .cast("long")).alias("tr"),
+            F.concat(acc["fs"], F.array(
+                F.when(~acc["seen"], nul)
+                 .otherwise(acc["lev"] + acc["tr"]))).alias("fs"),
+            F.concat(acc["ts"], F.array(
+                F.when(~acc["seen"], nul)
+                 .otherwise(acc["tr"]))).alias("ts")))
+    z = g.select(
+        "peer",
+        F.arrays_zip(
+            F.transform("arr", lambda s: s["minute_epoch"]),
+            cs, folded["fs"], folded["ts"]).alias("z")) \
+        .select("peer", F.explode("z").alias("r"))
+    return z.select(
+        "peer",
+        F.col("r.0").alias("minute_epoch"),
+        F.col("r.1").alias("cnt"),
+        F.col("r.fs").alias("forecast_prev_milli"),
+        F.col("r.ts").alias("trend_prev_milli"),
+        (F.col("r.fs").isNotNull()
+         & (F.col("r.1") * 1000
+            > 2 * F.greatest(F.col("r.fs"), F.lit(1000))))
+        .cast("int").alias("is_anomaly"))
+
+
+# ---------------------------------------------------------------------------
 # robust outliers: median / MAD via exact order statistics
 # ---------------------------------------------------------------------------
 
