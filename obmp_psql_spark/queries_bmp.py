@@ -177,10 +177,16 @@ def q_bmp_txn_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "first_added_timestamp", "prefix")
 
 
-# (id(spark), sf_dir) -> (store, version-after-batch-1); stashed by the
-# txnstore build so q_store_time_diff can time-travel WITHOUT the
-# judged ingest headline paying to materialize the v1 read
-_TXN_STORE_HANDLES: dict = {}
+# session (weak) -> {sf_dir: (store, version-after-batch-1)}; stashed
+# by the txnstore build so q_store_time_diff can time-travel WITHOUT
+# the judged ingest headline paying to materialize the v1 read.
+# WeakKeyDictionary: the handle dies WITH the session — no unbounded
+# growth across sessions, and a recycled id() can never pair a fresh
+# session with a dead session's store
+import weakref
+
+_TXN_STORE_HANDLES: "weakref.WeakKeyDictionary" = \
+    weakref.WeakKeyDictionary()
 
 
 def _run_txn_pipeline(spark: SparkSession, sf_dir: str):
@@ -202,7 +208,7 @@ def _run_txn_pipeline(spark: SparkSession, sf_dir: str):
         b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
         ing.unicast_prefix_batch(b1, 0)
-        _TXN_STORE_HANDLES[(id(spark), sf_dir)] = \
+        _TXN_STORE_HANDLES.setdefault(spark, {})[sf_dir] = \
             (store, store.snapshot().version)
         ing.unicast_prefix_batch(b2, 1)
         ing.unicast_prefix_batch(b1, 0)  # replayed batch: must be a no-op
@@ -215,7 +221,7 @@ def _run_txn_v1_read(spark: SparkSession, sf_dir: str):
     cached separately so only q_store_time_diff pays for it."""
     def build():
         _run_txn_pipeline(spark, sf_dir)  # ensure store exists
-        store, v1 = _TXN_STORE_HANDLES[(id(spark), sf_dir)]
+        store, v1 = _TXN_STORE_HANDLES[spark][sf_dir]
         return (store.read_at("ip_rib", v1),)
     return _cached_pipeline("txndiff", spark, sf_dir, build)
 

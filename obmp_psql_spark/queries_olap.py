@@ -1055,8 +1055,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EWMA rate anomalies: sequential per-key fold with integer arithmetic
 # ---------------------------------------------------------------------------
 
-_RATE_ANOMALY_ORACLE = f"""
-    WITH {_EV},
+# shared by the smoothing family (EWMA q_rate_anomaly +
+# q_stream_rate_anomaly oracle, Holt-Winters q_holt_winters): ONE
+# definition of the per-(peer, minute) count series so the forecasters
+# can never silently diverge on their input grid
+_PEER_MINUTE_CTES = """
     src AS (
       SELECT 'p' || CAST(user_id % 10 AS VARCHAR) AS peer,
              CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute_epoch
@@ -1071,7 +1074,27 @@ _RATE_ANOMALY_ORACLE = f"""
              list(minute_epoch ORDER BY minute_epoch) AS ms,
              list(cnt ORDER BY minute_epoch) AS cs
       FROM cnts GROUP BY peer
-    ),
+    )"""
+
+
+def _peer_minute_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of _PEER_MINUTE_CTES: per peer, the minute-ordered
+    (minute_epoch, cnt) array the sequential folds run over."""
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
+         .alias("peer"),
+        F.expr("cast(ts as long) div 60").alias("minute_epoch"))
+    cnts = (src.groupBy("peer", "minute_epoch")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return cnts.groupBy("peer").agg(
+        F.sort_array(F.collect_list(F.struct("minute_epoch", "cnt")))
+         .alias("arr"))
+
+
+_RATE_ANOMALY_ORACLE = f"""
+    WITH {_EV},
+{_PEER_MINUTE_CTES},
     folded AS (
       SELECT peer, ms, cs,
         string_split(string_split(
@@ -1121,16 +1144,7 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key series is the retention window's minute count (~40k rows
     per peer-month) — array-safe; the alternative per-row UDAF would
     serialize the same state with Python overhead."""
-    ev = _events(spark, sf_dir)
-    src = ev.select(
-        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
-         .alias("peer"),
-        F.expr("cast(ts as long) div 60").alias("minute_epoch"))
-    cnts = (src.groupBy("peer", "minute_epoch")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-    g = cnts.groupBy("peer").agg(
-        F.sort_array(F.collect_list(F.struct("minute_epoch", "cnt")))
-         .alias("arr"))
+    g = _peer_minute_groups(spark, sf_dir)
     cs = F.transform("arr", lambda s: s["cnt"])
     folded = F.aggregate(
         cs,
@@ -1167,21 +1181,7 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HW_ORACLE = f"""
     WITH {_EV},
-    src AS (
-      SELECT 'p' || CAST(user_id % 10 AS VARCHAR) AS peer,
-             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute_epoch
-      FROM ev
-    ),
-    cnts AS (
-      SELECT peer, minute_epoch, CAST(count(*) AS BIGINT) AS cnt
-      FROM src GROUP BY peer, minute_epoch
-    ),
-    g AS (
-      SELECT peer,
-             list(minute_epoch ORDER BY minute_epoch) AS ms,
-             list(cnt ORDER BY minute_epoch) AS cs
-      FROM cnts GROUP BY peer
-    ),
+{_PEER_MINUTE_CTES},
     folded AS (
       SELECT peer, ms, cs,
         string_split(split_part(
@@ -1264,16 +1264,7 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, including negative trends (floor, not truncation,
     verified on both). At 100 TB: per-key series bounded by the
     retention window, the array fold is partition-local."""
-    ev = _events(spark, sf_dir)
-    src = ev.select(
-        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string"))
-         .alias("peer"),
-        F.expr("cast(ts as long) div 60").alias("minute_epoch"))
-    cnts = (src.groupBy("peer", "minute_epoch")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-    g = cnts.groupBy("peer").agg(
-        F.sort_array(F.collect_list(F.struct("minute_epoch", "cnt")))
-         .alias("arr"))
+    g = _peer_minute_groups(spark, sf_dir)
     cs = F.transform("arr", lambda s: s["cnt"])
     cs_milli = F.transform("arr", lambda s: s["cnt"] * 1000)
     nul = F.lit(None).cast("long")

@@ -75,12 +75,21 @@ def upsert_statement(table: str, columns: list[str], rows: list[Row],
 
 
 _RECONNECT_PHRASES = (
-    # specific connection-lifecycle phrases, NOT the bare word
-    # "connection" — a constraint named fk_connection_id must stay fatal
-    "connection refused", "connection reset", "connection timed out",
-    "connection is closed", "connection closed", "connection lost",
-    "server closed the connection", "broken pipe", "not connected",
+    "broken pipe", "not connected",
     "could not set lock", "database is locked",
+)
+
+# "connection" alone is NOT enough (a constraint named
+# fk_connection_id must stay fatal) — it reconnects only together
+# with a lifecycle word, which covers the canonical driver texts:
+# psycopg2 "SSL connection has been closed unexpectedly" /
+# "connection already closed", PgJDBC "This connection has been
+# closed.", libpq "connection to server was lost" /
+# "could not connect to server", "terminating connection ..."
+_CONN_LIFECYCLE_WORDS = (
+    "closed", "close", "lost", "reset", "refused", "timed out",
+    "timeout", "terminat", "broken", "could not connect", "aborted",
+    "unexpectedly", "failure", "does not exist yet",
 )
 
 _BACKOFF_PHRASES = (
@@ -99,6 +108,9 @@ def classify_sql_error(exc: BaseException) -> str:
     state 42601)."""
     msg = str(exc).lower()
     if any(p in msg for p in _RECONNECT_PHRASES):
+        return "reconnect"
+    if "connection" in msg and any(w in msg
+                                   for w in _CONN_LIFECYCLE_WORDS):
         return "reconnect"
     if any(p in msg for p in _BACKOFF_PHRASES):
         return "backoff"

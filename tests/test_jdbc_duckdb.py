@@ -99,6 +99,16 @@ def test_classifier_matches_reference_ladder():
         'violates foreign key constraint "fk_connection_id"')) == "fatal"
     assert classify_sql_error(Exception(
         'relation "peer_connections" does not exist')) == "fatal"
+    # ...but the canonical driver disconnect texts all reconnect
+    for m in ("SSL connection has been closed unexpectedly",
+              "connection already closed",
+              "This connection has been closed.",
+              "connection to server was lost",
+              "could not connect to server: Connection refused",
+              "terminating connection due to administrator command",
+              "FATAL: the database system is starting up "
+              "(connection aborted)"):
+        assert classify_sql_error(Exception(m)) == "reconnect", m
 
 
 def test_deadlock_backoff_replays_statement(spark, tmp_path):
