@@ -4,6 +4,15 @@ ONE JSON line with per-query wall seconds.
 
 Each query is forced to full materialization via a cheap count-style
 action (write to noop would also work; count keeps it deterministic).
+
+Artifact naming: the full per-query timings go to BENCH_LOCAL_r{NN}.json
+where NN = $BENCH_ROUND, else max(CORRECTNESS round)+1. The driver runs
+this script AFTER writing CORRECTNESS_r{N}.json, so its end-of-round-N
+record lands at r{N+1} — the same file the next round's first manual run
+would target. Guard: every artifact stamps `git_head`; overwriting a
+file recorded at a DIFFERENT head first preserves it to `<name>.prev`
+(the round-8 driver record was additionally archived as
+BENCH_DRIVER_r08.json).
 """
 
 from __future__ import annotations
@@ -121,8 +130,18 @@ def main() -> None:
             for name in head:
                 timings[name] = min(timings[name], cold_run(name))
 
+    import subprocess
+    try:
+        git_head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10).stdout.strip()
+    except Exception:
+        git_head = "unknown"
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
+        "git_head": git_head,
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
@@ -133,11 +152,13 @@ def main() -> None:
         "headline_load_reruns": headline_reruns,
     }
     # methodology is self-documenting: every query in `queries` is a
-    # single run EXCEPT the names in min_of_3_queries, whose first
+    # single run EXCEPT the names in min_of_n_queries, whose first
     # (cold-JIT) run is preserved in timings_cold — cross-round
-    # comparisons can use either series apples-to-apples
+    # comparisons can use either series apples-to-apples. min_of_n
+    # records the ACTUAL pass count (3 base + 1 per load-gated rerun).
     if cold:
-        out["min_of_3_queries"] = head
+        out["min_of_n_queries"] = head
+        out["min_of_n"] = 3 + headline_reruns
         out["timings_cold"] = cold
     # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
     # ip_rib; q_bmp_rib_merge pushes one synthesized message per
@@ -177,6 +198,17 @@ def main() -> None:
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"{stem}_r{int(round_n):02d}.json")
+    # no-clobber guard: a record written at a different commit (e.g.
+    # the driver's end-of-round run, whose round inference lands one
+    # past its own CORRECTNESS file) is preserved, not overwritten
+    if os.path.exists(local_path):
+        try:
+            with open(local_path) as fh:
+                prev_head = json.load(fh).get("git_head")
+        except Exception:
+            prev_head = None
+        if prev_head != git_head:
+            os.replace(local_path, local_path + ".prev")
     with open(local_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
