@@ -21,10 +21,14 @@ from obmp_psql_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from obmp_psql_spark.queries_core import q_rib_summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return q_rib_summary(spark, "/root/testdata/sf0.001")
+    The flagship is the J1 engine path since round 9 (the standalone
+    q_rib_summary TPC-H shape was consolidated into it): v_ip_routes
+    over state built through the real ingest merges."""
+    from obmp_psql_spark.queries_bmp import q_bmp_view_routes
+
+    return q_bmp_view_routes(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

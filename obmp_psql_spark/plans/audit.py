@@ -46,16 +46,12 @@ BNLJ_WHITELIST: dict[str, str] = {
     "q_drift_psi": "broadcast 1-row cohort totals onto a 10-row bin grid",
     # 1-row corpus-size aggregate broadcast into the idf expression —
     # the same scalar-subquery pattern
-    "q_doc_tfidf": "broadcast 1-row corpus-count aggregate (idf)",
     "q_doc_unigram_ppl": "broadcast 1-row corpus-total aggregate (MLE "
                          "denominator) — same scalar-subquery pattern",
     "q_bigram_surprisal": "broadcast 1-row vocab-size aggregate (add-1 "
                           "denominator) — same scalar-subquery pattern",
     "q_bm25_rank": "broadcast 1-row corpus-stats aggregate (N + avgdl) "
                    "— same scalar-subquery pattern",
-    "q_hll_sketch_union": "broadcast 1-row global exact-count aggregate "
-                          "next to the sketch union — scalar-subquery "
-                          "pattern",
     "q_domain_mix": "broadcast 1-row total/source-count aggregate (rates)",
     # 1-row orphan-count x 1-row table-count: the DQ summary join
     "q_dq_audit": "1-row x 1-row aggregate combine (orphans + n_rows)",

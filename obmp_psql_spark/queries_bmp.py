@@ -443,23 +443,83 @@ WHERE timestamp >= TIMESTAMP '2020-01-01 00:00:00'
 GROUP BY 1, 2
 """
 
+# all three chg-stats dimensions over the same CDC log: by-peer 1-min
+# (A1), by-ASN 1-min (A2), by-prefix 2-min (A3), labeled + unioned so
+# one engine-path gate covers the whole update_chg_stats family
+_CHG3_ORACLE = f"""
+WITH log_rows AS ({_LOG_ORACLE})
+SELECT 'peer' AS dim,
+       make_timestamp(CAST(floor(epoch(timestamp)/60)*60 AS BIGINT)*1000000) AS interval_time,
+       peer_hash_id,
+       CAST(NULL AS VARCHAR) AS key2,
+       CAST(count(CASE WHEN is_withdrawn THEN 1 END) AS BIGINT) AS withdraws,
+       CAST(count(CASE WHEN NOT is_withdrawn THEN 1 END) AS BIGINT) AS updates
+FROM log_rows
+WHERE timestamp >= TIMESTAMP '2020-01-01 00:00:00'
+  AND timestamp < TIMESTAMP '2030-01-01 00:00:00'
+GROUP BY 2, 3
+UNION ALL
+SELECT 'asn' AS dim,
+       make_timestamp(CAST(floor(epoch(timestamp)/60)*60 AS BIGINT)*1000000) AS interval_time,
+       peer_hash_id,
+       CAST(origin_as AS VARCHAR) AS key2,
+       CAST(count(CASE WHEN is_withdrawn THEN 1 END) AS BIGINT) AS withdraws,
+       CAST(count(CASE WHEN NOT is_withdrawn THEN 1 END) AS BIGINT) AS updates
+FROM log_rows
+WHERE timestamp >= TIMESTAMP '2020-01-01 00:00:00'
+  AND timestamp < TIMESTAMP '2030-01-01 00:00:00'
+GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'prefix' AS dim,
+       make_timestamp(CAST(floor(epoch(timestamp)/120)*120 AS BIGINT)*1000000) AS interval_time,
+       peer_hash_id,
+       prefix || '/16' AS key2,
+       CAST(count(CASE WHEN is_withdrawn THEN 1 END) AS BIGINT) AS withdraws,
+       CAST(count(CASE WHEN NOT is_withdrawn THEN 1 END) AS BIGINT) AS updates
+FROM log_rows
+WHERE timestamp >= TIMESTAMP '2020-01-01 00:00:00'
+  AND timestamp < TIMESTAMP '2030-01-01 00:00:00'
+GROUP BY 2, 3, 4
+"""
+
 
 @register(
     "q_bmp_chg_stats",
-    oracle=_CHG_ORACLE,
-    survey_ref="A1 end-to-end (2_aggregations.sql:91-102 update_chg_stats)",
-    doc="engine rollup over the pipeline's own CDC log vs reference SQL oracle",
+    oracle=_CHG3_ORACLE,
+    survey_ref="A1-A3/F5 end-to-end (2_aggregations.sql:91-130 "
+               "update_chg_stats by peer, by ASN 1-min, by prefix "
+               "2-min; epoch-floor buckets)",
+    doc="all three engine chg-stats rollups over the pipeline's own "
+        "CDC log, labeled + unioned, vs reference SQL oracle "
+        "(consolidated round 9: subsumes the former q_chg_stats_1min/"
+        "q_chg_stats_2min single-operator gates)",
 )
 def q_bmp_chg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate for the whole update_chg_stats cron family. Each
+    dimension is an independent map-side-combinable groupBy over the
+    SAME time-pruned log slice; at 100 TB the three scans share the
+    pruned partitions and each shuffles |keys|, not |rows|."""
     import datetime as dt
 
-    from .operators.rollup import chg_stats_bypeer
+    from .operators.rollup import (chg_stats_byasn, chg_stats_byprefix,
+                                   chg_stats_bypeer)
 
     _, log = _run_pipeline(spark, sf_dir)
     # fixed deterministic window covering all synthetic timestamps
-    return chg_stats_bypeer(
-        log, now=dt.datetime(2030, 1, 1),
-        window=dt.timedelta(days=3653))
+    now, window = dt.datetime(2030, 1, 1), dt.timedelta(days=3653)
+    bypeer = chg_stats_bypeer(log, now, window).select(
+        F.lit("peer").alias("dim"), "interval_time", "peer_hash_id",
+        F.lit(None).cast("string").alias("key2"), "withdraws", "updates")
+    byasn = chg_stats_byasn(log, now, window).select(
+        F.lit("asn").alias("dim"), "interval_time", "peer_hash_id",
+        F.col("origin_as").cast("string").alias("key2"),
+        "withdraws", "updates")
+    byprefix = chg_stats_byprefix(log, now, window).select(
+        F.lit("prefix").alias("dim"), "interval_time", "peer_hash_id",
+        F.concat(F.col("prefix"), F.lit("/"),
+                 F.col("prefix_len").cast("string")).alias("key2"),
+        "withdraws", "updates")
+    return bypeer.unionByName(byasn).unionByName(byprefix)
 
 
 # ---------------------------------------------------------------------------
@@ -1204,7 +1264,7 @@ FROM log GROUP BY 1, 2
 @register(
     "q_l3vpn_chg_stats",
     oracle=_L3VPN_CHG_ORACLE,
-    survey_ref="A4 (10_l3vpn.sql:238-284 update_l3vpn_chg_stats, byrd variant)",
+    survey_ref="A4/F6 (10_l3vpn.sql:238-284 update_l3vpn_chg_stats, byrd variant; parameterized time_bucket)",
     doc="parameterized 5-min time buckets over the l3vpn CDC log",
 )
 def q_l3vpn_chg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,231 +41,6 @@ def _ev(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Flagship: J1 multi-way dimensional join + aggregation
-# (v_ip_routes shape: fact ⋈ three dims; ref 8_views.sql:48-51)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_rib_summary",
-    oracle="""
-    SELECT r_name, n_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    GROUP BY r_name, n_name
-    """,
-    survey_ref="J1 (8_views.sql:48-51), A10",
-    doc="fact ⋈ dims with broadcast: the v_ip_routes join shape",
-)
-def q_rib_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir,
-                    ("lineitem", "orders", "customer", "nation", "region"))
-    return (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# P1-P5, F1: filters + CASE projections
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_filter_case_projection",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_returnflag = 'R' THEN 'Withdrawn' ELSE 'Advertised' END AS action_label,
-           CASE WHEN length(l_returnflag) > 0 THEN l_returnflag ELSE 'N' END AS flag_or_default,
-           l_quantity
-    FROM lineitem
-    WHERE l_quantity <= 25 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-    """,
-    survey_ref="P1 (UnicastPrefixQuery.java:50-51), P4/P5 (8_views.sql:11,95), F1",
-    doc="sanity row filter + CASE name-fallback/event-label projections",
-)
-def q_filter_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return (
-        li.filter((F.col("l_quantity") <= 25)
-                  & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
-        .select(
-            "l_orderkey", "l_linenumber",
-            F.when(F.col("l_returnflag") == "R", "Withdrawn")
-             .otherwise("Advertised").alias("action_label"),
-            F.when(F.length("l_returnflag") > 0, F.col("l_returnflag"))
-             .otherwise(F.lit("N")).alias("flag_or_default"),
-            "l_quantity",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# W2/A9/T2: dedup-latest (last-write-wins per key)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_dedup_latest",
-    oracle=_ev("""
-    SELECT event_id, ts, user_id, event_type, value FROM (
-      SELECT e.*, row_number() OVER (PARTITION BY user_id
-                                     ORDER BY ts DESC, event_id DESC) AS rn
-      FROM ev e
-    ) WHERE rn = 1
-    """),
-    survey_ref="W2/A9/T2 (WriterRunnable.java:140-153; UnicastPrefixQuery.java:29-34)",
-    doc="last-write-wins state compression per key",
-)
-def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import dedup_latest
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return dedup_latest(ev, keys=["user_id"],
-                        order_by=[F.col("ts").desc(), F.col("event_id").desc()]) \
-        .select("event_id", "ts", "user_id", "event_type", "value")
-
-
-# ---------------------------------------------------------------------------
-# W1/O1: top-1 per group (the LPM pick shape)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_top1_per_group",
-    oracle=_ev("""
-    SELECT event_type, event_id, user_id, value FROM (
-      SELECT event_type, event_id, user_id, value,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY value DESC, event_id ASC) AS rn
-      FROM ev
-    ) WHERE rn = 1
-    """),
-    survey_ref="W1/O1 (1_base.sql:73-77 find_geo_ip ORDER BY ... LIMIT 1)",
-    doc="windowed top-1 replaces ORDER BY ... LIMIT 1 scalar lookups",
-)
-def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_type", "event_id", "user_id", "value")
-    )
-
-
-# ---------------------------------------------------------------------------
-# A1/A2 + F5: 1-minute bucketed conditional counts (update_chg_stats)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_chg_stats_1min",
-    oracle=_ev("""
-    SELECT date_trunc('minute', ts) AS interval_time,
-           event_type,
-           CAST(COUNT(CASE WHEN value >= 10 THEN 1 END) AS BIGINT) AS updates,
-           CAST(COUNT(CASE WHEN value < 10 THEN 1 END) AS BIGINT) AS withdraws
-    FROM ev
-    GROUP BY 1, 2
-    """),
-    survey_ref="A1/A2 (2_aggregations.sql:91-116), F5",
-    doc="1-min time-bucketed conditional counts keyed by group",
-)
-def q_chg_stats_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
-        ev.groupBy(
-            F.date_trunc("minute", "ts").alias("interval_time"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.when(F.col("value") >= 10, 1)).alias("updates"),
-            F.count(F.when(F.col("value") < 10, 1)).alias("withdraws"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# A3/A4/F6/T9: parameterized epoch-floor buckets (time_bucket)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_chg_stats_2min",
-    oracle=_ev("""
-    SELECT make_timestamp(CAST(floor(epoch(ts) / 120) * 120 AS BIGINT) * 1000000) AS interval_time,
-           user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
-    FROM ev
-    GROUP BY 1, 2
-    """),
-    survey_ref="A3/A4 (2_aggregations.sql:119-130; 10_l3vpn.sql:238-284), F6, T9",
-    doc="120-s epoch-floor tumbling buckets, the time_bucket() shape",
-)
-def q_chg_stats_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    bucket = F.timestamp_seconds((F.floor(F.unix_timestamp("ts") / 120) * 120))
-    return (
-        ev.groupBy(bucket.alias("interval_time"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _dsum(F.col("value")).alias("sum_value"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# A5/A10: global consolidation (global_ip_rib shape):
-# groupBy key: max/min, bool_and, count(distinct) with FILTER
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_global_consolidation",
-    oracle=_ev("""
-    SELECT user_id,
-           max(ts) AS last_ts,
-           min(ts) AS first_added,
-           CAST(count(DISTINCT event_type) AS BIGINT) AS num_types,
-           CAST(min(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS INT) AS all_ok,
-           CAST(count(DISTINCT CASE WHEN value >= 10 THEN event_type END) AS BIGINT) AS hi_types,
-           CAST(count(DISTINCT CASE WHEN value < 10 THEN event_type END) AS BIGINT) AS lo_types
-    FROM ev
-    WHERE user_id <> 23456
-    GROUP BY user_id
-    """),
-    survey_ref="A5/A10/P2 (2_aggregations.sql:210-233,290-311)",
-    doc="global RIB consolidation: bool_and + filtered count-distinct",
-)
-def q_global_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
-        ev.filter(F.col("user_id") != 23456)  # P2 reserved-ASN filter shape
-        .groupBy("user_id")
-        .agg(
-            F.max("ts").alias("last_ts"),
-            F.min("ts").alias("first_added"),
-            F.countDistinct("event_type").alias("num_types"),
-            F.min(F.when(F.col("event_type") != "error", 1).otherwise(0))
-             .cast("int").alias("all_ok"),
-            F.countDistinct(F.when(F.col("value") >= 10, F.col("event_type")))
-             .alias("hi_types"),
-            F.countDistinct(F.when(F.col("value") < 10, F.col("event_type")))
-             .alias("lo_types"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # A6: conditional sums (update_origin_stats shape)
 # ---------------------------------------------------------------------------
 
@@ -299,41 +74,6 @@ def q_conditional_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A8: re-aggregation of a stats table (avg/min/max of counts)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_peer_update_rates",
-    oracle="""
-    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
-    per_min AS (
-      SELECT date_trunc('minute', ts) AS m, event_type,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM ev GROUP BY 1, 2
-    )
-    SELECT event_type,
-           avg(n) AS avg_rate,
-           CAST(min(n) AS BIGINT) AS min_rate,
-           CAST(max(n) AS BIGINT) AS max_rate
-    FROM per_min GROUP BY event_type
-    """,
-    survey_ref="A8 (2_aggregations.sql:471-492)",
-    doc="two-level aggregation: rates over a stats rollup",
-)
-def q_peer_update_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    per_min = (
-        ev.groupBy(F.date_trunc("minute", "ts").alias("m"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return per_min.groupBy("event_type").agg(
-        F.avg("n").alias("avg_rate"),
-        F.min("n").alias("min_rate"),
-        F.max("n").alias("max_rate"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # J2 + P4: left join with name fallback
 # ---------------------------------------------------------------------------
 
@@ -348,7 +88,7 @@ def q_peer_update_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN nation ON c_nationkey = n_nationkey
     LEFT JOIN region ON n_regionkey = r_regionkey
     """,
-    survey_ref="J2 (8_views.sql:28-29), P4 (8_views.sql:11)",
+    survey_ref="J2 (8_views.sql:28-29), P4/F1 (8_views.sql:11 length()-guarded name fallback)",
     doc="broadcast left joins to dims with CASE fallback",
 )
 def q_left_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,111 +103,6 @@ def q_left_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.col("c_nationkey").cast("string")).alias("nation_name"),
             F.col("r_name").alias("region_name"),
         )
-    )
-
-
-# ---------------------------------------------------------------------------
-# J3: aliased self-join (ls_links double node join shape)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_self_join_pairs",
-    oracle="""
-    SELECT a.s_suppkey AS local_key, b.s_suppkey AS remote_key,
-           a.s_name AS local_name, b.s_name AS remote_name, n_name AS nation
-    FROM supplier a
-    JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-    JOIN nation ON a.s_nationkey = n_nationkey
-    """,
-    survey_ref="J3 (8_views.sql:138-142 v_ls_links double self-join)",
-    doc="graph edge expansion via two aliased joins of one table",
-)
-def q_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("supplier", "nation"))
-    a = t["supplier"].alias("a")
-    b = t["supplier"].alias("b")
-    return (
-        a.join(b, (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
-               & (F.col("a.s_suppkey") < F.col("b.s_suppkey")))
-        .join(F.broadcast(t["nation"]), F.col("a.s_nationkey") == F.col("n_nationkey"))
-        .select(
-            F.col("a.s_suppkey").alias("local_key"),
-            F.col("b.s_suppkey").alias("remote_key"),
-            F.col("a.s_name").alias("local_name"),
-            F.col("b.s_name").alias("remote_name"),
-            F.col("n_name").alias("nation"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# J9: anti-join (whois ASN discovery shape)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_anti_join_missing",
-    oracle="""
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    survey_ref="J9 (gen_whois_asn.py:71-75)",
-    doc="left-anti join: keys present in facts but missing from dim",
-)
-def q_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
-    return (
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
-    )
-
-
-# ---------------------------------------------------------------------------
-# O3: DISTINCT dedup
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_distinct_pairs",
-    oracle="SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
-    survey_ref="O3 (gen_whois_route.py:195,210)",
-    doc="dropDuplicates on a projection",
-)
-def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.select("l_partkey", "l_suppkey").dropDuplicates()
-
-
-# ---------------------------------------------------------------------------
-# W3: gap detection via lag
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_gap_detection",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate, prev_date,
-           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
-    FROM (
-      SELECT o_custkey, o_orderkey, o_orderdate,
-             lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS prev_date
-      FROM orders
-    )
-    WHERE prev_date IS NOT NULL
-      AND date_diff('day', prev_date, o_orderdate) > 60
-    """,
-    survey_ref="W3 (5_functions.sql:98-120 get_next_router_index)",
-    doc="lag/lead gap detection over an ordered sequence",
-)
-def q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
-        .filter(F.col("prev_date").isNotNull())
-        .withColumn("gap_days", F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date")).cast("long"))
-        .filter(F.col("gap_days") > 60)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "prev_date", "gap_days")
     )
 
 
@@ -540,7 +175,7 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM unioned
     ) WHERE rn = 1
     """,
-    survey_ref="T7/P7 (UnicastPrefixQuery.java:35-40), merge-upsert emulation",
+    survey_ref="T7/P7 (UnicastPrefixQuery.java:35-40), W2/A9/T2 (WriterRunnable.java:140-153 last-write-wins state compression), merge-upsert emulation",
     doc="MERGE WHEN MATCHED with newer-timestamp guard, as DataFrame algebra",
 )
 def q_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,7 +254,7 @@ def q_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE prev_type IS NOT NULL AND prev_type <> event_type
     """),
-    survey_ref="G3 (9_triggers.sql:89-126 t_ip_rib_update change log)",
+    survey_ref="G3/J4 (9_triggers.sql:89-126 t_ip_rib_update change log; 8_views.sql:97-102 history view join)",
     doc="emit change-log rows only when tracked columns changed",
 )
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,7 +320,7 @@ def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start, max(ts) AS session_end
     FROM s GROUP BY 1, 2
     """,
-    survey_ref="OLAP sessionization (running-frame window; batch session_window)",
+    survey_ref="OLAP sessionization (running-frame window; batch session_window), W3 (lag-gap detection, 5_functions.sql:98-120)",
     doc="30-min-gap sessions: lag -> cumsum frame -> per-session agg",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

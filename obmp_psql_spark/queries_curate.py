@@ -1016,53 +1016,6 @@ _TOPN_N = 25
 _TOPN_SALT = "topn-v1:"
 
 
-@register(
-    "q_sample_topn",
-    oracle=f"""
-    WITH r AS (
-      SELECT doc_id, source,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY md5('{_TOPN_SALT}' || CAST(doc_id AS VARCHAR)),
-                        doc_id) AS sample_rank
-      FROM documents
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
-           CAST(sample_rank AS BIGINT) AS sample_rank
-    FROM r WHERE sample_rank <= {_TOPN_N}
-    """,
-    survey_ref="training-data pipeline: exact-n deterministic "
-               "per-stratum sampling (hash-ordered top-n per source) — "
-               "the eval-set / human-review draw where rate-based "
-               "sampling (q_stratified_sample) can't guarantee the "
-               "exact count",
-    doc=f"md5(salt || id) pseudo-random order, row_number per source, "
-        f"keep {_TOPN_N}; reproducible across engines/retries — "
-        "ORDER BY rand() is not",
-)
-def q_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One hash shuffle on the stratum key; the per-partition sort
-    feeding row_number is bounded per stratum and Spark's window
-    top-n stays partial (rank filter pushes the limit into the
-    sort). The md5 order key is computed in the scan — deterministic
-    across retries, unlike rand()-seeded sampling whose output
-    depends on partition layout. At 100 TB skewed strata salt into
-    sub-strata first (same pattern as q_salted_agg)."""
-    from pyspark.sql import Window as W
-
-    d = fan_out(_docs(spark, sf_dir), spark)
-    w = (W.partitionBy("source")
-         .orderBy(F.md5(F.concat(F.lit(_TOPN_SALT),
-                                 F.col("doc_id").cast("string"))),
-                  F.col("doc_id")))
-    return (d.select(F.col("doc_id").cast("long").alias("doc_id"),
-                     "source")
-            .withColumn("sample_rank", F.row_number().over(w))
-            .filter(F.col("sample_rank") <= _TOPN_N)
-            .select("doc_id", "source",
-                    F.col("sample_rank").cast("long").alias("sample_rank")))
-
-
 # ---------------------------------------------------------------------------
 # event-type transition matrix (first-order Markov over user streams)
 # ---------------------------------------------------------------------------
@@ -1301,65 +1254,6 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HLL_TOL_PPM = 50_000  # 5% gate; lgK=12 standard error is ~1.6%
-
-
-@register(
-    "q_hll_sketch_union",
-    oracle=f"""
-    WITH per AS (
-      SELECT event_type AS group_key,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
-      FROM events GROUP BY event_type
-    ),
-    g AS (
-      SELECT '__all__' AS group_key,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
-      FROM events
-    )
-    SELECT group_key, exact_n, TRUE AS gate_ok FROM per
-    UNION ALL
-    SELECT group_key, exact_n, TRUE AS gate_ok FROM g
-    """,
-    survey_ref="A5/A10 scale path: mergeable HLL sketches — per-group "
-               "DataSketches HLL build (hll_sketch_agg), cross-group "
-               "merge via hll_union_agg, estimate gated against the "
-               "exact distinct count (like q_approx_distinct_gate, but "
-               "exercising the SKETCH-MERGE path: at 100 TB per-day "
-               "sketch tables union in O(sketch bytes) instead of "
-               "re-scanning raw data)",
-    doc="per-type HLL sketch + estimate, global estimate from "
-        "hll_union_agg over the per-type sketches (no raw re-scan); "
-        "both gated within 5% of exact — the boolean enters the hash, "
-        "the estimate itself never does",
-)
-def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-type pass aggregates sketches AND exact distincts in
-    one shuffle; the global row re-aggregates the FOUR per-type
-    sketch blobs (hll_union_agg), not the events table — the
-    mergeable-sketch contract that makes 100 TB rollups incremental.
-    Gate booleans (|est - exact| <= 5%) are what's hashed; the
-    estimates are deterministic for fixed data but
-    implementation-defined, so they stay out of the hash like the
-    ANN recall handshakes."""
-    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
-    per = (ev.groupBy(F.col("event_type").alias("group_key"))
-           .agg(F.hll_sketch_agg("user_id").alias("__sk"),
-                F.countDistinct("user_id").cast("long").alias("exact_n")))
-    per_out = per.select(
-        "group_key", "exact_n",
-        (F.abs(F.hll_sketch_estimate("__sk").cast("long") - F.col("exact_n"))
-         * 1_000_000 <= F.col("exact_n") * _HLL_TOL_PPM).alias("gate_ok"))
-    glob = (per.agg(F.hll_union_agg("__sk").alias("__gsk"),
-                    F.sum(F.lit(0)).alias("__z"))
-            .crossJoin(F.broadcast(
-                ev.agg(F.countDistinct("user_id").cast("long")
-                       .alias("exact_n"))))
-            .select(F.lit("__all__").alias("group_key"), "exact_n",
-                    (F.abs(F.hll_sketch_estimate("__gsk").cast("long")
-                           - F.col("exact_n"))
-                     * 1_000_000 <= F.col("exact_n") * _HLL_TOL_PPM)
-                    .alias("gate_ok")))
-    return per_out.unionAll(glob)
 
 
 # ---------------------------------------------------------------------------
@@ -1813,7 +1707,7 @@ def _bm25_oracle() -> str:
     oracle=_bm25_oracle(),
     survey_ref="training-data corpus search: BM25 ranked retrieval "
                "(k1=1.2, b=0.75, Lucene idf) over posting lists — the "
-               "scoring upgrade of q_fts_conjunctive; per-(doc, term) "
+               "scoring upgrade of the conjunctive posting-list search; per-(doc, term) "
                "scores rounded to integer micro-units BEFORE the "
                "per-doc sum so ranking ties are engine-identical",
     doc=f"tf/df/dl/avgdl from two bounded aggs -> per-term BM25 "
@@ -1935,53 +1829,6 @@ _DEG_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 _deg_case_sql = "CASE " + " ".join(
     f"WHEN out_deg <= {b} THEN {b}" for b in _DEG_BUCKETS
 ) + f" ELSE {_DEG_BUCKETS[-1] * 2} END"
-
-
-@register(
-    "q_graph_degree",
-    oracle=f"""
-    WITH edges AS (
-      SELECT DISTINCT CAST(user_id % {_PR_NODES} AS BIGINT) AS src,
-             CAST((user_id + event_id) % {_PR_NODES} AS BIGINT) AS dst
-      FROM events
-      WHERE user_id % {_PR_NODES} <> (user_id + event_id) % {_PR_NODES}
-    ),
-    deg AS (
-      SELECT src, CAST(count(*) AS BIGINT) AS out_deg
-      FROM edges GROUP BY src
-    )
-    SELECT CAST({_deg_case_sql} AS BIGINT) AS deg_bucket,
-           CAST(count(*) AS BIGINT) AS n_nodes,
-           CAST(min(out_deg) AS BIGINT) AS min_deg,
-           CAST(max(out_deg) AS BIGINT) AS max_deg
-    FROM deg GROUP BY 1
-    """,
-    survey_ref="graph analytics: out-degree distribution of the "
-               "interaction graph (pow2 buckets) — the skew census "
-               "run BEFORE PageRank/components to size salting and "
-               "spot hub nodes (the same pre-flight the LSH bucket "
-               "census does for band joins)",
-    doc="distinct edges -> per-src degree -> integer pow2-bucket "
-        "histogram with min/max per bucket",
-)
-def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shares q_pagerank's edge derivation; two map-side-combinable
-    aggs. The histogram is the operational point: at 100 TB you run
-    THIS first, and its max_deg column decides whether the rank
-    join needs hub-salting. Plain pow2 CASE keeps buckets integer."""
-    ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
-    src = (F.col("user_id") % _PR_NODES).cast("long")
-    dst = ((F.col("user_id") + F.col("event_id")) % _PR_NODES).cast("long")
-    edges = (ev.select(src.alias("src"), dst.alias("dst"))
-             .filter(F.col("src") != F.col("dst"))
-             .distinct())
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long")
-                                   .alias("out_deg"))
-    return (deg.groupBy(F.expr(_deg_case_sql).cast("long")
-                        .alias("deg_bucket"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
-                 F.min("out_deg").cast("long").alias("min_deg"),
-                 F.max("out_deg").cast("long").alias("max_deg")))
 
 
 # ---------------------------------------------------------------------------
@@ -2130,7 +1977,7 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-k BFS iterates exactly this step with the frontier as the
     left side (the q_pagerank loop shape); the census here is the
     k=2 slice that's still SQL-expressible for the oracle. Hub
-    middles fan out — the degree histogram (q_graph_degree) is the
+    middles fan out — the degree histogram is the
     pre-flight that decides if they need salting."""
     ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
     src = (F.col("user_id") % _PR_NODES).cast("long")

@@ -131,7 +131,7 @@ SELECT user_id, ip_num, mask_len, geo_id FROM (
 @register(
     "q_lpm_geo_join",
     oracle=_LPM_ORACLE,
-    survey_ref="J5/J6/W1 (1_base.sql:66-81 find_geo_ip; 8_views.sql:76)",
+    survey_ref="J5/J6/W1/O1 (1_base.sql:66-81 find_geo_ip ORDER BY ... LIMIT 1; 8_views.sql:76)",
     doc="longest-prefix match via bucketed range equi-join + windowed top-1",
 )
 def q_lpm_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,48 +40,6 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ROLLUP report (subtotals + grand total in one pass)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_rollup_report",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
-                AS BIGINT) AS total_cents
-    FROM orders
-    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-    """,
-    survey_ref="OLAP reports: ROLLUP(status, priority) — detail rows, "
-               "per-status subtotals, and the grand total planned as "
-               "ONE aggregate (Expand + single shuffle), not three "
-               "queries; the reference's per-peer/per-ASN/global "
-               "ladder (2_aggregations.sql) collapsed into the "
-               "engine-native hierarchy operator",
-    doc="rollup over (o_orderstatus, o_orderpriority) with GROUPING "
-        "markers, order counts, and DECIMAL-exact cents totals",
-)
-def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark plans a rollup as Expand (each input row replicated once
-    per grouping level) feeding a single hash aggregate — one wide
-    shuffle for all three levels, with map-side partial aggregation
-    on every level simultaneously. GROUPING() flags disambiguate a
-    genuine NULL key from a subtotal row, so the hash compare is
-    exact. At 100 TB this beats three separate aggs by 3x input
-    scans -> 1."""
-    t = load_tables(spark, sf_dir, ("orders",))["orders"]
-    return (t.rollup("o_orderstatus", "o_orderpriority")
-            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
-                 F.grouping("o_orderpriority").cast("int").alias("g_prio"),
-                 F.count(F.lit(1)).cast("long").alias("n_orders"),
-                 (F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2) * 100)
-                 .cast("long").alias("total_cents")))
-
-
-# ---------------------------------------------------------------------------
 # explicit GROUPING SETS report (disjoint pivot margins)
 # ---------------------------------------------------------------------------
 

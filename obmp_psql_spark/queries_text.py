@@ -81,7 +81,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_copies
     FROM fp GROUP BY fp64
     """,
-    survey_ref="training-data dedup: exact (hash groupBy)",
+    survey_ref="training-data dedup: exact (hash groupBy); O3 (keyed DISTINCT-ON: min-id survivor per fingerprint, gen_whois_route.py:195,210)",
     doc="48-bit md5 fingerprint, min-id survivor per group",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,18 +285,6 @@ votes AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {_sim_fp} AS simhash FROM votes
 """
-
-
-@register(
-    "q_simhash",
-    oracle=_SIMHASH_ORACLE,
-    survey_ref="training-data dedup: SimHash fingerprint",
-    doc="32-bit simhash: explode tokens, one groupBy with 32 bit votes",
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return simhash_fingerprints(d, "doc_id", "text", bits=_SIM_BITS) \
-        .select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
 
 
 # ---------------------------------------------------------------------------
@@ -621,38 +609,6 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, block_col="label", threshold=0.95)
 
 
-# ---------------------------------------------------------------------------
-# multimodal: binary payload -> typed metadata via mapInPandas
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_multimodal_meta",
-    oracle="""
-    WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-    m AS (SELECT doc_id, n, md5(text) AS digest FROM p)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(n AS BIGINT) AS n_bytes,
-           CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-           CAST(64 + (n % 640) AS INT) AS width,
-           CAST(64 + ((n * 7) % 480) AS INT) AS height,
-           digest AS content_md5
-    FROM m
-    """,
-    survey_ref="training-data multimodal: binary columns + mapInPandas decode plumbing",
-    doc="opaque binary -> typed metadata; decode kernel stubbed deterministically",
-)
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import extract_image_meta
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    payloads = d.select(F.col("doc_id").cast("long").alias("doc_id"),
-                        F.encode(F.col("text"), "UTF-8").alias("payload"))
-    # kernel pinned to the deterministic fake: the oracle reproduces
-    # its arithmetic, and payloads here are text bytes, not images —
-    # on a PIL-equipped deployment 'auto' would decode for real and
-    # (correctly) diverge from this oracle
-    return extract_image_meta(payloads, kernel="fake")
-
-
 @register(
     "q_multimodal_decode",
     oracle="""
@@ -707,6 +663,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   # asserted in tests
     survey_ref="training-data similarity: Arrow/BLAS brute-force top-k (scale path)",
     doc="mapInPandas + numpy matmul kNN; rank-compatible with q_ann_topk",
+    rotate=False,  # evidence: q_ann_arrow_recall (hash-gated)
 )
 def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -721,6 +678,7 @@ def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                   # asserted in tests (rows-only driver check)
     survey_ref="training-data similarity search: IVF inverted-list ANN (scale path)",
     doc="deterministic centroids -> nprobe inverted lists -> per-list kNN",
+    rotate=False,  # evidence: q_ann_ivf_recall (hash-gated)
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark)
@@ -736,6 +694,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                "(the compressed-index scale path; Jegou et al. 2011)",
     doc="per-subspace k-means codebooks -> m-byte codes -> LUT-join ADC "
         "scan; corpus scanned as codes, never raw vectors",
+    rotate=False,  # evidence: q_ann_pq_recall (hash-gated)
 )
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark)
@@ -753,6 +712,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training-data multimodal: binary -> feature vector -> ANN retrieval",
     doc="payload -> stubbed feature extraction -> cosine top-k over the "
         "extracted vectors (full multimodal-retrieval composition)",
+    rotate=False,  # evidence: q_multimodal_recall (hash-gated)
 )
 def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_image_features
@@ -1041,65 +1001,6 @@ def doc_percentiles_approx(spark: SparkSession, sf_dir: str,
 
 
 @register(
-    "q_doc_tfidf",
-    oracle=r"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
-    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-    nd AS (SELECT COUNT(*) AS n FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-             ROUND(tf.tf * ln((CAST((SELECT n FROM nd) AS DOUBLE) + 1.0)
-                              / (dfq.df + 1.0)), 6) AS tfidf
-      FROM tf JOIN dfq USING (term)
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, term ASC) AS rank
-      FROM scored
-    )
-    SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
-    """,
-    survey_ref="training-data text analysis: TF-IDF term weighting + "
-               "per-doc top-k salient terms (corpus-statistics layer "
-               "above token counting)",
-    doc="explode -> (doc, term) tf -> term df -> smoothed tf-idf -> "
-        "top-3 terms per doc; all JVM-side, two keyed shuffles",
-)
-def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF at corpus scale: one explode pass, tf via (doc, term)
-    hash agg (map-side combinable), df via a second agg over the tf
-    table (already one row per (doc, term) — no double counting),
-    corpus size joined in as a broadcast scalar so the plan stays
-    lazy/one-pass. The per-doc top-k window bounds the output."""
-    from pyspark.sql.window import Window as W
-
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    tok = (d.select("doc_id", F.explode(toks).alias("term"))
-           .filter(F.length("term") > 0))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    nd = F.broadcast(d.agg(F.count(F.lit(1)).cast("double").alias("__n")))
-    scored = (tf.join(df_, "term").crossJoin(nd)
-              .select("doc_id", "term", "tf", "df",
-                      F.round(F.col("tf") * F.log((F.col("__n") + 1.0)
-                                                  / (F.col("df") + 1.0)), 6)
-                       .alias("tfidf")))
-    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
-                                        F.col("term").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select(F.col("doc_id").cast("long").alias("doc_id"), "term",
-                    F.col("tf").cast("long").alias("tf"),
-                    F.col("df").cast("long").alias("df"), "tfidf", "rank"))
-
-
-@register(
     "q_stream_doc_dedup",
     oracle=_MINHASH_ORACLE,
     survey_ref="training-data dedup x streaming: incremental MinHash index "
@@ -1182,38 +1083,6 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("tok_offset") / budget).cast("long").alias("seq_id"),
                     ((F.col("tok_offset") + F.col("n_tokens") - 1) / budget)
                     .cast("long").alias("seq_id_end")))
-
-
-@register(
-    "q_events_rollup",
-    oracle="""
-    SELECT event_type,
-           CAST(user_id % 10 AS BIGINT) AS user_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value,
-           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
-           CAST(GROUPING(user_id % 10) AS BIGINT) AS g_bucket
-    FROM events
-    GROUP BY ROLLUP(event_type, user_id % 10)
-    """,
-    survey_ref="multi-level aggregation (ROLLUP grouping sets + GROUPING "
-               "markers — the subtotal family; single-pass expand+agg plan)",
-    doc="rollup over (event_type, user bucket) with grouping() markers vs "
-        "DuckDB ROLLUP; one shuffle, Expand feeds partial aggregation",
-)
-def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    ev = ev.select("event_type",
-                   (F.col("user_id") % 10).cast("long").alias("user_bucket"),
-                   "value")
-    return (ev.rollup("event_type", "user_bucket")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
-                  .cast("double").alias("sum_value"),
-                 F.grouping("event_type").cast("long").alias("g_type"),
-                 F.grouping("user_bucket").cast("long").alias("g_bucket"))
-            .select("event_type", "user_bucket", "n_events", "sum_value",
-                    "g_type", "g_bucket"))
 
 
 @register(
@@ -2083,48 +1952,6 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FTS_TERMS = ("join", "vector", "window")
 
 
-@register(
-    "q_fts_conjunctive",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, count(DISTINCT term) AS nt,
-             CAST(count(*) AS BIGINT) AS score
-      FROM tok WHERE term IN {tuple(_FTS_TERMS)!r}
-      GROUP BY doc_id
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, score
-    FROM h WHERE nt = {len(_FTS_TERMS)}
-    """,
-    survey_ref="training-data corpus search: conjunctive (AND) term query "
-               "over posting lists — the retrieval primitive for corpus "
-               "inspection/filtering at scale",
-    doc="explode -> term IN filter -> per-doc agg keeping docs matching "
-        "ALL query terms; score = total query-term occurrences",
-)
-def q_fts_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Models the probe side of a stored inverted index: the term
-    filter lands in the scan stage (only query-term postings survive
-    to the shuffle — k tiny posting lists, not the corpus), and the
-    AND is a count-distinct-equals-k per doc, one map-side-combinable
-    agg. At 100 TB the posting-list table is the persisted artifact;
-    the per-query plan shape is exactly this filter + agg."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    tok = d.select("doc_id", F.explode(toks).alias("term"))
-    return (tok.filter(F.col("term").isin(*_FTS_TERMS))
-            .groupBy("doc_id")
-            .agg(F.countDistinct("term").alias("__nt"),
-                 F.count(F.lit(1)).alias("score"))
-            .filter(F.col("__nt") == len(_FTS_TERMS))
-            .select(F.col("doc_id").cast("long").alias("doc_id"),
-                    F.col("score").cast("long").alias("score")))
-
-
 _FTS_PHRASE = ("hash", "value")
 
 
@@ -2361,59 +2188,6 @@ def q_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOP = 20
 
 
-@register(
-    "q_bpe_merge_candidates",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t
-      FROM documents
-    ),
-    pairs AS (
-      SELECT t[g.i] || ' ' || t[g.i + 1] AS pair
-      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
-    ),
-    counted AS (
-      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
-    )
-    SELECT pair, n, CAST(rank AS INT) AS rank FROM (
-      SELECT pair, n,
-             row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
-      FROM counted) WHERE rank <= {_BPE_TOP}
-    """,
-    survey_ref="training-data tokenizer: BPE merge-candidate counting — "
-               "the top adjacent-symbol-pair frequencies that drive each "
-               "merge step of byte-pair-encoding tokenizer training",
-    doc="array-domain adjacent pairing (zip token array with its own "
-        "tail) -> explode -> pair-count agg -> global top-K with "
-        "deterministic (count desc, pair asc) ordering",
-)
-def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pair construction happens INSIDE the row (arrays_zip of the
-    token array with its shifted self) so the explode emits exactly
-    len-1 pair rows per doc with no positional self-join; the count
-    agg is map-side combinable on the pair key and the final top-K
-    sorts only the distinct-pair table. One shuffle for the agg, one
-    tiny global sort — the same shape each BPE training iteration
-    runs at corpus scale."""
-    from pyspark.sql.window import Window as W
-
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    t = d.select(toks.alias("t"))
-    z = t.select(F.arrays_zip(
-        F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
-        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0)))).alias("z"))
-    pairs = z.select(F.explode("z").alias("p")) \
-        .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("pair"))
-    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
-    w = W.orderBy(F.col("n").desc(), F.col("pair").asc())
-    return (counted.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _BPE_TOP)
-            .select("pair", F.col("n").cast("long").alias("n"),
-                    F.col("rank").cast("int").alias("rank")))
-
-
 # ---------------------------------------------------------------------------
 # BPE trainer: k unrolled merge rounds producing an actual merge table
 # ---------------------------------------------------------------------------
@@ -2482,7 +2256,7 @@ def _bpe_train_oracle(final_select: str | None = None) -> str:
                f"{_BPE_ROUNDS} unrolled merge rounds over the "
                "word-frequency table, each round applying the previous "
                "round's winning merge to the symbol sequences "
-               "(completes the single-step q_bpe_merge_candidates)",
+               "(the single-step merge-candidate scan unrolled to a full trainer)",
     doc=f"corpus -> capped word-frequency vocab (top {_BPE_WORDS} by "
         "freq desc, word asc) -> char symbol arrays -> per round: "
         "freq-weighted adjacent-pair count, deterministic top-1 "
@@ -2883,7 +2657,7 @@ _SPLIT_SALT = "split-v1:"
 
 def _split_bucket(col):
     """md5(salt || id) % 100 — THE split bucket. One definition shared
-    by q_train_val_split (per-doc) and q_leakage_split (per-group
+    by q_leakage_split (per-doc naive baseline and per-group
     representative) so the two queries can never disagree about which
     split an id lands in; the DuckDB mirrors inline the same salt and
     thresholds via _SPLIT_SALT / _SPLIT_CASE_SQL."""
@@ -2904,47 +2678,6 @@ _SPLIT_BUCKET_SQL = ("CAST(('0x' || substr(md5('" + _SPLIT_SALT
                      " % 100")
 _SPLIT_CASE_SQL = ("CASE WHEN {b} < 90 THEN 'train' "
                    "WHEN {b} < 95 THEN 'val' ELSE 'test' END")
-
-
-@register(
-    "q_train_val_split",
-    oracle=f"""
-    WITH s AS (
-      SELECT doc_id, source, n_chars,
-             {_SPLIT_BUCKET_SQL.format(id='doc_id')} AS b
-      FROM documents
-    ), labeled AS (
-      SELECT {_SPLIT_CASE_SQL.format(b='b')} AS split,
-             doc_id, source, n_chars
-      FROM s
-    )
-    SELECT split,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-           CAST(sum(doc_id) AS BIGINT) AS id_checksum
-    FROM labeled GROUP BY split
-    """,
-    survey_ref="training-data pipeline: deterministic train/val/test "
-               "split — hash-bucket assignment (stable across engines, "
-               "retries, and corpus growth: a doc never changes split "
-               "when new docs arrive, unlike randomSplit)",
-    doc="md5(salt:doc_id) % 100 -> 90/5/5 split; per-split doc/char/"
-        "source counts + id checksum pin the exact membership",
-)
-def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    split = _split_label(_split_bucket(F.col("doc_id"))).alias("split")
-    return (d.select(split, "doc_id", "source", "n_chars")
-            .groupBy("split")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_chars").cast("long").alias("n_chars"),
-                 F.countDistinct("source").alias("n_sources"),
-                 F.sum("doc_id").cast("long").alias("id_checksum"))
-            .select("split",
-                    F.col("n_docs").cast("long").alias("n_docs"), "n_chars",
-                    F.col("n_sources").cast("long").alias("n_sources"),
-                    "id_checksum"))
 
 
 @register(
@@ -2982,7 +2715,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                "document, so exact near-copies can never straddle "
                "train and eval (contamination-by-construction guard; "
                "composes q_dedup_exact's fingerprint with "
-               "q_train_val_split's hash buckets)",
+               "the naive per-doc hash buckets)",
     doc="fingerprint-group min-id representative -> hash-bucket the "
         "REPRESENTATIVE; rescued_docs counts members the naive per-doc "
         "split would have separated from their group",
@@ -3026,15 +2759,14 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _semantic_dedup_oracle(sf_dir: str,
-                           name: str = "q_semantic_dedup") -> str:
+                           name: str = "q_semantic_dedup_banded") -> str:
     """DuckDB half of the SemDeDup handshake: read the published
     cluster-assignment dump, join the (clone-augmented) embedding
     table, and re-derive the keep/drop decision with the identical
     within-cluster keep-lowest-id rule. Hash-equal iff both engines
-    agree on every kept/dropped row and representative. Shared by the
-    hash-sharded (q_semantic_dedup) and LSH-banded
-    (q_semantic_dedup_banded) cap policies — the blocking key is
-    opaque in the published assignment, so the oracle is identical."""
+    agree on every kept/dropped row and representative. The blocking
+    key is opaque in the published assignment, so the oracle is
+    independent of the cap policy (hash-shard or centered-LSH band)."""
     aux = _aux(name, _sf_tag(sf_dir))
     return f"""
     WITH e AS (
@@ -3066,46 +2798,6 @@ def _semantic_dedup_oracle(sf_dir: str,
            CAST(dup.dup_of AS BIGINT) AS dup_of
     FROM j LEFT JOIN dup USING (vec_id)
     """
-
-
-@register(
-    "q_semantic_dedup",
-    oracle=_semantic_dedup_oracle,
-    survey_ref="training-data dedup: SemDeDup (Abbas et al. 2023) — "
-               "k-means the embedding space, near-dup only within "
-               "clusters; the scale path that replaces the blocked "
-               "all-pairs q_embed_neardup shape",
-    doc="kmeans_assign -> parquet assignment handoff -> within-cluster "
-        "cosine keep-lowest-id, re-derived independently by both engines",
-)
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cache import build_artifacts
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    # inject exact clones (same rule as q_embed_neardup) so the
-    # drop-set is non-trivial at every sf
-    aug = e.unionByName(
-        e.filter(F.col("vec_id") % 3 == 0)
-         .withColumn("vec_id", F.col("vec_id") + 10000))
-    aux = _aux("q_semantic_dedup", _sf_tag(sf_dir))
-    with build_artifacts():
-        # one Lloyd round: the gate re-derives keep/drop FROM the
-        # published assignment, so extra refine rounds only move
-        # cluster boundaries (each is a full-scan + collect barrier —
-        # measured ~1.2 s/round at sf0.1 in job fixed costs)
-        assigned = similarity.kmeans_assign(
-            fan_out(aug, spark), n_clusters=16, train_iters=1)
-        # cap within-cluster pair work (the published key carries the
-        # shard, so the oracle contract is unchanged — see
-        # shard_oversized_clusters)
-        assigned = similarity.shard_oversized_clusters(
-            assigned, max_cluster_size=500)
-        publish_aux(
-            assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
-                            F.col("cluster_id").cast("long")
-                             .alias("cluster_id")),
-            aux)
-    ap = spark.read.parquet(aux)
-    return similarity.semantic_dedup_within(ap, aug, threshold=0.95)
 
 
 @register(

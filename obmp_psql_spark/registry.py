@@ -41,6 +41,12 @@ class QuerySpec:
     oracle: str | Callable[[str], str] | None
     survey_ref: str = ""  # SURVEY.md §2 operator ids this demonstrates
     doc: str = ""
+    # rotate=False pins the query to the very END of the registry so it
+    # never enters the driver's 50-query sampled prefix: used for the
+    # rows-only (oracle=None) originals whose correctness evidence is a
+    # hash-gated recall companion — a driver row for them would only
+    # record "no_oracle", wasting a sample slot (round-8 verdict #8).
+    rotate: bool = True
 
     def oracle_for(self, sf_dir: str) -> str | None:
         if callable(self.oracle):
@@ -52,11 +58,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | Callable[[str], str] | None,
-             survey_ref: str = "", doc: str = ""):
+             survey_ref: str = "", doc: str = "", rotate: bool = True):
     def deco(fn):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, survey_ref, doc)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, survey_ref, doc,
+                                    rotate)
         return fn
     return deco
+
+
+# Hard cap on the ROTATING registry (rotate=True entries). The driver
+# samples the first 50 entries per round, so with pure
+# staleness-ascending order every rotating query is guaranteed a fresh
+# driver row at least every ceil(N/50) rounds; N <= 150 keeps that
+# worst-case bound at 3 rounds. Institutionalized in round 9 after 22
+# queries went 3+ rounds without a driver row at N=176: adding a query
+# past the cap requires consolidating a redundant one first
+# (tests/test_rotation.py enforces the cap).
+MAX_ROTATING = 150
 
 
 # Presentation order = rotation policy. The correctness driver samples
@@ -65,16 +83,18 @@ def register(name: str, oracle: str | Callable[[str], str] | None,
 # sort ascending by the last round in which a query had a green driver
 # row (compiled into the generated ``_rotation.py`` — regenerate with
 # ``python tools/update_rotation.py`` at the start of each round).
-# Queries with NO driver history lead.
+# Queries with NO driver history lead. rotate=False entries sort last
+# and never enter the prefix (their evidence is a hash-gated companion).
 #
-# Staleness bounds at the current registry size (~154 queries / 50
-# slots): a non-gate query's driver row can go at most
-# ceil((N - 50) / 50) + 1 ≈ 3 rounds stale. The GATE tier below — the
-# pipelines exercising the widest operator surface (full ingest merges,
-# the durable txn sink, the LS/L3VPN CDC flows, v6 LPM/containment,
-# streaming dedup) — gets a hard ≤ 2-round bound: once a gate query's
-# row is ≥ 2 rounds old it is forced into the sampled prefix ahead of
-# everything (they are cheap — the whole tier re-checks in ~3 min).
+# Staleness bound: with MAX_ROTATING <= 150 rotating queries and 50
+# slots, pure round-robin guarantees every rotating query a driver row
+# at least every 3 rounds. The GATE tier below — the pipelines
+# exercising the widest operator surface (full ingest merges, the
+# durable txn sink, the LS/L3VPN CDC flows, v6 LPM/containment,
+# streaming dedup/monitoring, time travel) — gets a hard ≤ 2-round
+# bound: once a gate query's row is ≥ 2 rounds old it is forced into
+# the sampled prefix ahead of everything (they are cheap — the whole
+# tier re-checks in ~4 min).
 #
 # Tie-break inside the freshest cohort: gate pipelines also fill any
 # slots remaining after all staler queries.
@@ -94,6 +114,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q_stream_doc_dedup",
     # commit-log time travel: read_at version pinning + snapshot diff
     "q_store_time_diff",
+    # round-9 additions (verdict #9): the durable-store ops report and
+    # the streaming monitoring pair that define the round-8+ headline
+    "q_store_stats",
+    "q_stream_rate_anomaly",
+    "q_stream_drift_psi",
 )
 
 
@@ -113,6 +138,9 @@ def all_specs() -> dict[str, QuerySpec]:
     max_round = max(LAST_DRIVER_ROW.values(), default=0)
 
     def key(name: str):
+        # rows-only companions never enter the sampled prefix
+        if not _REGISTRY[name].rotate:
+            return (1 << 30, 0, reg_order[name])
         last = LAST_DRIVER_ROW.get(name, 0)  # never-proven queries lead
         # hard bound for the gate tier: a gate pipeline whose driver row
         # is >= 2 rounds old jumps to the very front of the prefix

@@ -11,11 +11,33 @@ import subprocess
 import sys
 
 
+def test_rotating_registry_capped():
+    """Worst-case driver-row staleness is ceil(N/50) rounds under the
+    staleness-ascending sort; N <= 150 keeps it at <= 3 rounds. Adding
+    a query past the cap requires consolidating a redundant one first
+    (round-9 policy; see registry.MAX_ROTATING)."""
+    from obmp_psql_spark.registry import MAX_ROTATING, all_specs
+
+    specs = all_specs()
+    rotating = [n for n, s in specs.items() if s.rotate]
+    assert len(rotating) <= MAX_ROTATING, (
+        f"{len(rotating)} rotating queries > cap {MAX_ROTATING}: "
+        "consolidate a redundant gate before registering a new one")
+    # non-rotating entries are allowed only for rows-only originals
+    # whose evidence is a hash-gated companion; they must have no oracle
+    for n, s in specs.items():
+        if not s.rotate:
+            assert s.oracle is None, f"{n}: rotate=False requires oracle=None"
+
+
 def test_registry_orders_by_staleness():
     from obmp_psql_spark._rotation import LAST_DRIVER_ROW
     from obmp_psql_spark.registry import _GATE_PRIORITY, all_specs
 
-    names = list(all_specs())
+    specs = all_specs()
+    names = [n for n, s in specs.items() if s.rotate]
+    # rotate=False entries all sort after every rotating entry
+    assert list(specs)[:len(names)] == names
     max_round = max(LAST_DRIVER_ROW.values())
     # hard bound: every gate pipeline whose row is >= 2 rounds old is
     # at the very front of the registry (inside any driver prefix)

@@ -12,7 +12,7 @@ What the plans predict:
   orderkey, + orders x customer on custkey), broadcast dims, then a
   |regions x years| aggregate — wall should be scan/shuffle-bound
   (alpha ~1) with the share window costing nothing (35 rows).
-- **q_rollup_report / q_grouping_sets**: Expand multiplies the scan
+- **q_grouping_sets**: Expand multiplies the scan
   by the grouping-set count BEFORE the map-side partial agg, so the
   shuffle stays |groups|-sized at every scale — alpha ~1 on the
   scan, flat on the shuffle.
@@ -39,15 +39,13 @@ SCALES = [("600k", "/root/testdata/sf0.1"),
 
 def main() -> None:
     out_name = sys.argv[1] if len(sys.argv) > 1 else "BENCH_olap_scale.json"
-    from obmp_psql_spark.queries_olap import (q_grouping_sets,
-                                              q_rollup_report)
+    from obmp_psql_spark.queries_olap import q_grouping_sets
     from obmp_psql_spark.queries_curate import q_market_share
     from obmp_psql_spark.session import get_spark
 
     spark = get_spark("bench-olap-scale")
     out: dict = {}
     for name, fn in (("market_share", q_market_share),
-                     ("rollup_report", q_rollup_report),
                      ("grouping_sets", q_grouping_sets)):
         res: dict = {}
         prev = None
