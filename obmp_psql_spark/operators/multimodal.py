@@ -130,7 +130,13 @@ def decode_netpbm(payload: bytes):
     n_samples = w * h * channels
 
     if magic in ("P5", "P6"):
-        pos += 1  # the single whitespace byte after maxval
+        # require the single whitespace byte after maxval — a '#'
+        # here would silently shift the raster window onto comment
+        # bytes (same guard as split_netpbm_stream)
+        if pos >= len(payload) or payload[pos] not in b" \t\r\n":
+            raise ValueError(f"netpbm {magic}: expected whitespace "
+                             f"after maxval at byte {pos}")
+        pos += 1
         wide = maxval > 255
         need = n_samples * (2 if wide else 1)
         raster = payload[pos:pos + need]
@@ -521,6 +527,15 @@ def split_netpbm_stream(payload: bytes) -> list:
                 raise ValueError("netpbm stream: truncated header")
             fields.append(int(payload[start:p]))
         w, h, maxval = fields
+        # the byte after the maxval token must be the single
+        # whitespace that separates header from raster — a '#' here
+        # (comment-terminated third field) would otherwise be
+        # consumed as that separator and the comment bytes read as
+        # raster, yielding a silently corrupt frame slice
+        if p >= len(payload) or payload[p] not in b" \t\r\n":
+            raise ValueError(
+                f"netpbm stream: expected whitespace after maxval "
+                f"at byte {p}")
         channels = 3 if payload[pos + 1:pos + 2] == b"6" else 1
         need = w * h * channels * (2 if maxval > 255 else 1)
         end = p + 1 + need

@@ -236,6 +236,21 @@ class Transaction:
         act = {"table": table, "kind": "append",
                "dir": self.store._rel(d)}
         if partition_by:
+            # the chunk column is table-level metadata (last writer
+            # wins in the snapshot): a second writer appending with a
+            # DIFFERENT column would silently re-cluster optimize()
+            # on whichever column landed last — refuse instead
+            recorded = (self.store.snapshot().tables.get(table)
+                        or {}).get("partition_col")
+            for a in self.actions:  # earlier appends in this txn
+                if a["table"] == table and a.get("partition_col"):
+                    recorded = a["partition_col"]
+            if recorded is not None and recorded != partition_by:
+                raise ValueError(
+                    f"append to {table!r} partitioned by "
+                    f"{partition_by!r}, but the table's recorded "
+                    f"chunk column is {recorded!r} — one chunk "
+                    f"column per table")
             act["partition_col"] = partition_by
             act["partitions"] = sorted(
                 r[0] for r in df.select(
@@ -471,9 +486,14 @@ class TxnStateStore:
 
     def bucket_spec(self, table: str) -> tuple[list[str], int] | None:
         """(key_cols, n_buckets) of a bucketed table, else None —
-        lets maintenance jobs rewrite without de-bucketing."""
+        lets maintenance jobs rewrite without de-bucketing. Gated on
+        the recorded ``n_buckets``, NOT the bucket map: a committed
+        bucketed table whose current snapshot is empty (present=[])
+        has buckets={} but is still bucketed — optimize() must keep
+        the bucketed rewrite or a later merge_buckets would find a
+        monolithic snapshot."""
         tab = self.snapshot().tables.get(table)
-        if tab and tab["buckets"] and tab["key_cols"]:
+        if tab and tab["n_buckets"] and tab["key_cols"]:
             return list(tab["key_cols"]), tab["n_buckets"]
         return None
 
@@ -545,7 +565,9 @@ class TxnStateStore:
                 chunks.update(vals)
             out.append({
                 "table_name": table,
-                "layout": "bucketed" if tab["buckets"] else "flat",
+                # n_buckets, not the bucket map: an empty bucketed
+                # snapshot is still a bucketed table
+                "layout": "bucketed" if tab["n_buckets"] else "flat",
                 "files": len(files),
                 "row_groups": groups,
                 "bytes": nbytes,
@@ -671,6 +693,11 @@ class TxnStateStore:
         scanning (measured 27% warm at 4M rows; the win is IO at
         scale, BENCH_bloom.json).
         """
+        if not self.current_paths(table):
+            # nothing to compact; also keeps an EMPTY bucketed table
+            # bucketed (a flat rewrite would need a schema and would
+            # de-bucket the layout)
+            return
         bloom_opts = {}
         for c in bloom_cols or ():
             bloom_opts[f"parquet.bloom.filter.enabled#{c}"] = "true"

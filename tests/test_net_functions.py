@@ -326,6 +326,13 @@ def test_netpbm_decode_encode_roundtrip():
         mm.decode_netpbm(b"P6\nxx 4\n255\n")
     with pytest.raises(ValueError, match="exceeds maxval"):
         mm.decode_netpbm(b"P2\n1 1\n9\n10")
+    # a comment terminating the maxval token must NOT be consumed as
+    # the single header/raster separator (comment bytes would be read
+    # as raster): the error contract is ValueError, not corrupt pixels
+    with pytest.raises(ValueError, match="whitespace after maxval"):
+        mm.decode_netpbm(b"P5\n2 2\n255# c\n" + bytes(4))
+    with pytest.raises(ValueError, match="whitespace after maxval"):
+        mm.split_netpbm_stream(b"P5\n2 2\n255# c\n" + bytes(4))
 
     # decode_image_pixels prefers the netpbm kernel (works without PIL)
     assert np.array_equal(mm.decode_image_pixels(p6), arr)

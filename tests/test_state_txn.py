@@ -507,6 +507,48 @@ def test_optimize_bucketed_keeps_layout(spark, tmp_path):
     assert len(set(tab["buckets"].values())) == 1  # one map again
 
 
+def test_empty_bucketed_table_stays_bucketed(spark, tmp_path):
+    """A committed bucketed table whose snapshot is EMPTY (present=[])
+    is still bucketed: bucket_spec/table_info report the spec, and
+    optimize() keeps the bucketed rewrite so a later merge_buckets
+    never finds a monolithic snapshot."""
+    store = TxnStateStore(spark, str(tmp_path / "eb"))
+    with store.transaction() as txn:
+        txn.replace_bucketed("b", df(spark, []), key_cols=["k"],
+                             n_buckets=4)
+    assert store.bucket_spec("b") == (["k"], 4)
+    info = {t["table_name"]: t for t in store.table_info()}["b"]
+    assert info["layout"] == "bucketed" and info["n_buckets"] == 4
+    store.optimize("b")                       # must not de-bucket
+    assert store.bucket_spec("b") == (["k"], 4)
+    merged = df(spark, [("k1", 1)])
+    kb = _buckets_for(spark, ["k1"], 4)
+    with store.transaction() as txn:          # merge still works
+        txn.merge_buckets("b", merged, ["k"], 4, [kb["k1"]])
+    assert as_dict(store, "b") == {"k1": 1}
+
+
+def test_append_partition_col_conflict_refused(spark, tmp_path):
+    """The chunk column is table-level metadata: appending with a
+    different partition_by than the recorded one raises instead of
+    silently re-clustering optimize() on the last writer's column."""
+    store = TxnStateStore(spark, str(tmp_path / "pc"))
+    with store.transaction() as txn:
+        txn.append("t", df(spark, [("k1", 1)]), partition_by="k")
+    # same column again: fine
+    with store.transaction() as txn:
+        txn.append("t", df(spark, [("k2", 2)]), partition_by="k")
+    # different column: refused (committed metadata)
+    with pytest.raises(ValueError, match="chunk column"):
+        with store.transaction() as txn:
+            txn.append("t", df(spark, [("k3", 3)]), partition_by="v")
+    # ...including within one transaction
+    with pytest.raises(ValueError, match="chunk column"):
+        with store.transaction() as txn:
+            txn.append("u", df(spark, [("k1", 1)]), partition_by="k")
+            txn.append("u", df(spark, [("k2", 2)]), partition_by="v")
+
+
 def test_table_info_reports_layout_rows_and_appends(spark, tmp_path):
     """show_table_info equivalent (5_functions.sql:13-35): footer-only
     stats must agree with actual content across flat, chunked-append
