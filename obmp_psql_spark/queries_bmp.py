@@ -1495,3 +1495,85 @@ def q_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (out,) = _cached_pipeline("storestats", spark, sf_dir, build)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# S5 read side EXECUTED: router-map refresh round-trip through an
+# embedded live database (write upserts in, partitioned DBAPI read out)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_jdbc_roundtrip",
+    oracle="""
+    WITH final_map AS (
+      SELECT s_suppkey AS router_id,
+             CASE WHEN s_suppkey % 3 = 0 THEN upper(s_name)
+                  ELSE s_name END AS router_name,
+             s_nationkey AS nation_key
+      FROM supplier
+    )
+    SELECT m.router_id, m.router_name,
+           CAST(count(c_custkey) AS BIGINT) AS n_customers
+    FROM final_map m
+    LEFT JOIN customer c ON c.c_nationkey = m.nation_key
+    GROUP BY m.router_id, m.router_name
+    """,
+    survey_ref="S5 read side EXECUTED (ConsumerRunnable.java:596-629 "
+               "router-map refresh): DBAPI predicate-range partitioned "
+               "read mirroring write_rows_upsert, live against embedded "
+               "DuckDB — the last previously never-executed surface",
+    doc="two upsert batches (second updates every 3rd router, live ON "
+        "CONFLICT) into an embedded DB, then read_rows_partitioned "
+        "fans 4 range slices across Spark tasks (each dials its own "
+        "read-only connection), broadcast-joins customers per nation; "
+        "the oracle recomputes the post-upsert map straight from the "
+        "parquet, so hash-equality proves write+read round-trip "
+        "fidelity end to end",
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write side is one driver connection — the router map is a
+    bounded dim and that is exactly how the reference refreshes it
+    (single JDBC session); the READ side is the distributed part:
+    every task opens its own read-only connection against the same
+    file and scans one range slice, NULL keys owned by slice 0. At
+    100 TB the same fan-out pattern reads any numeric-keyed dim/state
+    table back out of Postgres without a driver jar."""
+    def build():
+        import tempfile
+
+        import duckdb
+
+        from .sources.jdbc import read_rows_partitioned, write_rows_upsert
+
+        db = tempfile.mkdtemp(prefix="jdbcrt_") + "/routers.db"
+        con = duckdb.connect(db)
+        con.execute("CREATE TABLE routers (router_id BIGINT PRIMARY KEY,"
+                    " router_name TEXT, nation_key BIGINT)")
+        con.close()
+        sup = load_tables(spark, sf_dir, ("supplier",))["supplier"]
+        base = sup.select(
+            F.col("s_suppkey").cast("long").alias("router_id"),
+            F.col("s_name").alias("router_name"),
+            F.col("s_nationkey").cast("long").alias("nation_key"))
+        upd = base.filter(F.col("router_id") % 3 == 0) \
+            .withColumn("router_name", F.upper("router_name"))
+        cols = ["router_id", "router_name", "nation_key"]
+        for batch in (base, upd):  # batch 2 live-updates on conflict
+            write_rows_upsert(iter(batch.collect()), cols, "routers",
+                              ["router_id"],
+                              lambda: duckdb.connect(db))
+        got = read_rows_partitioned(
+            spark, "routers",
+            "router_id long, router_name string, nation_key long",
+            lambda: duckdb.connect(db, read_only=True),
+            partition_column="router_id", num_partitions=4)
+        return (got,)
+
+    (routers,) = _cached_pipeline("jdbcrt", spark, sf_dir, build)
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return (
+        F.broadcast(routers)
+        .join(cust, cust["c_nationkey"] == routers["nation_key"], "left")
+        .groupBy("router_id", "router_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )

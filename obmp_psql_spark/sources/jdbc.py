@@ -85,12 +85,26 @@ _RECONNECT_PHRASES = (
 # psycopg2 "SSL connection has been closed unexpectedly" /
 # "connection already closed", PgJDBC "This connection has been
 # closed.", libpq "connection to server was lost" /
-# "could not connect to server", "terminating connection ..."
+# "could not connect to server", "terminating connection ...".
+# Deliberately NOT here: bare "failure" — Postgres's permanent
+# connection-phase errors ("connection authorization failure" = bad
+# credentials, 28000) would otherwise burn the whole redial ladder
+# before surfacing. ("aborted" stays: "connection aborted" is the
+# psycopg2 socket-abort text; auth errors don't contain it.)
 _CONN_LIFECYCLE_WORDS = (
     "closed", "close", "lost", "reset", "refused", "timed out",
     "timeout", "terminat", "broken", "could not connect", "aborted",
-    "unexpectedly", "failure", "does not exist yet",
+    "unexpectedly", "does not exist yet",
 )
+
+# SQLSTATE classes that are never worth a redial: 28xxx auth
+# failures, 3D/3F invalid catalog/schema, 42xxx syntax/permission.
+_FATAL_SQLSTATE_PREFIXES = ("28", "3d", "3f", "42")
+# 08xxx = connection exception class (08006 failure, 08003 does not
+# exist, 08001/08004 cannot/rejected connect) — always reconnect.
+_RECONNECT_SQLSTATE_PREFIXES = ("08",)
+# 40xxx = transaction rollback (40P01 deadlock, 40001 serialization).
+_BACKOFF_SQLSTATE_PREFIXES = ("40",)
 
 _BACKOFF_PHRASES = (
     "deadlock", "write-write conflict", "database is busy",
@@ -98,14 +112,35 @@ _BACKOFF_PHRASES = (
 )
 
 
+def _sqlstate(exc: BaseException) -> str | None:
+    """Driver-reported SQLSTATE when available: psycopg2 exposes
+    ``pgcode``, most DBAPI drivers ``sqlstate``; returned lowercase."""
+    for attr in ("pgcode", "sqlstate"):
+        code = getattr(exc, attr, None)
+        if isinstance(code, str) and len(code) == 5:
+            return code.lower()
+    return None
+
+
 def classify_sql_error(exc: BaseException) -> str:
     """Map a DB error to a retry action, mirroring the reference's
-    message-sniffing (PSQLHandler.java:188-207): ``reconnect`` for
-    connection-lifecycle/broken-pipe failures (and DuckDB's exclusive
-    file lock, this container's stand-in for a dropped connection),
-    ``backoff`` for deadlock-class transients, ``fatal`` for
-    everything else (the reference refuses to retry syntax errors,
-    state 42601)."""
+    message-sniffing (PSQLHandler.java:188-207) but preferring the
+    driver's SQLSTATE when it exposes one (message sniffing can't
+    tell 'connection authorization failure' — permanent, 28000 —
+    from 'connection failure' — transient, 08006): ``reconnect``
+    for connection-lifecycle/broken-pipe failures (and DuckDB's
+    exclusive file lock, this container's stand-in for a dropped
+    connection), ``backoff`` for deadlock-class transients,
+    ``fatal`` for everything else (the reference refuses to retry
+    syntax errors, state 42601)."""
+    state = _sqlstate(exc)
+    if state:
+        if state.startswith(_FATAL_SQLSTATE_PREFIXES):
+            return "fatal"
+        if state.startswith(_RECONNECT_SQLSTATE_PREFIXES):
+            return "reconnect"
+        if state.startswith(_BACKOFF_SQLSTATE_PREFIXES):
+            return "backoff"
     msg = str(exc).lower()
     if any(p in msg for p in _RECONNECT_PHRASES):
         return "reconnect"
@@ -115,6 +150,159 @@ def classify_sql_error(exc: BaseException) -> str:
     if any(p in msg for p in _BACKOFF_PHRASES):
         return "backoff"
     return "fatal"
+
+
+def partition_predicates(partition_column: str, lower: int, upper: int,
+                         num_partitions: int) -> list[str | None]:
+    """Range fan-out predicates, one per read partition — the same
+    contract as Spark's JDBCRelation.columnPartition: stride split of
+    [lower, upper], first partition open below (and owning NULLs),
+    last open above, so the union of partitions is ALWAYS the whole
+    table even when the probed bounds are stale. Collapses to a
+    single full-scan partition when the range can't be split."""
+    if (num_partitions <= 1 or lower is None or upper is None
+            or lower >= upper):
+        return [None]
+    n = min(num_partitions, upper - lower)
+    stride = (upper - lower) // n
+    bounds = [lower + i * stride for i in range(1, n)]
+    preds: list[str | None] = []
+    for i in range(n):
+        if i == 0:
+            preds.append(f"{partition_column} < {bounds[0]} "
+                         f"OR {partition_column} IS NULL")
+        elif i == n - 1:
+            preds.append(f"{partition_column} >= {bounds[-1]}")
+        else:
+            preds.append(f"{partition_column} >= {bounds[i - 1]} "
+                         f"AND {partition_column} < {bounds[i]}")
+    return preds
+
+
+def fetch_rows_once(
+    sql: str,
+    connection_factory: Callable[[], object],
+    fetch_rows: int = 10_000,
+    retries: int = 10,
+    backoff_s: float = 0.15,
+    reconnect_wait_s: float = 1.0,
+    error_class: Callable[[BaseException], str] = classify_sql_error,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[tuple]:
+    """Run one SELECT with the reference's retry ladder and return
+    ALL its rows. The whole query replays from scratch on a
+    reconnect/backoff — a SELECT is idempotent, and buffering before
+    handing rows downstream is what makes the replay exactly-once
+    (streaming rows out and then replaying would duplicate the
+    prefix). Partition sizing bounds the buffer, same contract as a
+    spark.read.jdbc partition."""
+    last: BaseException | None = None
+    for i in range(retries):
+        conn = None
+        try:
+            conn = connection_factory()
+            cur = conn.cursor() if hasattr(conn, "cursor") else conn
+            res = cur.execute(sql)
+            # DBAPI cursors fetch from the cursor; DuckDB-style
+            # connections return a result-bearing object from execute
+            src = res if hasattr(res, "fetchmany") else cur
+            out: list[tuple] = []
+            while True:
+                batch = src.fetchmany(fetch_rows)
+                if not batch:
+                    return out
+                out.extend(batch)
+        except Exception as exc:  # noqa: BLE001 — driver-specific
+            last = exc
+            action = error_class(exc)
+            if action == "fatal":
+                raise
+            if i < retries - 1:
+                sleep(reconnect_wait_s if action == "reconnect"
+                      else backoff_s)
+        finally:
+            if conn is not None:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001 — already broken
+                    pass
+    raise RuntimeError(
+        f"jdbc source: query failed after {retries} attempts") from last
+
+
+def read_rows_partitioned(
+    spark: SparkSession,
+    query: str,
+    schema,
+    connection_factory: Callable[[], object],
+    partition_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int = 8,
+    fetch_rows: int = 10_000,
+    retries: int = 10,
+    backoff_s: float = 0.15,
+    reconnect_wait_s: float = 1.0,
+    error_class: Callable[[BaseException], str] = classify_sql_error,
+) -> DataFrame:
+    """EXECUTABLE JDBC-shaped read (S5 read side, the mirror of
+    ``write_rows_upsert``): predicate-range partitioned fan-out where
+    every Spark task dials its own DBAPI connection through
+    ``connection_factory`` and scans one range slice of ``query``
+    (a table name or any parenthesizable SELECT). This is the path
+    the reference's router-map refresh takes
+    (ConsumerRunnable.java:596-629) when no JDBC driver jar is
+    available to ``spark.read.jdbc`` — same partitioning contract
+    (stride split, first slice owns NULLs, union always covers the
+    table), same retry ladder as the sink.
+
+    ``partition_column`` must be numeric; bounds are probed with one
+    driver-side min/max query when not given (exactly what
+    spark.read.jdbc requires the caller to do). Each slice buffers
+    its result before emitting (SELECT replay on reconnect is
+    exactly-once that way); size ``num_partitions`` so a slice fits
+    in a worker, the same sizing rule as any JDBC partition."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+    if isinstance(schema, str):
+        schema = _parse_datatype_string(schema)
+    assert isinstance(schema, StructType)
+    names = [f.name for f in schema.fields]
+    src = f"({query}) AS __src" if " " in query.strip() else query
+    if partition_column and (lower is None or upper is None):
+        probe = fetch_rows_once(
+            f"SELECT min({partition_column}), max({partition_column}) "
+            f"FROM {src}",
+            connection_factory, retries=retries, backoff_s=backoff_s,
+            reconnect_wait_s=reconnect_wait_s, error_class=error_class)
+        lo, hi = (probe[0] if probe else (None, None))
+        lower = int(lo) if lower is None and lo is not None else lower
+        upper = int(hi) + 1 if upper is None and hi is not None else upper
+    preds = (partition_predicates(partition_column, lower, upper,
+                                  num_partitions)
+             if partition_column else [None])
+    cols = ", ".join(names)
+
+    def gen(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            for pid in pdf["__pid"]:
+                pred = preds[int(pid)]
+                sql = f"SELECT {cols} FROM {src}" + \
+                    (f" WHERE {pred}" if pred else "")
+                rows = fetch_rows_once(
+                    sql, connection_factory, fetch_rows=fetch_rows,
+                    retries=retries, backoff_s=backoff_s,
+                    reconnect_wait_s=reconnect_wait_s,
+                    error_class=error_class)
+                for i in range(0, len(rows), fetch_rows):
+                    yield pd.DataFrame(rows[i:i + fetch_rows],
+                                       columns=names)
+
+    # one slice id per task: range(n) with n partitions is exactly
+    # one id per partition — no shuffle, no skewed doubling-up
+    ids = spark.range(0, len(preds), 1, len(preds)) \
+        .withColumnRenamed("id", "__pid")
+    return ids.mapInPandas(gen, schema=schema)
 
 
 def write_rows_upsert(

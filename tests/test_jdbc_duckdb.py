@@ -109,6 +109,21 @@ def test_classifier_matches_reference_ladder():
               "FATAL: the database system is starting up "
               "(connection aborted)"):
         assert classify_sql_error(Exception(m)) == "reconnect", m
+    # permanent connection-PHASE errors fail fast: "failure" is not a
+    # lifecycle word (bad credentials would otherwise burn the whole
+    # redial ladder, ~retries x reconnect_wait_s, before surfacing)
+    assert classify_sql_error(Exception(
+        "FATAL: connection authorization failure for user bmp")) == "fatal"
+    # SQLSTATE (when the driver exposes one) beats message sniffing
+    e = Exception("connection closed")   # message alone says reconnect
+    e.pgcode = "28000"                   # ...but auth failure is fatal
+    assert classify_sql_error(e) == "fatal"
+    e = Exception("opaque driver text")  # message alone says fatal
+    e.sqlstate = "08006"                 # ...but 08xxx is a conn failure
+    assert classify_sql_error(e) == "reconnect"
+    e = Exception("opaque driver text")
+    e.pgcode = "40P01"                   # deadlock class
+    assert classify_sql_error(e) == "backoff"
 
 
 def test_deadlock_backoff_replays_statement(spark, tmp_path):
@@ -257,3 +272,83 @@ def test_read_table_roundtrip_requires_jdbc_jar(spark):
     from obmp_psql_spark.sources.jdbc import read_table
     with pytest.raises(Exception, match="(?i)driver"):
         read_table(spark, "jdbc:postgresql://nohost/db", "t").collect()
+
+
+# ------------------------------------------------------- DBAPI read
+
+
+def test_partition_predicates_cover_table():
+    """Stride split: union of predicates is the whole table, slices
+    disjoint, first slice owns NULLs, degenerate ranges collapse."""
+    from obmp_psql_spark.sources.jdbc import partition_predicates
+    preds = partition_predicates("k", 0, 100, 4)
+    assert preds == ["k < 25 OR k IS NULL",
+                     "k >= 25 AND k < 50",
+                     "k >= 50 AND k < 75",
+                     "k >= 75"]
+    # verify cover + disjointness against a live table
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CASE WHEN range % 17 = 0 "
+                "THEN NULL ELSE range END AS k FROM range(100)")
+    total = sum(con.execute(f"SELECT count(*) FROM t WHERE {p}")
+                .fetchone()[0] for p in preds)
+    assert total == 100
+    assert partition_predicates("k", 5, 5, 4) == [None]      # empty range
+    assert partition_predicates("k", None, None, 4) == [None]
+    assert partition_predicates("k", 0, 2, 8) == [           # n > range
+        "k < 1 OR k IS NULL", "k >= 1"]
+
+
+def test_read_rows_partitioned_live(spark, tmp_path):
+    """The executable S5 read side: every Spark task dials its own
+    read-only DuckDB connection and scans one range slice; rows,
+    schema, NULL keys, and auto-probed bounds all correct."""
+    from obmp_psql_spark.sources.jdbc import read_rows_partitioned
+    db = str(tmp_path / "r.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE routers AS SELECT range AS k, "
+                "'r' || CAST(range AS TEXT) AS v FROM range(97)")
+    con.execute("INSERT INTO routers VALUES (NULL, 'null-key')")
+    con.close()
+    df = read_rows_partitioned(
+        spark, "routers", "k long, v string",
+        lambda: duckdb.connect(db, read_only=True),
+        partition_column="k", num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    got = {(r.k, r.v) for r in df.collect()}
+    assert len(got) == 98 and (None, "null-key") in got
+    assert (96, "r96") in got
+    # a SELECT source instead of a table name
+    df2 = read_rows_partitioned(
+        spark, "SELECT k, v FROM routers WHERE k % 2 = 0",
+        "k long, v string", lambda: duckdb.connect(db, read_only=True),
+        partition_column="k", num_partitions=3)
+    assert df2.count() == 49
+
+
+def test_read_retry_ladder_replays_query(tmp_path):
+    """fetch_rows_once: transient failure replays the WHOLE query
+    (no duplicated prefix), fatal raises immediately."""
+    from obmp_psql_spark.sources.jdbc import fetch_rows_once
+    db = str(tmp_path / "f.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k FROM range(10)")
+    con.close()
+    log: list[str] = []
+    mk = lambda: _FlakyConn(db, 0, "", log)  # noqa: E731
+
+    def flaky_factory():
+        # first connection fails its first execute with a disconnect
+        return _FlakyConn(db, 1 if not log else 0,
+                          "connection reset by peer", log)
+
+    naps: list[float] = []
+    rows = fetch_rows_once("SELECT k FROM t ORDER BY k", flaky_factory,
+                           fetch_rows=3, sleep=naps.append)
+    assert [r[0] for r in rows] == list(range(10))  # no dup prefix
+    assert naps and log.count("fail") == 1
+    # fatal errors re-raise the ORIGINAL driver exception, no retries
+    n_fail = len(naps)
+    with pytest.raises(Exception, match="(?i)syntax"):
+        fetch_rows_once("SELEKT 1", mk, sleep=naps.append)
+    assert len(naps) == n_fail  # no nap: first attempt raised
