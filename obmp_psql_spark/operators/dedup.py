@@ -504,17 +504,33 @@ def simhash_neardup_pairs(
             F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
         df = df.filter(ntoks >= min_tokens)
     fp = owned_persist(simhash_fingerprints(df, id_col, text_col, bits))
+    return fingerprint_neardup_pairs(
+        fp, id_col, "simhash", bits=bits, bands=bands,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size)
+
+
+def fingerprint_neardup_pairs(
+    fp: DataFrame, id_col: str, fp_col: str,
+    bits: int = 32, bands: int = 4, max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded near-dup pairs over ANY precomputed <=63-bit integer
+    fingerprint column (SimHash text fingerprints, dHash image
+    hashes, ...): pigeonhole banding -> per-band equi-join ->
+    bit_count(xor) Hamming verify. Same scale/cap semantics as the
+    SimHash docstring above — pair work is bounded by
+    bands x sum(min(bucket, cap)^2), never all-pairs."""
     w = bits // bands
     mask = (1 << w) - 1
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), b * w)
+            F.shiftrightunsigned(F.col(fp_col), b * w)
              .bitwiseAND(F.lit(mask)).alias("bv"))
         for b in range(bands)])
-    bandsdf = fp.select(F.col(id_col), "simhash",
+    bandsdf = fp.select(F.col(id_col), fp_col,
                         F.explode(band_structs).alias("bb")) \
-                .select(F.col(id_col), "simhash",
+                .select(F.col(id_col), fp_col,
                         F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     if max_bucket_size is not None:
         # bucket-size gate before the self-join: one count-over-window
@@ -532,8 +548,8 @@ def simhash_neardup_pairs(
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("__sa"),
-                F.col("b.simhash").alias("__sb"))
+                F.col(f"a.{fp_col}").alias("__sa"),
+                F.col(f"b.{fp_col}").alias("__sb"))
         .distinct()  # a pair can agree on several bands
     )
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int")

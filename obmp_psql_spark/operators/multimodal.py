@@ -290,6 +290,92 @@ def generate_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         batches, schema="doc_id long, payload binary")
 
 
+def generate_noise_ppm(df: DataFrame, id_col: str = "img_id",
+                       base_col: str = "base_id",
+                       patch_col: str | None = "patched",
+                       w: int = 12, h: int = 9) -> DataFrame:
+    """Deterministic NOISE-image producer for perceptual-hash tests:
+    pixel ``(c, y, x) = (((base+1) * (c*7 + y*13 + x*29 + 101) *
+    2654435761) mod 2^32 >> 13) mod 256`` — multiplicative hashing, so
+    distinct base ids give near-random pixels (median pairwise dHash
+    distance ~31 bits) instead of the pure gradients of
+    ``generate_ppm_payloads`` (whose adjacent-pixel ordering is
+    constant, collapsing every image to ONE dHash). Rows with
+    ``patch_col`` true get ``+80 mod 256`` on the top-left 3x3 patch —
+    a localized edit that lands the clone a few dHash bits from its
+    base (measured spread 0-7 bits). Output: (id, payload) as binary
+    P6."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            patched = pdf[patch_col] if patch_col else [False] * len(pdf)
+            for iid, base, pat in zip(pdf[id_col], pdf[base_col], patched):
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                v = ((int(base) + 1) * (c * 7 + y * 13 + x * 29 + 101)
+                     * 2654435761) % (1 << 32)
+                arr = ((v >> 13) % 256).astype(np.int64)
+                if bool(pat):
+                    arr[0:3, 0:3, :] = (arr[0:3, 0:3, :] + 80) % 256
+                ids.append(int(iid))
+                payloads.append(encode_netpbm(arr.astype(np.uint8)))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    cols = [F.col(id_col), F.col(base_col)]
+    if patch_col:
+        cols.append(F.col(patch_col))
+    return df.select(*cols).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary")
+
+
+def dhash63(df: DataFrame, id_col: str = "doc_id",
+            payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference hash (dHash, Krawetz 2013) over REAL
+    decoded pixels: grayscale (integer mean of RGB), nearest-neighbor
+    resample to a 9x8 grid (same integer index maps as
+    ``resize_images``), then bit k = 1 iff grid[y][x] > grid[y][x+1]
+    row-major — 8 rows x 8 column diffs = 64 bits, of which the FIRST
+    63 are kept so the hash is a non-negative signed BIGINT (the same
+    <=63-bit contract as ``simhash_fingerprints``: both engines can
+    do shift/xor/bit_count on it without unsigned types). Brightness
+    and contrast shifts that preserve pixel ordering preserve the
+    hash; near-identical images land within a few bits.
+
+    Arrow-batch kernel (one Python roundtrip per batch, no per-row
+    UDF); undecodable/non-netpbm payloads produce no row, like the
+    other image kernels. Output: (id, dhash)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    decoded = decode_netpbm(bytes(p))
+                except ValueError:
+                    decoded = None
+                if decoded is None:
+                    continue
+                _, w, h, arr = decoded
+                gray = arr.astype(np.uint32).sum(axis=2) // 3
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = gray[ys][:, xs]
+                bits = (g[:, :-1] > g[:, 1:]).flatten()[:63]
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                ids.append(int(did))
+                hashes.append(v)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=f"{id_col} long, dhash long")
+
+
 def image_channel_stats(df: DataFrame, id_col: str = "doc_id",
                         payload_col: str = "payload") -> DataFrame:
     """Real pixel math over decoded images: per-image dimensions and

@@ -3639,3 +3639,110 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 16).cast("int").alias("frame_index"),
         "format", "width", "height",
         "mean_r_ppm", "mean_g_ppm", "mean_b_ppm")
+
+
+# ---------------------------------------------------------------------------
+# image perceptual near-dup: dHash -> pigeonhole banding -> hamming
+# ---------------------------------------------------------------------------
+
+# band-bucket cap at gate scale so the cap path provably engages
+# (production corpora set this in the hundreds; a pair lost to the cap
+# is still found through any other small band, same semantics as the
+# SimHash cap). Pair work is bounded by bands x sum(min(bucket, cap)^2)
+# <= N x bands x cap — never all-pairs.
+_IMG_CAP = 4
+
+
+def _image_neardup_oracle(sf_dir: str) -> str:
+    """DuckDB half of the dHash handshake: re-derive BOTH the exact
+    near-dup set (uncapped banding is lossless ground truth by
+    pigeonhole — 7 bands over 63 bits find every pair within hamming
+    6 > threshold 3) and the bucket-capped set from the published
+    (img_id, dhash) dump. The dHash kernel itself is pinned by unit
+    tests on closed-form images; the oracle gates the banding, cap,
+    and verify algebra bit for bit."""
+    aux = _aux("q_image_neardup", _sf_tag(sf_dir))
+    return f"""
+    WITH fp AS (
+      SELECT CAST(img_id AS BIGINT) AS img_id,
+             CAST(dhash AS BIGINT) AS dhash
+      FROM read_parquet('{aux}/*.parquet')
+    ), bands AS (
+      SELECT img_id, dhash, g.b AS band, (dhash >> (g.b * 9)) & 511 AS bv
+      FROM fp, UNNEST(generate_series(0, 6)) AS g(b)
+    ), exact_pairs AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM bands
+      ) WHERE bn <= {_IMG_CAP}
+    ), capped_pairs AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    )
+    SELECT e.id_a, e.id_b, e.hamming,
+           CAST(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS INT) AS banded
+    FROM exact_pairs e LEFT JOIN capped_pairs c USING (id_a, id_b)
+    """
+
+
+@register(
+    "q_image_neardup",
+    oracle=_image_neardup_oracle,
+    survey_ref="training-data multimodal dedup: perceptual-hash image "
+               "near-duplicates — dHash over REAL decoded pixels, "
+               "banded like SimHash (pigeonhole), bucket-capped, "
+               "hamming-verified; completes the dedup story for the "
+               "image modality",
+    doc="noise-image corpus + exact copies (every 3rd doc) + patched "
+        "clones (every 5th, 3x3 edit) -> dhash63 Arrow kernel -> "
+        "(img_id, dhash) handoff -> output is every TRUE pair "
+        "(hamming<=3) flagged with whether the bucket-capped banding "
+        "kept it, so the driver hash pins per-pair recall of the cap "
+        "policy, not just a scalar",
+)
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production path is the capped banding (fingerprint_neardup
+    _pairs; N x bands x cap pair bound); the uncapped exact side is
+    the gate's ground truth and stays an equi-join too (pigeonhole:
+    with bands > max_hamming the band join loses nothing), so even
+    the gate never goes all-pairs."""
+    from .operators.dedup import fingerprint_neardup_pairs
+    from .operators.multimodal import dhash63, generate_noise_ppm
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    base = d.select(F.col("doc_id").alias("img_id"),
+                    F.col("doc_id").alias("base_id"),
+                    F.lit(False).alias("patched"))
+    copies = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("img_id"),
+        F.col("doc_id").alias("base_id"), F.lit(False).alias("patched"))
+    patched = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("img_id"),
+        F.col("doc_id").alias("base_id"), F.lit(True).alias("patched"))
+    imgs = generate_noise_ppm(
+        fan_out(base.unionByName(copies).unionByName(patched), spark))
+    fp = dhash63(imgs, id_col="img_id")
+    aux = _aux("q_image_neardup", _sf_tag(sf_dir))
+    publish_aux(fp.select("img_id", "dhash"), aux)
+    fpd = spark.read.parquet(aux)
+    exact = fingerprint_neardup_pairs(
+        fpd, "img_id", "dhash", bits=63, bands=7, max_hamming=3)
+    capped = fingerprint_neardup_pairs(
+        fpd, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
+        max_bucket_size=_IMG_CAP)
+    return (
+        exact.join(capped.select("id_a", "id_b")
+                   .withColumn("__kept", F.lit(1)),
+                   ["id_a", "id_b"], "left")
+        .select("id_a", "id_b", "hamming",
+                F.coalesce(F.col("__kept"), F.lit(0)).cast("int")
+                 .alias("banded"))
+    )

@@ -598,3 +598,55 @@ def test_netpbm_stream_split_and_frame_sampling(spark):
     got = sorted((r["doc_id"], r["frame_index"])
                  for r in mm.sample_video_frames(df, every_n=2).collect())
     assert got == [(7, 0), (7, 2)]  # junk payload contributes no rows
+
+
+def test_dhash63_closed_form(spark):
+    """dHash kernel pinned against an independent recomputation from
+    the noise-image formula: grayscale = sum(c)//3, 9x8 nearest-
+    neighbor grid, row-major adjacent compare, first 63 bits; hash is
+    non-negative (signed-BIGINT contract); exact copies collide and a
+    3x3 patch lands within a few bits."""
+    import numpy as np
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    def ref_arr(base, w=12, h=9, patch=False):
+        y = np.arange(h)[:, None, None]
+        x = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        v = ((base + 1) * (c * 7 + y * 13 + x * 29 + 101)
+             * 2654435761) % (1 << 32)
+        arr = ((v >> 13) % 256).astype(np.int64)
+        if patch:
+            arr[0:3, 0:3, :] = (arr[0:3, 0:3, :] + 80) % 256
+        return arr.astype(np.uint8)
+
+    def ref_dhash(arr):
+        h, w, _ = arr.shape
+        gray = arr.astype(np.uint32).sum(axis=2) // 3
+        g = gray[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9]
+        v = 0
+        for b in (g[:, :-1] > g[:, 1:]).flatten()[:63]:
+            v = (v << 1) | int(b)
+        return v
+
+    rows = spark.createDataFrame(
+        [(i, i % 4, i % 4 == 3) for i in range(8)],
+        "img_id long, base_id long, patched boolean")
+    imgs = mm.generate_noise_ppm(rows)
+    got = {r.img_id: r.dhash for r in
+           mm.dhash63(imgs, id_col="img_id").collect()}
+    assert len(got) == 8
+    for i in range(8):
+        expected = ref_dhash(ref_arr(i % 4, patch=(i % 4 == 3)))
+        assert got[i] == expected, i
+        assert got[i] >= 0
+    # copies of the same base collide exactly
+    assert got[0] == got[4] and got[1] == got[5]
+    # a patched clone is near but (for these bases) not identical
+    ham = bin(got[0] ^ ref_dhash(ref_arr(0, patch=True))).count("1")
+    assert 0 <= ham <= 10
+    # undecodable payloads produce no row
+    junk = spark.createDataFrame([(99, bytearray(b"\x89PNG..."))],
+                                 "img_id long, payload binary")
+    assert mm.dhash63(junk, id_col="img_id").count() == 0
