@@ -856,9 +856,46 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repetition signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------
 
-_REPETITION_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM documents
+def _build_repetition_oracle() -> str:
+    """The full Rae et al. (Gopher) repetition-filter oracle. Counts
+    only — every fraction is integer ppm with floor division so the
+    hash is engine-exact. Definitions (documented, shared verbatim by
+    the Spark side):
+    - lines/paragraphs: the corpus is single-line, so line structure
+      is DERIVED as fixed-width token chunks (8 tokens per line, 24
+      per paragraph) — the duplicate-fraction algebra is what is
+      gated; dup counts all occurrences BEYOND the first of each
+      group (c-1 elements, (c-1)*len chars);
+    - top n-gram (n=2,3,4): chars of the most frequent n-gram
+      (count x its char length) over the normalized text's chars;
+      ties break to the lexicographically smallest n-gram;
+    - dup n-gram (n=5..10): chars of every occurrence beyond the
+      first of each repeated n-gram over total chars (occurrence
+      spans, not a positional union — deviation from the paper noted,
+      deterministic on both engines; overlapping spans double-count,
+      so this is a duplication MASS that can exceed 1e6 ppm on
+      repetition-heavy docs, monotone in the paper's fraction)."""
+    norm = _NORM.format(col='text')
+    parts = [f"""
+WITH rep_corpus AS (
+  -- every 4th doc also appears as a clone with its first-24-token
+  -- prefix repeated twice up front: guaranteed duplicate lines (8-tok
+  -- chunks), paragraphs (24-tok chunks) and 5..10-grams, so the dup
+  -- fractions are gated with real non-zero signal (the raw synthetic
+  -- corpus has none)
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(tt[1:24], ' ') || ' ' ||
+         array_to_string(tt[1:24], ' ') || ' ' || text AS text
+  FROM (SELECT doc_id, text, string_split({norm}, ' ') AS tt
+        FROM documents)
+  WHERE doc_id % 4 = 0
+),
+toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t,
+         CAST(length({norm}) AS BIGINT) AS total_chars
+  FROM rep_corpus
 ),
 big AS (
   SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
@@ -875,64 +912,244 @@ tok_stats AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
   FROM toks
-)
-SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
-       s.n_tokens,
-       CASE WHEN s.n_tokens > 0
-            THEN CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+)"""]
+    # derived lines (8-token chunks) and paragraphs (24-token chunks)
+    for tag, w in (("line", 8), ("para", 24)):
+        parts.append(f""",
+{tag}s AS (
+  SELECT doc_id, array_to_string(t[(j-1)*{w}+1:j*{w}], ' ') AS e
+  FROM toks, UNNEST(generate_series(1, 1000)) AS gs(j)
+  WHERE (j-1)*{w} < len(t)
+),
+{tag}_stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c - 1) AS BIGINT) AS dups,
+         CAST(sum(c * L) AS BIGINT) AS chars,
+         CAST(sum((c - 1) * L) AS BIGINT) AS dupchars
+  FROM (SELECT doc_id, e, count(*) AS c, length(e) AS L
+        FROM {tag}s GROUP BY 1, 2)
+  GROUP BY 1
+)""")
+    for n in range(2, 11):
+        parts.append(f""",
+gc{n} AS (
+  SELECT doc_id, g, count(*) AS c, length(g) AS L
+  FROM (SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, 1000)) AS gs(i)
+        WHERE i + {n - 1} <= len(t))
+  GROUP BY 1, 2
+)""")
+    for n in (2, 3, 4):
+        parts.append(f""",
+top{n} AS (
+  SELECT doc_id, CAST(c AS BIGINT) AS c, CAST(L AS BIGINT) AS L FROM (
+    SELECT doc_id, c, L, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM gc{n}) WHERE rn = 1
+)""")
+    for n in range(5, 11):
+        parts.append(f""",
+dup{n} AS (
+  SELECT doc_id, CAST(sum((c - 1) * L) AS BIGINT) AS dc
+  FROM gc{n} WHERE c > 1 GROUP BY 1
+)""")
+    frac = []
+    for tag in ("line", "para"):
+        frac.append(
+            f"CASE WHEN coalesce({tag}_stats.n, 0) > 0 THEN "
+            f"coalesce({tag}_stats.dups, 0) * 1000000 // {tag}_stats.n "
+            f"ELSE 0 END AS dup_{tag}_ppm")
+        frac.append(
+            f"CASE WHEN coalesce({tag}_stats.chars, 0) > 0 THEN "
+            f"coalesce({tag}_stats.dupchars, 0) * 1000000 // "
+            f"{tag}_stats.chars ELSE 0 END AS dup_{tag}_char_ppm")
+    for n in (2, 3, 4):
+        frac.append(
+            f"CASE WHEN s.total_chars > 0 THEN "
+            f"coalesce(top{n}.c * top{n}.L, 0) * 1000000 // s.total_chars "
+            f"ELSE 0 END AS top_{n}gram_char_ppm")
+    for n in range(5, 11):
+        frac.append(
+            f"CASE WHEN s.total_chars > 0 THEN "
+            f"coalesce(dup{n}.dc, 0) * 1000000 // s.total_chars "
+            f"ELSE 0 END AS dup_{n}gram_char_ppm")
+    joins = ["line_stats", "para_stats"] + \
+        [f"top{n}" for n in (2, 3, 4)] + [f"dup{n}" for n in range(5, 11)]
+    frac_sql = ",\n       ".join(frac)
+    join_sql = "\n".join(f"LEFT JOIN {j} USING (doc_id)" for j in joins)
+    parts.append(f"""
+SELECT CAST(ts.doc_id AS BIGINT) AS doc_id,
+       ts.n_tokens,
+       CASE WHEN ts.n_tokens > 0
+            THEN CAST(ts.n_distinct AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE)
             ELSE 0.0 END AS distinct_token_frac,
        CASE WHEN p.n_bg > 0
             THEN CAST(p.top_c AS DOUBLE) / CAST(p.n_bg AS DOUBLE)
-            ELSE 0.0 END AS top_bigram_frac
-FROM tok_stats s LEFT JOIN per_doc p USING (doc_id)
-"""
+            ELSE 0.0 END AS top_bigram_frac,
+       {frac_sql}
+FROM tok_stats ts
+JOIN toks s USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+{join_sql}
+""")
+    return "".join(parts)
+
+
+_REPETITION_ORACLE = _build_repetition_oracle()
 
 
 @register(
     "q_doc_repetition",
     oracle=_REPETITION_ORACLE,
-    survey_ref="training-data text analysis: repetition signals "
-               "(distinct-token and top-bigram fractions, Gopher-style filters)",
-    doc="all array-domain: per-doc top-bigram count via sorted-array "
-        "run-length aggregate — ZERO shuffles, narrow scan-stage plan "
-        "(the r5 explode+double-groupBy form shuffled twice for the "
-        "same per-row result)",
+    survey_ref="training-data text analysis: the FULL Rae et al. "
+               "(Gopher) repetition-filter suite — distinct-token and "
+               "top-bigram fractions plus dup-line/dup-paragraph "
+               "element+char fractions, top-2/3/4-gram char fractions, "
+               "and dup-5..10-gram char fractions, every fraction "
+               "integer ppm",
+    doc="all array-domain: every signal is a sorted-array run-length "
+        "fold over per-row token/chunk/n-gram arrays — ZERO shuffles, "
+        "one narrow scan-stage plan (the r5 explode+double-groupBy "
+        "form shuffled twice for ONE of these signals); repetition "
+        "clones (first-24-token prefix doubled, every 4th doc) give "
+        "the dup fractions real non-zero signal on the synthetic "
+        "corpus",
 )
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    toks = d.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    F.split(norm, " ").alias("t"))
-    # bigram array, guarded so size<2 yields [] (F.sequence(0, -1)
-    # would otherwise generate a DESCENDING sequence)
-    bg = F.when(
-        F.size("t") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - 2),
-            lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
-                                  F.element_at(F.col("t"), i + 2)),
-        )).otherwise(F.array().cast("array<string>"))
-    # top bigram count without leaving the row: sort the bigram array
-    # and fold a (prev, run, best) accumulator — equal neighbors extend
-    # the run, best tracks the max. O(n log n) per doc, no explode, no
-    # groupBy: the whole query is a single scan-stage projection that
-    # partitions trivially at any corpus size. '' sentinel is safe: a
-    # bigram always contains the joining space.
-    init = F.struct(F.lit("").alias("prev"),
-                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+    d = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc["best"], run).alias("best"))
+    def norm_of(col):
+        return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
-    stats = toks.select(
-        "doc_id",
+    pref = F.array_join(F.slice(F.split(norm_of(F.col("text")), " "),
+                                1, 24), " ")
+    aug = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", pref, pref, F.col("text")).alias("text"))
+    corpus = d.unionByName(aug)
+    norm = norm_of(F.col("text"))
+    toks = corpus.select(
+        "doc_id", F.split(norm, " ").alias("t"),
+        F.length(norm).cast("long").alias("total_chars"))
+
+    empty = F.array().cast("array<string>")
+
+    def ngrams(tcol, n):
+        # guarded so size<n yields [] (F.sequence(0, <0) would
+        # otherwise generate a DESCENDING sequence)
+        return F.when(
+            F.size(tcol) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tcol) - n),
+                lambda i: F.concat_ws(" ", *[
+                    F.element_at(tcol, i + k + 1) for k in range(n)]),
+            )).otherwise(empty)
+
+    def chunks(tcol, w):
+        # fixed-width token chunks: the corpus is single-line, so the
+        # dup-line/paragraph algebra runs over DERIVED lines (8 tok)
+        # and paragraphs (24 tok) — same definition in the oracle
+        n_chunks = F.ceil(F.size(tcol) / F.lit(w)).cast("int")
+        return F.when(
+            F.size(tcol) > 0,
+            F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                        lambda j: F.array_join(
+                            F.slice(tcol, j * w + 1, w), " "))
+        ).otherwise(empty)
+
+    def dup_fold(arr):
+        """(dups, dupchars) over the sorted array: every occurrence
+        beyond the first of each repeated element counts — (c-1)
+        elements, (c-1)*len chars per group, like the oracle."""
+        init = F.struct(F.lit(None).cast("string").alias("prev"),
+                        F.lit(0).cast("long").alias("d"),
+                        F.lit(0).cast("long").alias("dc"))
+
+        def step(acc, x):
+            isdup = acc["prev"].isNotNull() & (x == acc["prev"])
+            return F.struct(
+                x.alias("prev"),
+                (acc["d"] + F.when(isdup, 1).otherwise(0))
+                .cast("long").alias("d"),
+                (acc["dc"] + F.when(isdup, F.length(x).cast("long"))
+                 .otherwise(0)).cast("long").alias("dc"))
+
+        return F.aggregate(F.sort_array(arr), init, step)
+
+    def top_fold(arr):
+        """(best run, its char length) over the sorted array; a
+        STRICTLY greater run replaces, so ties keep the first-met =
+        lexicographically smallest n-gram (oracle: ORDER BY c DESC,
+        g ASC)."""
+        init = F.struct(F.lit(None).cast("string").alias("prev"),
+                        F.lit(0).cast("long").alias("run"),
+                        F.lit(0).cast("long").alias("best"),
+                        F.lit(0).cast("long").alias("blen"))
+
+        def step(acc, x):
+            run = F.when(acc["prev"].isNotNull() & (x == acc["prev"]),
+                         acc["run"] + 1).otherwise(F.lit(1)).cast("long")
+            better = run > acc["best"]
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.when(better, run).otherwise(acc["best"])
+                .cast("long").alias("best"),
+                F.when(better, F.length(x).cast("long"))
+                .otherwise(acc["blen"]).cast("long").alias("blen"))
+
+        return F.aggregate(F.sort_array(arr), init, step)
+
+    def chars_of(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x).cast("long"))
+
+    # stage 1: materialize each array once per row
+    arrs = toks.select(
+        "doc_id", "t", "total_chars",
+        chunks(F.col("t"), 8).alias("lines"),
+        chunks(F.col("t"), 24).alias("paras"),
+        *[ngrams(F.col("t"), n).alias(f"ng{n}") for n in range(2, 11)])
+    # stage 2: run-length folds -> raw integer counts
+    stats = arrs.select(
+        "doc_id", "total_chars",
         F.size("t").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
-        F.aggregate(F.sort_array(bg), init, step)["best"]
-         .cast("long").alias("top_c"),
-        F.size(bg).cast("long").alias("n_bg"))
+        top_fold(F.col("ng2"))["best"].alias("top_c"),
+        F.size("ng2").cast("long").alias("n_bg"),
+        *[x for tag in ("lines", "paras") for x in (
+            F.size(tag).cast("long").alias(f"n_{tag}"),
+            chars_of(F.col(tag)).alias(f"chars_{tag}"),
+            dup_fold(F.col(tag))["d"].alias(f"dups_{tag}"),
+            dup_fold(F.col(tag))["dc"].alias(f"dupchars_{tag}"))],
+        *[x for n in (2, 3, 4) for x in (
+            top_fold(F.col(f"ng{n}"))["best"].alias(f"top{n}_c"),
+            top_fold(F.col(f"ng{n}"))["blen"].alias(f"top{n}_len"))],
+        *[dup_fold(F.col(f"ng{n}"))["dc"].alias(f"dup{n}_dc")
+          for n in range(5, 11)])
+    # stage 3: fractions — doubles for the two legacy columns (exact
+    # single IEEE division), integer ppm floor-division for the rest
+    ppm = [
+        *[F.when(F.col(f"n_{tag}") > 0,
+                 F.expr(f"dups_{tag} * 1000000L div n_{tag}"))
+          .otherwise(0).cast("long").alias(f"dup_{name}_ppm")
+          for tag, name in (("lines", "line"), ("paras", "para"))],
+        *[F.when(F.col(f"chars_{tag}") > 0,
+                 F.expr(f"dupchars_{tag} * 1000000L div chars_{tag}"))
+          .otherwise(0).cast("long").alias(f"dup_{name}_char_ppm")
+          for tag, name in (("lines", "line"), ("paras", "para"))],
+        *[F.when(F.col("total_chars") > 0,
+                 F.expr(f"top{n}_c * top{n}_len * 1000000L "
+                        f"div total_chars"))
+          .otherwise(0).cast("long").alias(f"top_{n}gram_char_ppm")
+          for n in (2, 3, 4)],
+        *[F.when(F.col("total_chars") > 0,
+                 F.expr(f"dup{n}_dc * 1000000L div total_chars"))
+          .otherwise(0).cast("long").alias(f"dup_{n}gram_char_ppm")
+          for n in range(5, 11)],
+    ]
     return stats.select(
         "doc_id", "n_tokens",
         F.when(F.col("n_tokens") > 0,
@@ -941,7 +1158,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_bg") > 0,
                F.col("top_c").cast("double") / F.col("n_bg"))
          .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
-    )
+        *ppm)
 
 
 @register(
