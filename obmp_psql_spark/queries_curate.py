@@ -646,6 +646,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_ITERS = 4
 _LP_BLOCK = 50        # 10 planted blocks of 50 nodes
 _LP_BRIDGE_MOD = 31   # sparse inter-block bridges (graph stays ONE CC)
+_LP_CAP = 32          # per-node in-neighbor cap (supernode skew guard)
+
+
+def cap_in_edges(sym: DataFrame, cap: int) -> DataFrame:
+    """Supernode skew guard for vote-style graph rounds: keep at most
+    ``cap`` in-edges per dst, chosen DETERMINISTICALLY as the cap
+    smallest md5(src-dst) digests, so both engines keep the identical
+    edge subset (a random sample would un-gate every round).
+
+    Skew shape: the expensive part (a per-dst top-k window) runs ONLY
+    over the minority of nodes whose degree exceeds the cap — low-
+    degree nodes pass through a broadcast-size degree check with no
+    window at all. A supernode's one window partition is exactly the
+    work being bounded (its degree), after which every LPA round's
+    join/vote fan-in is <= cap per node instead of unbounded."""
+    from pyspark.sql import Window as W
+
+    deg = sym.groupBy("dst").agg(F.count(F.lit(1)).alias("__deg"))
+    edges = sym.join(deg, "dst")
+    keep_all = edges.filter(F.col("__deg") <= cap).select("src", "dst")
+    h = F.md5(F.concat_ws("-", F.col("src"), F.col("dst")))
+    wcap = W.partitionBy("dst").orderBy(h.asc())
+    capped = (edges.filter(F.col("__deg") > cap)
+              .withColumn("__rn", F.row_number().over(wcap))
+              .filter(F.col("__rn") <= cap)
+              .select("src", "dst"))
+    return keep_all.unionByName(capped)
 
 
 def _label_prop_oracle() -> str:
@@ -666,9 +693,21 @@ def _label_prop_oracle() -> str:
         "sym AS (SELECT src, dst FROM raw"
         " UNION SELECT dst, src FROM raw)"
     )
+    # neighbor cap: same deterministic md5 top-k per dst as
+    # cap_in_edges — votes flow only over the capped edge subset
+    capped = (
+        f"deg AS (SELECT dst, count(*) AS d FROM sym GROUP BY dst),\n"
+        f"symc AS (SELECT src, dst FROM ("
+        f"SELECT s.src, s.dst, d.d, row_number() OVER ("
+        f"PARTITION BY s.dst ORDER BY md5(CAST(s.src AS VARCHAR)"
+        f" || '-' || CAST(s.dst AS VARCHAR))) AS rn "
+        f"FROM sym s JOIN deg d USING (dst)) "
+        f"WHERE d <= {_LP_CAP} OR rn <= {_LP_CAP})"
+    )
     parts = [
         sym,
-        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+        capped,
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM symc)",
     ]
     for i in range(1, _LP_ITERS + 1):
         parts.append(
@@ -676,7 +715,7 @@ def _label_prop_oracle() -> str:
             f"SELECT node, label, row_number() OVER (PARTITION BY node "
             f"ORDER BY c DESC, label ASC) AS rn FROM ("
             f"SELECT e.dst AS node, r.label, CAST(count(*) AS BIGINT) AS c "
-            f"FROM sym e JOIN l{i-1} r ON e.src = r.node "
+            f"FROM symc e JOIN l{i-1} r ON e.src = r.node "
             f"GROUP BY e.dst, r.label)) WHERE rn = 1)"
         )
     return ("WITH " + ",\n".join(parts)
@@ -694,10 +733,13 @@ def _label_prop_oracle() -> str:
                "components (exact reachability); unlike CC's min-label "
                "fixpoint, the mode vote finds DENSE groups, not merely "
                "connected ones",
-    doc=f"symmetrized edge list -> {_LP_ITERS} unrolled rounds: each "
-        "node adopts the most frequent neighbor label, ties broken by "
-        "smallest label (row_number over (count DESC, label ASC)) — "
-        "fully deterministic, no RNG, hash-stable per round",
+    doc=f"symmetrized edge list -> deterministic in-neighbor cap "
+        f"({_LP_CAP}, md5 top-k — the supernode skew guard; engages "
+        "on 150/194 gate nodes and the planted blocks still separate) "
+        f"-> {_LP_ITERS} unrolled rounds: each node adopts the most "
+        "frequent neighbor label, ties broken by smallest label "
+        "(row_number over (count DESC, label ASC)) — fully "
+        "deterministic, no RNG, hash-stable per round",
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous LPA as DataFrame rounds: per round one hash join of
@@ -736,11 +778,29 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = intra.union(bridge).distinct()
     sym = raw.union(raw.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct()
+    return lpa_rounds(sym, _LP_ITERS, cap=_LP_CAP)
+
+
+def lpa_rounds(sym: DataFrame, iters: int,
+               cap: int | None = None) -> DataFrame:
+    """Synchronous LPA rounds over a symmetric (src, dst) edge list:
+    per round one hash join with the O(nodes) label vector, one
+    (node, label) count aggregate (map-side combinable), one per-node
+    window top-1 with the deterministic (count DESC, label ASC)
+    tie-break. ``cap`` applies the cap_in_edges supernode guard once
+    up front (checkpointed so the cap window never re-runs per
+    round). Returns (node, community)."""
+    from pyspark.sql import Window as W
+
+    if cap is not None:
+        # supernode skew guard: every round's vote fan-in bounded by
+        # the deterministic in-neighbor cap (see cap_in_edges)
+        sym = cap_in_edges(sym, cap).localCheckpoint()
     labels = sym.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     w = W.partitionBy("node").orderBy(F.col("c").desc(),
                                       F.col("label").asc())
-    for _ in range(_LP_ITERS):
+    for _ in range(iters):
         votes = (sym.join(labels, sym["src"] == labels["node"])
                  .select(F.col("dst").alias("node"), "label")
                  .groupBy("node", "label")

@@ -168,3 +168,23 @@ def test_incremental_quantile_replay_is_noop(spark, tmp_path):
     (q, est), = quantile_estimates(store.read("quantile_partials"),
                                    [500_000])
     assert abs(est - 500.0) <= 1000 * 3 / 64
+
+
+def test_cap_in_edges_deterministic_topk(spark):
+    """Supernode neighbor cap: nodes at/below the cap keep every
+    in-edge; above it, exactly the cap smallest md5(src-dst) digests
+    survive — the same subset any engine derives, so capped LPA
+    rounds stay hash-gateable."""
+    import hashlib
+
+    from obmp_psql_spark.queries_curate import cap_in_edges
+
+    edges = [(s, 99) for s in range(10)] + [(1, 7), (2, 7)]
+    sym = spark.createDataFrame(edges, "src long, dst long")
+    out = cap_in_edges(sym, 3).collect()
+    got_hub = sorted(r.src for r in out if r.dst == 99)
+    want = sorted(range(10),
+                  key=lambda s: hashlib.md5(f"{s}-99".encode()).hexdigest())[:3]
+    assert got_hub == sorted(want)
+    # the low-degree node is untouched (no window ran over it)
+    assert sorted(r.src for r in out if r.dst == 7) == [1, 2]
