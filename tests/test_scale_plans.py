@@ -511,6 +511,7 @@ def test_doc_repetition_zero_shuffle_and_runlength_parity(spark, tmp_path):
         ("s", 4, "solo"),                 # 1 token: no bigrams
         ("s", 5, ""),                     # empty text
         ("s", 6, "  spaced   out  text "),  # whitespace collapse
+        ("s", 8, "p q r s t u v w"),      # 8 tokens, %4==0 -> clone
     ]
     sf = str(tmp_path)
     spark.createDataFrame(docs, "source string, doc_id long, text string") \
@@ -520,8 +521,10 @@ def test_doc_repetition_zero_shuffle_and_runlength_parity(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow at any corpus size
 
+    rows = out.collect()
     got = {r.doc_id: (r.n_tokens, round(r.distinct_token_frac, 6),
-                      round(r.top_bigram_frac, 6)) for r in out.collect()}
+                      round(r.top_bigram_frac, 6)) for r in rows
+           if r.doc_id < 10000}
 
     def ref(text):
         toks = text.strip().lower().split()
@@ -533,6 +536,20 @@ def test_doc_repetition_zero_shuffle_and_runlength_parity(spark, tmp_path):
                 round(top / len(bgs), 6) if bgs else 0.0)
 
     assert got == {d: ref(t) for _, d, t in docs}
+    # r9 repetition clones: every %4==0 doc reappears with its
+    # first-24-token prefix doubled. Doc 8's clone is its 8 tokens
+    # x3 = three identical derived 8-token lines -> dup_line 2/3,
+    # one 24-token paragraph -> no dup paras, and every 5..10-gram
+    # duplicated (dup mass > 0)
+    clones = {r.doc_id: r for r in rows if r.doc_id >= 10000}
+    assert set(clones) == {10004, 10008}
+    c8 = clones[10008]
+    assert c8.n_tokens == 24
+    assert c8.dup_line_ppm == 666_666
+    assert c8.dup_para_ppm == 0
+    assert c8.dup_5gram_char_ppm > 0 and c8.dup_10gram_char_ppm > 0
+    # doc 4's clone is 'solo solo solo': one derived line, no dups
+    assert clones[10004].dup_line_ppm == 0
 
 
 def test_aqe_min_partition_floor_preserves_parallelism(spark):
