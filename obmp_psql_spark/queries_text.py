@@ -3946,7 +3946,11 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("base_id"), F.lit(True).alias("patched"))
     imgs = generate_noise_ppm(
         fan_out(base.unionByName(copies).unionByName(patched), spark))
-    fp = dhash63(imgs, id_col="img_id")
+    # materialize BEFORE the handoff: publish_aux's coalesce(1) would
+    # otherwise collapse the whole narrow generate->decode->hash chain
+    # onto one task (measured 7.6 s -> the kernels run in parallel and
+    # only the tiny fingerprint table funnels to one writer)
+    fp = dhash63(imgs, id_col="img_id").localCheckpoint()
     aux = _aux("q_image_neardup", _sf_tag(sf_dir))
     publish_aux(fp.select("img_id", "dhash"), aux)
     fpd = spark.read.parquet(aux)
