@@ -1470,71 +1470,6 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# cumulative share (running total + percent-of-total)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q_cumulative_share",
-    oracle=f"""
-    WITH {_EV},
-    daily AS (
-      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) * 10000
-                  AS BIGINT) AS day_tenk
-      FROM ev GROUP BY event_type, epoch_us(ts) // 86400000000
-    )
-    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, day_tenk,
-           CAST(sum(day_tenk) OVER (PARTITION BY event_type ORDER BY day_idx
-                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tenk,
-           CAST(CAST(sum(day_tenk) OVER (PARTITION BY event_type
-                ORDER BY day_idx ROWS UNBOUNDED PRECEDING) AS HUGEINT)
-                * 1000000
-                // sum(day_tenk) OVER (PARTITION BY event_type) AS BIGINT)
-             AS cum_share_ppm
-    FROM daily
-    """,
-    survey_ref="window analytics: running total + cumulative "
-               "percent-of-total per series (the pareto/burndown "
-               "report shape) — running frame and whole-partition "
-               "frame over one partitioning",
-    doc="daily DECIMAL sums -> exact integer ten-thousandths -> "
-        "running ROWS-frame sum and whole-partition total share in "
-        "ppm, both windows over the same (event_type) hash "
-        "partitioning (one exchange, one sort)",
-)
-def q_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both window specs share the partition key, so Spark plans ONE
-    exchange + one sort and evaluates the running and unbounded
-    frames in the same Window operator. Day buckets are integer
-    epoch-day; per-day sums convert to integer units before any
-    window math. At 100 TB the daily agg (map-side combined) reduces
-    the window input to |types| x |days| rows — trivial."""
-    from pyspark.sql import Window as W
-
-    ev = fan_out(_events(spark, sf_dir), spark)
-    daily = (ev.groupBy(
-        "event_type",
-        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
-        .agg((F.round(F.sum(F.col("value").cast(_DEC)), 4) * 10000)
-             .cast("long").alias("day_tenk")))
-    run = W.partitionBy("event_type").orderBy("day_idx") \
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    tot = W.partitionBy("event_type")
-    return daily.select(
-        "event_type", F.col("day_idx").cast("long").alias("day_idx"),
-        "day_tenk",
-        F.sum("day_tenk").over(run).cast("long").alias("running_tenk"),
-        # DECIMAL-widened before the ppm scale: running * 1e6 can pass
-        # int64 at large sf (same ANSI-overflow class the sf0.1 bench
-        # caught in q_market_share; oracle widens to HUGEINT)
-        (F.sum("day_tenk").over(run).cast("decimal(38,0)")
-         * 1_000_000).alias("__n"),
-        F.sum("day_tenk").over(tot).alias("__t"),
-    ).select("event_type", "day_idx", "day_tenk", "running_tenk",
-             F.expr("CAST(__n div __t AS BIGINT)").alias("cum_share_ppm"))
-
-
-# ---------------------------------------------------------------------------
 # ntile decile assignment
 # ---------------------------------------------------------------------------
 

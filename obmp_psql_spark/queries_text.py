@@ -2097,72 +2097,6 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# tokenizer vocabulary coverage: top-V vocab build + per-doc OOV rate
-# ---------------------------------------------------------------------------
-
-_VOCAB_V = 16
-
-
-@register(
-    "q_vocab_coverage",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split({_NORM.format(col='text')}, ' ')) AS term
-      FROM documents
-    ), t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
-    vocab AS (
-      SELECT term FROM (
-        SELECT term, count(*) AS c FROM t GROUP BY term
-        ORDER BY c DESC, term ASC LIMIT {_VOCAB_V})
-    ),
-    per AS (
-      SELECT t.doc_id,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov
-      FROM t LEFT JOIN vocab v ON t.term = v.term
-      GROUP BY t.doc_id
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_oov,
-           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
-    FROM per
-    """,
-    survey_ref="training-data text analysis: tokenizer vocabulary build "
-               "(top-V corpus tokens, deterministic tie-break) + per-doc "
-               "out-of-vocabulary rate — the coverage check run before "
-               "committing to a tokenizer",
-    doc="explode -> token-count agg -> top-V (count desc, token asc) -> "
-        "broadcast vocab left-join -> per-doc integer-ppm OOV rate",
-)
-def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the vocabulary agg shuffles one row per DISTINCT
-    token (map-side combined), the top-V sort is over that bounded
-    distinct set, and the resulting V-row vocab broadcasts — so the
-    second corpus pass is scan + broadcast-hash-join + per-doc agg.
-    No shuffle carries document text; oov_ppm is integer arithmetic
-    (hash-stable, no float division)."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    tok = (d.select("doc_id", F.explode(toks).alias("term"))
-           .filter(F.length("term") > 0))
-    vocab = F.broadcast(
-        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("term").asc())
-        .limit(_VOCAB_V)
-        .select("term", F.lit(1).alias("__in_vocab")))
-    return (tok.join(vocab, "term", "left")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.count(F.when(F.col("__in_vocab").isNull(), 1))
-                  .alias("n_oov"))
-            .select(F.col("doc_id").cast("long").alias("doc_id"),
-                    F.col("n_tokens").cast("long").alias("n_tokens"),
-                    F.col("n_oov").cast("long").alias("n_oov"),
-                    F.expr("n_oov * 1000000L div n_tokens")
-                     .alias("oov_ppm")))
-
-
-# ---------------------------------------------------------------------------
 # full-text search over posting lists: conjunctive terms + phrase match
 # ---------------------------------------------------------------------------
 
