@@ -650,3 +650,59 @@ def test_dhash63_closed_form(spark):
     junk = spark.createDataFrame([(99, bytearray(b"\x89PNG..."))],
                                  "img_id long, payload binary")
     assert mm.dhash63(junk, id_col="img_id").count() == 0
+
+
+def test_fingerprint_banding_pigeonhole_complete(spark):
+    """Uncapped banding is LOSSLESS ground truth: with bands >
+    max_hamming, every pair within the threshold shares at least one
+    identical band, so the banded equi-join finds exactly the pairs a
+    brute-force hamming scan finds (property-checked on adversarial
+    fingerprints: equal, 1-bit, threshold-edge, band-straddling
+    diffs)."""
+    import itertools
+
+    from obmp_psql_spark.operators.dedup import fingerprint_neardup_pairs
+
+    base = 0x155555555555555  # alternating bits, 63-bit positive
+    fps = [
+        (0, base),
+        (1, base),                     # hamming 0
+        (2, base ^ 0x1),               # 1 bit
+        (3, base ^ 0x7),               # 3 bits in one band (edge)
+        (4, base ^ (1 | 1 << 20 | 1 << 40)),  # 3 bits across 3 bands
+        (5, base ^ 0xF),               # 4 bits: beyond threshold
+        (6, ~base & ((1 << 63) - 1)),  # far away
+        (7, 0),
+        (8, (1 << 63) - 1),
+    ]
+    df = spark.createDataFrame(fps, "img_id long, dhash long")
+    got = {(r.id_a, r.id_b, r.hamming) for r in fingerprint_neardup_pairs(
+        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3).collect()}
+    want = set()
+    for (ia, fa), (ib, fb) in itertools.combinations(fps, 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= 3:
+            want.add((min(ia, ib), max(ia, ib), h))
+    assert got == want
+
+
+def test_dhash63_brightness_invariance(spark):
+    """dHash is invariant under strictly order-preserving pixel
+    transforms: doubling-and-capping-free scaling of the noise image
+    (x -> x // 2 keeps >= ordering but can merge neighbors; x -> x is
+    identity) — pin the strong case: adding a constant WITHOUT
+    wraparound preserves every comparison, hence the exact hash."""
+    import numpy as np
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 200, size=(10, 14, 3), dtype=np.uint8)
+    brighter = (arr + 55).astype(np.uint8)  # no wraparound: max 254
+    df = spark.createDataFrame(
+        [(0, bytearray(mm.encode_netpbm(arr))),
+         (1, bytearray(mm.encode_netpbm(brighter)))],
+        "img_id long, payload binary")
+    got = {r.img_id: r.dhash for r in
+           mm.dhash63(df, id_col="img_id").collect()}
+    assert got[0] == got[1]
