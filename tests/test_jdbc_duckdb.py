@@ -352,3 +352,34 @@ def test_read_retry_ladder_replays_query(tmp_path):
     with pytest.raises(Exception, match="(?i)syntax"):
         fetch_rows_once("SELEKT 1", mk, sleep=naps.append)
     assert len(naps) == n_fail  # no nap: first attempt raised
+
+
+def test_read_rows_partitioned_type_fidelity(spark, tmp_path):
+    """The DBAPI read path must carry the reference schema types
+    losslessly: BIGINT, DOUBLE, BOOLEAN, TIMESTAMP (µs), VARCHAR, and
+    NULLs in every one of them survive the DBAPI -> pandas -> Arrow ->
+    Spark hop bit-exactly."""
+    import datetime as dt
+
+    from obmp_psql_spark.sources.jdbc import read_rows_partitioned
+    db = str(tmp_path / "ty.db")
+    con = duckdb.connect(db)
+    con.execute("""
+      CREATE TABLE t AS SELECT * FROM (VALUES
+        (1::BIGINT, 1.5::DOUBLE, true,
+         TIMESTAMP '2024-03-01 12:34:56.789123', 'a'),
+        (2, NULL, NULL, NULL, NULL),
+        (NULL, -0.25, false, TIMESTAMP '1999-12-31 23:59:59', '')
+      ) AS v(k, d, b, ts, s)""")
+    con.close()
+    rows = {r.k: r for r in read_rows_partitioned(
+        spark, "t", "k long, d double, b boolean, ts timestamp, s string",
+        lambda: duckdb.connect(db, read_only=True),
+        partition_column="k", num_partitions=2).collect()}
+    assert set(rows) == {1, 2, None}
+    r1, r2, rn = rows[1], rows[2], rows[None]
+    assert (r1.d, r1.b, r1.s) == (1.5, True, "a")
+    assert r1.ts == dt.datetime(2024, 3, 1, 12, 34, 56, 789123)
+    assert (r2.d, r2.b, r2.ts, r2.s) == (None, None, None, None)
+    assert (rn.d, rn.b, rn.s) == (-0.25, False, "")
+    assert rn.ts == dt.datetime(1999, 12, 31, 23, 59, 59)
