@@ -193,6 +193,67 @@ def incremental_minhash_pairs(
         nb.unpersist()
 
 
+def incremental_fingerprint_pairs(
+    store, new_fp: DataFrame, id_col: str, fp_col: str, *,
+    batch_id: int, bits: int = 63, bands: int = 7,
+    max_hamming: int = 3, bands_table: str = "img_bands",
+    pairs_table: str = "img_pairs",
+) -> None:
+    """Streaming near-duplicate detection over ANY <=63-bit integer
+    fingerprint column (dHash images, SimHash text): maintain the
+    pigeonhole band index incrementally as fingerprints arrive — the
+    hash-banded twin of ``incremental_minhash_pairs`` with the same
+    store/replay contract.
+
+    Per micro-batch: band the NEW fingerprints only (O(batch)),
+    equi-join them against the persisted index UNION themselves,
+    verify ``bit_count(xor)`` <= ``max_hamming``, then atomically
+    append bands + confirmed pairs in one txn keyed by ``batch_id``
+    (a replayed batch is a no-op). Every true pair is emitted when
+    its younger member arrives, so the accumulated pair set equals
+    the batch-built uncapped ``fingerprint_neardup_pairs`` output
+    (pigeonhole: with bands > max_hamming the band join is
+    lossless)."""
+    app = f"fingerprint_index:{bands_table}:{pairs_table}"
+    if store.last_txn_version(app) >= batch_id:
+        return  # replayed batch: skip before doing any banding work
+    w = bits // bands
+    mask = (1 << w) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(fp_col), b * w)
+             .bitwiseAND(F.lit(mask)).alias("bv"))
+        for b in range(bands)])
+    nb = (new_fp.select(F.col(id_col).alias("__id"),
+                        F.col(fp_col).alias("__fp"),
+                        F.explode(band_structs).alias("bb"))
+          .select("__id", "__fp", F.col("bb.band").alias("band"),
+                  F.col("bb.bv").alias("bv"))
+          .persist())
+    try:
+        old = store.read(bands_table, nb.schema)
+        full = old.unionByName(nb)
+        a, b_ = nb.alias("a"), full.alias("b")
+        ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
+            .cast("int")
+        pairs = (
+            a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.__id") != F.col("b.__id")))
+            .select(F.least("a.__id", "b.__id").alias("id_a"),
+                    F.greatest("a.__id", "b.__id").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        with store.transaction(app, batch_id) as txn:
+            txn.append(bands_table, nb)
+            txn.append(pairs_table, pairs)
+    finally:
+        nb.unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

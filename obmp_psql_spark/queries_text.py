@@ -3843,6 +3843,39 @@ def _image_neardup_oracle(sf_dir: str) -> str:
     """
 
 
+def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared image-dedup corpus: noise images per document plus exact
+    copies (every 3rd doc) and 3x3-patched clones (every 5th), decoded
+    and dHashed. Checkpointed + session-memoized: the batch gate and
+    the streaming index gate score the SAME fingerprint table, and the
+    checkpoint keeps the narrow generate->decode->hash chain parallel
+    (publish_aux's single-writer coalesce would otherwise collapse it
+    onto one task — measured 7.6 s -> 5.3 s)."""
+    from .operators.multimodal import dhash63, generate_noise_ppm
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        d = load_tables(spark, sf_dir, ("documents",))["documents"] \
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+        base = d.select(F.col("doc_id").alias("img_id"),
+                        F.col("doc_id").alias("base_id"),
+                        F.lit(False).alias("patched"))
+        copies = d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("img_id"),
+            F.col("doc_id").alias("base_id"),
+            F.lit(False).alias("patched"))
+        patched = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 200000).alias("img_id"),
+            F.col("doc_id").alias("base_id"),
+            F.lit(True).alias("patched"))
+        imgs = generate_noise_ppm(
+            fan_out(base.unionByName(copies).unionByName(patched), spark))
+        return (dhash63(imgs, id_col="img_id"),)
+
+    (fp,) = _cached_pipeline("imgfp", spark, sf_dir, build)
+    return fp
+
+
 @register(
     "q_image_neardup",
     oracle=_image_neardup_oracle,
@@ -3865,26 +3898,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bands > max_hamming the band join loses nothing), so even
     the gate never goes all-pairs."""
     from .operators.dedup import fingerprint_neardup_pairs
-    from .operators.multimodal import dhash63, generate_noise_ppm
 
-    d = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select(F.col("doc_id").cast("long").alias("doc_id"))
-    base = d.select(F.col("doc_id").alias("img_id"),
-                    F.col("doc_id").alias("base_id"),
-                    F.lit(False).alias("patched"))
-    copies = d.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 100000).alias("img_id"),
-        F.col("doc_id").alias("base_id"), F.lit(False).alias("patched"))
-    patched = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 200000).alias("img_id"),
-        F.col("doc_id").alias("base_id"), F.lit(True).alias("patched"))
-    imgs = generate_noise_ppm(
-        fan_out(base.unionByName(copies).unionByName(patched), spark))
-    # materialize BEFORE the handoff: publish_aux's coalesce(1) would
-    # otherwise collapse the whole narrow generate->decode->hash chain
-    # onto one task (measured 7.6 s -> the kernels run in parallel and
-    # only the tiny fingerprint table funnels to one writer)
-    fp = dhash63(imgs, id_col="img_id").localCheckpoint()
+    fp = _image_fingerprints(spark, sf_dir)
     aux = _aux("q_image_neardup", _sf_tag(sf_dir))
     publish_aux(fp.select("img_id", "dhash"), aux)
     fpd = spark.read.parquet(aux)
@@ -3901,3 +3916,70 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("__kept"), F.lit(0)).cast("int")
                  .alias("banded"))
     )
+
+
+def _stream_image_oracle(sf_dir: str) -> str:
+    """Exact uncapped near-dup set from the streaming query's own
+    fingerprint dump — by pigeonhole this equals what the incremental
+    index must have accumulated after all batches (and a replayed
+    batch would double pairs and hash-mismatch, so exactly-once is
+    part of what the gate pins)."""
+    aux = _aux("q_stream_image_dedup", _sf_tag(sf_dir))
+    return f"""
+    WITH fp AS (
+      SELECT CAST(img_id AS BIGINT) AS img_id,
+             CAST(dhash AS BIGINT) AS dhash
+      FROM read_parquet('{aux}/*.parquet')
+    ), bands AS (
+      SELECT img_id, dhash, g.b AS band, (dhash >> (g.b * 9)) & 511 AS bv
+      FROM fp, UNNEST(generate_series(0, 6)) AS g(b)
+    )
+    SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """
+
+
+@register(
+    "q_stream_image_dedup",
+    oracle=_stream_image_oracle,
+    survey_ref="training-data multimodal dedup x streaming: incremental "
+               "dHash band index through the transactional store (the "
+               "image twin of q_stream_doc_dedup's MinHash index; "
+               "exactly-once via batch txn actions)",
+    doc="images arrive in two micro-batches; each batch dHash-bands "
+        "only its own images (O(batch)), joins them against the "
+        "persisted index union themselves, hamming-verifies, and "
+        "commits bands+pairs atomically (a replayed batch is a no-op); "
+        "the accumulated pair set must equal the batch-built uncapped "
+        "exact set derived by both engines from the fingerprint dump",
+)
+def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_fingerprint_pairs
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        fp = _image_fingerprints(spark, sf_dir)
+        aux = _aux("q_stream_image_dedup", _sf_tag(sf_dir))
+        publish_aux(fp.select("img_id", "dhash"), aux)
+        fpd = spark.read.parquet(aux)
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="imgidx_"))
+        b1 = fpd.filter(F.col("img_id") % 2 == 0)
+        b2 = fpd.filter(F.col("img_id") % 2 == 1)
+        kw = dict(bits=63, bands=7, max_hamming=3)
+        incremental_fingerprint_pairs(store, b1, "img_id", "dhash",
+                                      batch_id=0, **kw)
+        incremental_fingerprint_pairs(store, b2, "img_id", "dhash",
+                                      batch_id=1, **kw)
+        incremental_fingerprint_pairs(store, b1, "img_id", "dhash",
+                                      batch_id=0, **kw)  # replay: no-op
+        return (store.read("img_pairs"),)
+
+    (pairs,) = _cached_pipeline("imgidx", spark, sf_dir, build)
+    return pairs.select("id_a", "id_b", "hamming")
