@@ -208,7 +208,10 @@ def main() -> None:
         except Exception:
             prev_head = None
         if prev_head != git_head:
-            os.replace(local_path, local_path + ".prev")
+            # suffix with the displaced head so a third run at yet
+            # another commit can't silently replace this record
+            tag = (prev_head or "unknown")[:8]
+            os.replace(local_path, f"{local_path}.{tag}.prev")
     with open(local_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -164,6 +164,10 @@ def partition_predicates(partition_column: str, lower: int, upper: int,
             or lower >= upper):
         return [None]
     n = min(num_partitions, upper - lower)
+    if n <= 1:
+        # upper - lower == 1: one stride covers the range; emitting the
+        # i == 0 open-below predicate would index an empty bounds list
+        return [None]
     stride = (upper - lower) // n
     bounds = [lower + i * stride for i in range(1, n)]
     preds: list[str | None] = []

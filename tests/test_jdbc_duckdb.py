@@ -297,6 +297,9 @@ def test_partition_predicates_cover_table():
     assert partition_predicates("k", None, None, 4) == [None]
     assert partition_predicates("k", 0, 2, 8) == [           # n > range
         "k < 1 OR k IS NULL", "k >= 1"]
+    # single distinct value: bound probe yields upper = lower + 1, the
+    # 1-wide range can't be split — must collapse, not IndexError
+    assert partition_predicates("k", 7, 8, 4) == [None]
 
 
 def test_read_rows_partitioned_live(spark, tmp_path):
