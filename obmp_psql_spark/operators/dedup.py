@@ -198,6 +198,7 @@ def incremental_fingerprint_pairs(
     batch_id: int, bits: int = 63, bands: int = 7,
     max_hamming: int = 3, bands_table: str = "img_bands",
     pairs_table: str = "img_pairs",
+    max_bucket_size: int | str | None = None,
 ) -> None:
     """Streaming near-duplicate detection over ANY <=63-bit integer
     fingerprint column (dHash images, SimHash text): maintain the
@@ -213,7 +214,16 @@ def incremental_fingerprint_pairs(
     its younger member arrives, so the accumulated pair set equals
     the batch-built uncapped ``fingerprint_neardup_pairs`` output
     (pigeonhole: with bands > max_hamming the band join is
-    lossless)."""
+    lossless).
+
+    ``max_bucket_size`` (int or ``"auto"``) applies the same
+    drop-over-cap skew guard as the batch operator, measured against
+    the FULL index (old bands plus this batch): buckets over the cap
+    are excluded from this batch's join, while the new band rows are
+    still appended unfiltered so later batches see true occupancy.
+    ``"auto"`` re-derives the cap every batch from the accumulated
+    census (N = full band rows div bands), so the guard tracks index
+    growth instead of decaying as the stream runs."""
     app = f"fingerprint_index:{bands_table}:{pairs_table}"
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work
@@ -234,7 +244,25 @@ def incremental_fingerprint_pairs(
     try:
         old = store.read(bands_table, nb.schema)
         full = old.unionByName(nb)
-        a, b_ = nb.alias("a"), full.alias("b")
+        join_new, join_full = nb, full
+        if max_bucket_size is not None:
+            bw = W.partitionBy("band", "bv")
+            counted = full.withColumn("__bn", F.count(F.lit(1)).over(bw))
+            if max_bucket_size == "auto":
+                census = full.select(
+                    F.expr(f"count(1) div {bands}").alias("__nfp"))
+                counted = (counted.join(F.broadcast(census))
+                           .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
+                           .drop("__bn", "__nfp"))
+            else:
+                counted = (counted.filter(F.col("__bn") <= max_bucket_size)
+                           .drop("__bn"))
+            join_full = counted
+            # the new side must apply the SAME bucket gate or a pair in
+            # an over-cap bucket would still form through its new row
+            join_new = counted.join(
+                nb.select("__id").distinct(), "__id", "left_semi")
+        a, b_ = join_new.alias("a"), join_full.alias("b")
         ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
             .cast("int")
         pairs = (
@@ -570,17 +598,49 @@ def simhash_neardup_pairs(
         max_hamming=max_hamming, max_bucket_size=max_bucket_size)
 
 
+# occupancy-adaptive cap policy (``max_bucket_size="auto"``): with N
+# fingerprints banded into 2^w buckets per band, expected bucket
+# occupancy is N/2^w; a bucket more than AUTO_CAP_MULT x expected is a
+# degenerate-content outlier (boilerplate/empties), everything below is
+# ordinary collision mass that a FIXED cap starves as N grows (measured:
+# cap 4 kept 554 true pairs at 5k images but only 201 at 50k — SURVEY
+# finding 30). ceil in exact integer arithmetic so the DuckDB oracle
+# reproduces the cap bit-for-bit from the same census.
+AUTO_CAP_FLOOR = 4
+AUTO_CAP_MULT = 4
+
+
+def _auto_cap_expr(n_col: str, w: int) -> Column:
+    """max(FLOOR, ceil(MULT * N / 2^w)) — N from a 1-row census."""
+    return F.expr(
+        f"greatest(CAST({AUTO_CAP_FLOOR} AS BIGINT), "
+        f"({n_col} * {AUTO_CAP_MULT} + {(1 << w) - 1}) div {1 << w})")
+
+
+def auto_cap_value(n: int, bits: int, bands: int) -> int:
+    """Driver-side twin of the in-plan auto cap (for probes/oracles)."""
+    w = bits // bands
+    return max(AUTO_CAP_FLOOR,
+               -(-(n * AUTO_CAP_MULT) // (1 << w)))
+
+
 def fingerprint_neardup_pairs(
     fp: DataFrame, id_col: str, fp_col: str,
     bits: int = 32, bands: int = 4, max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
 ) -> DataFrame:
     """Banded near-dup pairs over ANY precomputed <=63-bit integer
     fingerprint column (SimHash text fingerprints, dHash image
     hashes, ...): pigeonhole banding -> per-band equi-join ->
     bit_count(xor) Hamming verify. Same scale/cap semantics as the
     SimHash docstring above — pair work is bounded by
-    bands x sum(min(bucket, cap)^2), never all-pairs."""
+    bands x sum(min(bucket, cap)^2), never all-pairs.
+
+    ``max_bucket_size="auto"`` derives the cap from a one-row census
+    (cap = max(AUTO_CAP_FLOOR, ceil(AUTO_CAP_MULT * N / 2^w)), N =
+    fingerprint count, broadcast 1-row join — no driver collect), so
+    the skew guard tracks occupancy instead of starving recall as the
+    corpus grows past a hand-tuned constant."""
     w = bits // bands
     mask = (1 << w) - 1
     band_structs = F.array(*[
@@ -598,10 +658,17 @@ def fingerprint_neardup_pairs(
         # on the join key (no ordering => no sort, map-side partial
         # count), then the oversized buckets never reach the join
         bw = W.partitionBy("band", "bv")
-        bandsdf = (bandsdf
-                   .withColumn("__bn", F.count(F.lit(1)).over(bw))
-                   .filter(F.col("__bn") <= max_bucket_size)
-                   .drop("__bn"))
+        bandsdf = bandsdf.withColumn("__bn", F.count(F.lit(1)).over(bw))
+        if max_bucket_size == "auto":
+            census = fp.select(F.count(F.lit(1)).alias("__nfp"))
+            bandsdf = (bandsdf
+                       .join(F.broadcast(census))
+                       .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
+                       .drop("__bn", "__nfp"))
+        else:
+            bandsdf = (bandsdf
+                       .filter(F.col("__bn") <= max_bucket_size)
+                       .drop("__bn"))
     a, b_ = bandsdf.alias("a"), bandsdf.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -616,3 +683,73 @@ def fingerprint_neardup_pairs(
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int")
     return cand.select("id_a", "id_b", ham.alias("hamming")) \
                .filter(F.col("hamming") <= max_hamming)
+
+
+def frameset_neardup_pairs(
+    fp: DataFrame, set_col: str, frame_col: str, fp_col: str,
+    bits: int = 63, bands: int = 7, max_hamming: int = 3,
+    max_bucket_size: int | str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs between SETS of fingerprints — the video
+    form of ``fingerprint_neardup_pairs``: each video is a set of
+    per-frame perceptual hashes (dHash over sampled frames), two
+    videos are near-dups when ANY frame pair lands within
+    ``max_hamming`` bits. Band every frame hash exactly like the
+    single-fingerprint operator (pigeonhole per frame pair — with
+    bands > max_hamming no qualifying frame pair is missed), equi-join
+    on (band, bv) across different sets, Hamming-verify, then one
+    aggregate per set pair: minimum frame distance and the number of
+    distinct matching frame pairs.
+
+    Scale: identical bounds to the flat operator — the join is a hash
+    equi-join on the band bucket over SUM(frames) rows (frame counts
+    are small constants per video after ``sample_video_frames``), and
+    the per-pair aggregate is map-side combinable on the already
+    joined rows. ``max_bucket_size`` (int or ``"auto"``) applies the
+    same drop-over-cap skew guard to (band, bv) buckets; the auto
+    census counts FRAME fingerprints, the unit the buckets hold.
+    Output: (id_a, id_b, min_hamming, n_hit_frames)."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(fp_col), b * w)
+             .bitwiseAND(F.lit(mask)).alias("bv"))
+        for b in range(bands)])
+    bandsdf = fp.select(F.col(set_col), F.col(frame_col), F.col(fp_col),
+                        F.explode(band_structs).alias("bb")) \
+                .select(F.col(set_col), F.col(frame_col), F.col(fp_col),
+                        F.col("bb.band").alias("band"),
+                        F.col("bb.bv").alias("bv"))
+    if max_bucket_size is not None:
+        bw = W.partitionBy("band", "bv")
+        bandsdf = bandsdf.withColumn("__bn", F.count(F.lit(1)).over(bw))
+        if max_bucket_size == "auto":
+            census = fp.select(F.count(F.lit(1)).alias("__nfp"))
+            bandsdf = (bandsdf
+                       .join(F.broadcast(census))
+                       .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
+                       .drop("__bn", "__nfp"))
+        else:
+            bandsdf = (bandsdf
+                       .filter(F.col("__bn") <= max_bucket_size)
+                       .drop("__bn"))
+    a, b_ = bandsdf.alias("a"), bandsdf.alias("b")
+    ham = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))) \
+        .cast("int")
+    hits = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col(f"a.{set_col}") < F.col(f"b.{set_col}")))
+        .select(F.col(f"a.{set_col}").alias("id_a"),
+                F.col(f"b.{set_col}").alias("id_b"),
+                F.col(f"a.{frame_col}").alias("__fa"),
+                F.col(f"b.{frame_col}").alias("__fb"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b", "__fa", "__fb"])
+    )
+    return (hits.groupBy("id_a", "id_b")
+            .agg(F.min("hamming").cast("int").alias("min_hamming"),
+                 F.count(F.lit(1)).alias("n_hit_frames")))

@@ -574,6 +574,92 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
                "energy_ppm long, zero_crossings long, peak_dev int")
 
 
+def generate_noise_wav(df: DataFrame, id_col: str = "aud_id",
+                       base_col: str = "base_id",
+                       perturb_col: str | None = "perturbed",
+                       n_samples: int = 512) -> DataFrame:
+    """Deterministic NOISE-audio producer for perceptual-fingerprint
+    tests (the audio twin of ``generate_noise_ppm``): ``sample[t] =
+    (((base+1) * (t*29 + 101)) * 2654435761 mod 2^32 >> 13) mod 256``
+    — multiplicative hashing gives distinct base ids near-random
+    energy envelopes, so fingerprints spread instead of collapsing.
+    Rows with ``perturb_col`` true get ``+8 mod 256`` on samples
+    ``t < 16`` — a localized edit confined to the first two energy
+    windows, landing the clone 0-2 fingerprint bits from its base.
+    Output: (id, payload) as canonical 8-bit PCM WAV."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            pert = pdf[perturb_col] if perturb_col else [False] * len(pdf)
+            for aid, base, p in zip(pdf[id_col], pdf[base_col], pert):
+                t = np.arange(n_samples, dtype=np.int64)
+                v = (((int(base) + 1) * (t * 29 + 101))
+                     * 2654435761) % (1 << 32)
+                s = ((v >> 13) % 256).astype(np.int64)
+                if bool(p):
+                    s[:16] = (s[:16] + 8) % 256
+                ids.append(int(aid))
+                payloads.append(encode_wav_pcm8(s.tolist()))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    cols = [F.col(id_col), F.col(base_col)]
+    if perturb_col:
+        cols.append(F.col(perturb_col))
+    return df.select(*cols).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary")
+
+
+def audio_fingerprint63(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Perceptual audio fingerprint — the temporal analog of
+    ``dhash63``: decode PCM, split the clip into 64 contiguous windows
+    (integer boundaries ``(k*n)//64``, same index map as the dHash
+    grid), compute each window's integer energy ``sum((s-128)^2)``,
+    then bit k = 1 iff ``energy[k] > energy[k+1]`` — 63 bits, kept as
+    a non-negative signed BIGINT under the same <=63-bit contract as
+    the image/text fingerprints, so the SAME banding/hamming dedup
+    core applies unchanged. Volume scaling that preserves the energy
+    ordering preserves the fingerprint; a localized edit flips only
+    the bits whose windows it touches.
+
+    Arrow-batch kernel; undecodable payloads and clips shorter than
+    64 samples produce no row (a 63-bit hash over near-empty windows
+    is noise, not signal). Output: (id, afp)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    dec = decode_wav(bytes(p))
+                except ValueError:
+                    dec = None
+                if dec is None:
+                    continue
+                _rate, _ch, _bits, samples = dec
+                n = len(samples)
+                if n < 64:
+                    continue
+                dev = np.asarray(samples, dtype=np.int64) - 128
+                sq = dev * dev
+                bounds = (np.arange(65) * n) // 64
+                csum = np.concatenate(([0], np.cumsum(sq)))
+                e = csum[bounds[1:]] - csum[bounds[:-1]]
+                bits = e[:-1] > e[1:]
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                ids.append(int(did))
+                fps.append(v)
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=f"{id_col} long, afp long")
+
+
 # -- video modality: concatenated netpbm frames --------------------------
 
 def split_netpbm_stream(payload: bytes) -> list:
@@ -661,6 +747,51 @@ def generate_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(F.col(id_col)).mapInPandas(
         batches, schema="doc_id long, payload binary")
+
+
+def generate_noise_video(df: DataFrame, id_col: str = "vid_id",
+                         base_col: str = "base_id",
+                         edit_col: str | None = "edited",
+                         n_frames: int = 4,
+                         w: int = 12, h: int = 9) -> DataFrame:
+    """Deterministic NOISE-video producer for per-frame perceptual
+    dedup tests: ``n_frames`` concatenated P6 frames, pixel
+    ``(f, c, y, x) = (((base+1) * (c*7 + y*13 + x*29 + f*37 + 101) *
+    2654435761) mod 2^32 >> 13) mod 256`` — the frame index enters the
+    multiplicative hash, so each frame of a video is an independent
+    noise image while two videos with the same base are identical
+    frame-for-frame. Rows with ``edit_col`` true get ``+80 mod 256``
+    on frame 0's top-left 3x3 patch (a re-encode artifact: frame 0
+    lands a few dHash bits off, frames 1.. stay exact). Output:
+    (id, payload) as a concatenated-netpbm stream."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            edited = pdf[edit_col] if edit_col else [False] * len(pdf)
+            for vid, base, ed in zip(pdf[id_col], pdf[base_col], edited):
+                chunks = []
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                for f in range(n_frames):
+                    v = ((int(base) + 1)
+                         * (c * 7 + y * 13 + x * 29 + f * 37 + 101)
+                         * 2654435761) % (1 << 32)
+                    arr = ((v >> 13) % 256).astype(np.int64)
+                    if bool(ed) and f == 0:
+                        arr[0:3, 0:3, :] = (arr[0:3, 0:3, :] + 80) % 256
+                    chunks.append(encode_netpbm(arr.astype(np.uint8)))
+                ids.append(int(vid))
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    cols = [F.col(id_col), F.col(base_col)]
+    if edit_col:
+        cols.append(F.col(edit_col))
+    return df.select(*cols).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary")
 
 
 def sample_video_frames(df: DataFrame, id_col: str = "doc_id",

@@ -89,10 +89,22 @@ def hyperplane_bucket(vec: Column, dims: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+# auto shard-cap policy for lsh_topk: sign-pattern buckets saturate at
+# the data's CLUSTER count, not 2^n_planes, so bucket occupancy is
+# cluster-sized and an occupancy-multiple cap degenerates to no cap on
+# clustered corpora. The scale-free knob is the join-work budget:
+# cap = ceil(sqrt(MULT * N)) bounds candidate work at N * cap =
+# sqrt(MULT) * N^1.5 (subquadratic) while the per-query candidate set
+# GROWS with N instead of starving like a hand-tuned constant
+# (SURVEY finding 30's law applied to the shard cap).
+LSH_AUTO_CAP_FLOOR = 64
+LSH_AUTO_CAP_MULT = 4
+
+
 def lsh_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     dims: int = 64, n_planes: int = 8, k: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors among same-bucket vectors.
     The bucket join is an equi-join (hash, skew-aware); recall rises
@@ -112,8 +124,10 @@ def lsh_topk(
     cluster, whose members are precisely the similar vectors).
     Unlike ``simhash_neardup_pairs``' drop-the-bucket cap there is
     no second band to catch a dropped vector here, so sharding, not
-    dropping, is the right bound. None (default) keeps exact
-    bucket-join semantics for oracle parity."""
+    dropping, is the right bound. ``"auto"`` sizes the cap from a
+    one-row census as max(LSH_AUTO_CAP_FLOOR, ceil(sqrt(
+    LSH_AUTO_CAP_MULT * N))) — see the policy comment above. None
+    (default) keeps exact bucket-join semantics for oracle parity."""
     base = df.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
@@ -123,17 +137,25 @@ def lsh_topk(
     # (caller releases via cache.build_artifacts)
     if max_bucket_size is not None:
         bw = W.partitionBy("__bucket")
+        base = base.withColumn("__bn", F.count(F.lit(1)).over(bw))
+        if max_bucket_size == "auto":
+            census = df.select(F.count(F.lit(1)).alias("__ncen"))
+            base = base.join(F.broadcast(census))
+            cap = F.greatest(
+                F.lit(LSH_AUTO_CAP_FLOOR).cast("long"),
+                F.ceil(F.sqrt(F.col("__ncen") * LSH_AUTO_CAP_MULT))
+                 .cast("long"))
+        else:
+            cap = F.lit(int(max_bucket_size)).cast("long")
         base = (base
-                .withColumn("__bn", F.count(F.lit(1)).over(bw))
                 .withColumn(
                     "__shard",
-                    F.when(F.col("__bn") > max_bucket_size,
+                    F.when(F.col("__bn") > cap,
                            F.pmod(F.xxhash64("__id"),
-                                  F.ceil(F.col("__bn")
-                                         / F.lit(max_bucket_size))
+                                  F.ceil(F.col("__bn") / cap)
                                    .cast("long")))
                      .otherwise(F.lit(0).cast("long")))
-                .drop("__bn"))
+                .drop("__bn", "__ncen"))
     else:
         base = base.withColumn("__shard", F.lit(0).cast("long"))
     base = owned_persist(base)

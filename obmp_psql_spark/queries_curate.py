@@ -55,6 +55,11 @@ _SPAN_K = 8
 # at the driver's sf0.01 oracle scale. The Spark side uses sequence()
 # and has no such bound.
 _SPAN_GRID = 2048
+# winnowing fingerprint parameters (Schleimer et al. SIGMOD'03): the
+# standalone q_doc_winnow gate was consolidated into this query r10 —
+# the rolling-min-over-k-gram-hash algebra is the same window-hash
+# family and stays oracle-gated through the n_winnow_fp column
+_WINNOW_K, _WINNOW_W = 8, 4
 
 
 @register(
@@ -78,10 +83,32 @@ _SPAN_GRID = 2048
              CAST(count(dup.h) AS BIGINT) AS n_dup_windows
       FROM w LEFT JOIN dup ON w.h = dup.h
       GROUP BY w.doc_id
+    ),
+    wn AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS wt
+      FROM documents
+    ),
+    whash AS (
+      SELECT doc_id, g.p,
+             substr(md5(substr(wt, g.p, {_WINNOW_K})), 1, 12) AS h
+      FROM wn, UNNEST(generate_series(1, len(wt) - {_WINNOW_K - 1})) AS g(p)
+    ),
+    wfp AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM whash
+    ),
+    wcnt AS (
+      SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_winnow_fp
+      FROM wfp GROUP BY 1
     )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_windows, n_dup_windows,
-           CAST(n_dup_windows * 1000000 // n_windows AS BIGINT) AS dup_ppm
-    FROM per WHERE n_dup_windows > 0
+    SELECT CAST(per.doc_id AS BIGINT) AS doc_id, n_windows, n_dup_windows,
+           CAST(n_dup_windows * 1000000 // n_windows AS BIGINT) AS dup_ppm,
+           wcnt.n_winnow_fp
+    FROM per JOIN wcnt ON per.doc_id = wcnt.doc_id
+    WHERE n_dup_windows > 0
     """,
     survey_ref="training-data dedup: exact repeated-substring pass "
                "(Lee et al. 2022 'Deduplicating Training Data Makes "
@@ -90,7 +117,10 @@ _SPAN_GRID = 2048
                "duplication that document-level hashing misses and "
                "MinHash only scores approximately",
     doc=f"sliding {_SPAN_K}-token window -> md5 span key -> groupBy "
-        "finding cross-document spans -> per-doc duplicated-span ppm",
+        "finding cross-document spans -> per-doc duplicated-span ppm; "
+        "plus the winnowed (rolling-min k-gram hash, MOSS scheme) "
+        "fingerprint-set size per doc — the consolidated q_doc_winnow "
+        "surface",
 )
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-first replacement for the paper's suffix array: every
@@ -130,11 +160,23 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_windows"),
                 F.count("__dup").alias("n_dup_windows"))
            .filter(F.col("n_dup_windows") > 0))
-    return per.select(
+    # consolidated winnow surface (r10): distinct rolling-min k-gram
+    # fingerprints per doc — winnow_fingerprints already dedups
+    # (doc, fp), so the count is a plain per-doc aggregate that reuses
+    # the doc_id partitioning from its window stage
+    from .operators.dedup import winnow_fingerprints
+    wcnt = (winnow_fingerprints(
+                d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         "text"),
+                "doc_id", "text", k=_WINNOW_K, window=_WINNOW_W)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_winnow_fp")))
+    return per.join(wcnt, "doc_id").select(
         "doc_id",
         F.col("n_windows").cast("long").alias("n_windows"),
         F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
         F.expr("n_dup_windows * 1000000L div n_windows").alias("dup_ppm"),
+        F.col("n_winnow_fp").cast("long").alias("n_winnow_fp"),
     )
 
 

@@ -45,9 +45,6 @@ corpus AS (
 
 # normalized lowercase text (Spark: normalize_ws + lower)
 _NORM = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
-# winnowing variant: whitespace-collapse without trim, matching
-# operators.dedup.winnow_fingerprints
-_NORM_NOTRIM = "lower(regexp_replace({col}, '\\s+', ' ', 'g'))"
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,51 +90,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").cast("long").alias("survivor_id"),
              F.count(F.lit(1)).alias("n_copies"))
     )
-
-
-# ---------------------------------------------------------------------------
-# winnowing (rolling-hash) document fingerprints
-# ---------------------------------------------------------------------------
-
-_WINNOW_K, _WINNOW_W = 8, 4
-
-_WINNOW_ORACLE = f"""
-WITH norm AS (
-  SELECT doc_id, {_NORM_NOTRIM.format(col='text')} AS t FROM documents
-),
-pos AS (
-  SELECT doc_id, t, g.p
-  FROM norm, UNNEST(generate_series(1, len(t) - {_WINNOW_K - 1})) AS g(p)
-),
-hashes AS (
-  SELECT doc_id, p,
-         substr(md5(substr(t, p, {_WINNOW_K})), 1, 12) AS h
-  FROM pos
-),
-winnowed AS (
-  SELECT doc_id,
-         min(h) OVER (PARTITION BY doc_id ORDER BY p
-                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
-  FROM hashes
-)
-SELECT DISTINCT doc_id, fp FROM winnowed
-"""
-
-
-@register(
-    "q_doc_winnow",
-    oracle=_WINNOW_ORACLE,
-    survey_ref="training-data text analysis: document fingerprinting "
-               "(rolling hash, winnowing / Schleimer et al. SIGMOD'03)",
-    doc="winnowed k-gram fingerprint sets per document (rolling min-hash window)",
-)
-def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import winnow_fingerprints
-
-    d = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"], spark)
-    return winnow_fingerprints(d.select("doc_id", "text"),
-                               "doc_id", "text",
-                               k=_WINNOW_K, window=_WINNOW_W)
 
 
 # ---------------------------------------------------------------------------
@@ -732,32 +684,57 @@ def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composed corpus-curation pipeline: lang-ID + quality filter + dedup
 # ---------------------------------------------------------------------------
 
+# boilerplate-prefix key width (crawl corpora duplicate on shared
+# openings — cookie banners, templates — that full-document hashing
+# misses); the standalone q_prefix_dedup gate was consolidated into
+# q_corpus_curation r10: the md5-of-first-N-tokens key and its >1-size
+# group test stay oracle-gated through the n_prefix_dup column
+_PREFIX_TOKENS = 20
+
+
 @register(
     "q_corpus_curation",
     oracle=None,  # set below (reuses the generated lang-score CTEs)
     survey_ref="training-data pipeline composition: lang-ID -> quality "
-               "filter -> exact dedup -> per-language corpus stats",
+               "filter -> exact dedup -> boilerplate-prefix duplicate "
+               "groups -> per-language corpus stats",
     doc="one pass over documents: language ID, quality gating "
-        "(tokens>=5, punct<20%), 48-bit fingerprint dedup, per-lang rollup",
+        "(tokens>=5, punct<20%), 48-bit fingerprint dedup, prefix-key "
+        "dup groups (md5 of first 20 normalized tokens, group size "
+        "computed over the WHOLE corpus before quality gating), "
+        "per-lang rollup",
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the prefix key is a fixed-width md5 computed in
+    the scan (slice + concat, no explode), so its group-size window
+    shuffles 16 bytes per doc regardless of document length; lang/
+    quality/fingerprint are scan-local expressions and the final
+    rollup is one map-side-combinable aggregate."""
+    from pyspark.sql.window import Window as W
+
     from .functions.text import fingerprint64, lang_id, quality_features
 
     d = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"], spark)
     feats = quality_features(F.col("text"))
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     scored = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         lang_id(F.col("text")).alias("lang_pred"),
         feats["n_tokens"].alias("n_tokens"),
         feats["punct_ratio"].alias("punct_ratio"),
         fingerprint64(F.col("text")).alias("fp64"),
-    )
+        F.md5(F.concat_ws(" ", F.slice(F.split(norm, " "), 1,
+                                       _PREFIX_TOKENS))).alias("prefix_key"),
+    ).withColumn("__grp_n",
+                 F.count(F.lit(1)).over(W.partitionBy("prefix_key")))
     kept = scored.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2))
     return (
         kept.groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.countDistinct("fp64").alias("n_unique"),
-             F.sum("n_tokens").alias("total_tokens"))
+             F.sum("n_tokens").alias("total_tokens"),
+             F.sum(F.when(F.col("__grp_n") > 1, 1).otherwise(0))
+              .cast("long").alias("n_prefix_dup"))
     )
 
 
@@ -784,13 +761,18 @@ def _set_curation_oracle() -> None:
                   THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                        / CAST(length(text) AS DOUBLE)
                   ELSE 0.0 END AS punct_ratio,
-             CAST(('0x' || substr(md5({_NORM.format(col='text')}), 1, 12)) AS BIGINT) AS fp64
+             CAST(('0x' || substr(md5({_NORM.format(col='text')}), 1, 12)) AS BIGINT) AS fp64,
+             count(*) OVER (PARTITION BY md5(array_to_string(
+                 string_split({_NORM.format(col='text')}, ' ')[1:{_PREFIX_TOKENS}],
+                 ' '))) AS grp_n
       FROM documents
     )
     SELECT l.lang_pred,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT q.fp64) AS BIGINT) AS n_unique,
-           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN q.grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_prefix_dup
     FROM lang l JOIN q USING (doc_id)
     WHERE q.n_tokens >= 5 AND q.punct_ratio < 0.2
     GROUP BY 1
@@ -918,7 +900,7 @@ tok_stats AS (
         parts.append(f""",
 {tag}s AS (
   SELECT doc_id, array_to_string(t[(j-1)*{w}+1:j*{w}], ' ') AS e
-  FROM toks, UNNEST(generate_series(1, 1000)) AS gs(j)
+  FROM toks, UNNEST(generate_series(1, len(t))) AS gs(j)
   WHERE (j-1)*{w} < len(t)
 ),
 {tag}_stats AS (
@@ -936,7 +918,7 @@ tok_stats AS (
 gc{n} AS (
   SELECT doc_id, g, count(*) AS c, length(g) AS L
   FROM (SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
-        FROM toks, UNNEST(generate_series(1, 1000)) AS gs(i)
+        FROM toks, UNNEST(generate_series(1, len(t))) AS gs(i)
         WHERE i + {n - 1} <= len(t))
   GROUP BY 1, 2
 )""")
@@ -2031,69 +2013,6 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "+ t_docs div 2) div t_docs, 1L)")
                  .cast("long").alias("boost_micro")))
 
-
-# ---------------------------------------------------------------------------
-# prefix dedup: boilerplate-prefix duplicate groups
-# ---------------------------------------------------------------------------
-
-_PREFIX_TOKENS = 20
-
-
-@register(
-    "q_prefix_dedup",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             string_split({_NORM.format(col='text')}, ' ') AS t
-      FROM documents
-    ), p AS (
-      SELECT doc_id,
-             md5(array_to_string(t[1:{_PREFIX_TOKENS}], ' ')) AS prefix_key
-      FROM toks
-    ), g AS (
-      SELECT prefix_key,
-             CAST(count(*) AS BIGINT) AS group_size,
-             CAST(min(doc_id) AS BIGINT) AS keep_doc_id
-      FROM p GROUP BY prefix_key
-    )
-    SELECT CAST(p.doc_id AS BIGINT) AS doc_id, g.group_size,
-           g.keep_doc_id,
-           CAST(p.doc_id = g.keep_doc_id AS BOOLEAN) AS is_kept
-    FROM p JOIN g USING (prefix_key)
-    WHERE g.group_size > 1
-    """,
-    survey_ref="training-data dedup: prefix-key duplicate groups — "
-               "crawl corpora duplicate on shared boilerplate openings "
-               "(cookie banners, templates) that full-document hashing "
-               "misses and MinHash over-matches; the first-N-tokens key "
-               "is the standard cheap catch",
-    doc="md5 of the first 20 normalized tokens -> hash groupBy -> "
-        "groups >1 with a min-id representative; one shuffle, "
-        "map-side combinable",
-)
-def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the key is a fixed-width md5 computed in the scan
-    (slice + concat, no explode), so the groupBy shuffles 16 bytes per
-    doc regardless of document length; the duplicate-group side is
-    count-filtered (>1) and tiny relative to the corpus, so the join
-    back broadcasts (observed at gate scale) or hash-joins on the
-    already-shuffled key."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    p = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(F.concat_ws(" ", F.slice(F.split(norm, " "), 1,
-                                       _PREFIX_TOKENS))).alias("prefix_key"))
-    g = (p.groupBy("prefix_key")
-         .agg(F.count(F.lit(1)).alias("group_size"),
-              F.min("doc_id").alias("keep_doc_id"))
-         .filter(F.col("group_size") > 1))
-    return (p.join(g, "prefix_key")
-            .select("doc_id",
-                    F.col("group_size").cast("long").alias("group_size"),
-                    F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
-                    (F.col("doc_id") == F.col("keep_doc_id"))
-                    .alias("is_kept")))
 
 
 # ---------------------------------------------------------------------------
@@ -3827,19 +3746,33 @@ def _image_neardup_oracle(sf_dir: str) -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ), counted AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM bands
     ), kept AS (
-      SELECT * FROM (
-        SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM bands
-      ) WHERE bn <= {_IMG_CAP}
+      SELECT * FROM counted WHERE bn <= {_IMG_CAP}
     ), capped_pairs AS (
       SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
       FROM kept a JOIN kept b
         ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ), kept_auto AS (
+      -- occupancy-adaptive cap: max(4, ceil(4 * N / 2^9)) in exact
+      -- integer arithmetic, same formula as dedup.AUTO_CAP_* policy
+      SELECT * FROM counted
+      WHERE bn <= GREATEST(4, (4 * (SELECT count(*) FROM fp) + 511) // 512)
+    ), auto_pairs AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
+      FROM kept_auto a JOIN kept_auto b
+        ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
     )
     SELECT e.id_a, e.id_b, e.hamming,
-           CAST(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS INT) AS banded
-    FROM exact_pairs e LEFT JOIN capped_pairs c USING (id_a, id_b)
+           CAST(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS INT) AS banded,
+           CAST(CASE WHEN au.id_a IS NULL THEN 0 ELSE 1 END AS INT)
+             AS banded_auto
+    FROM exact_pairs e
+    LEFT JOIN capped_pairs c USING (id_a, id_b)
+    LEFT JOIN auto_pairs au USING (id_a, id_b)
     """
 
 
@@ -3887,9 +3820,11 @@ def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="noise-image corpus + exact copies (every 3rd doc) + patched "
         "clones (every 5th, 3x3 edit) -> dhash63 Arrow kernel -> "
         "(img_id, dhash) handoff -> output is every TRUE pair "
-        "(hamming<=3) flagged with whether the bucket-capped banding "
-        "kept it, so the driver hash pins per-pair recall of the cap "
-        "policy, not just a scalar",
+        "(hamming<=3) flagged with whether the fixed-cap banding kept "
+        "it AND whether the occupancy-adaptive auto cap (max(4, "
+        "ceil(4N/2^w)), same integer formula both engines) kept it, "
+        "so the driver hash pins per-pair recall of BOTH cap "
+        "policies, not just a scalar",
 )
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production path is the capped banding (fingerprint_neardup
@@ -3908,13 +3843,21 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = fingerprint_neardup_pairs(
         fpd, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
         max_bucket_size=_IMG_CAP)
+    auto = fingerprint_neardup_pairs(
+        fpd, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
+        max_bucket_size="auto")
     return (
         exact.join(capped.select("id_a", "id_b")
                    .withColumn("__kept", F.lit(1)),
                    ["id_a", "id_b"], "left")
+        .join(auto.select("id_a", "id_b")
+              .withColumn("__kepta", F.lit(1)),
+              ["id_a", "id_b"], "left")
         .select("id_a", "id_b", "hamming",
                 F.coalesce(F.col("__kept"), F.lit(0)).cast("int")
-                 .alias("banded"))
+                 .alias("banded"),
+                F.coalesce(F.col("__kepta"), F.lit(0)).cast("int")
+                 .alias("banded_auto"))
     )
 
 
@@ -3983,3 +3926,234 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (pairs,) = _cached_pipeline("imgidx", spark, sf_dir, build)
     return pairs.select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# audio perceptual near-dup: energy-envelope fingerprint -> banding
+# ---------------------------------------------------------------------------
+
+def _audio_neardup_oracle(sf_dir: str) -> str:
+    """DuckDB half of the audio-fingerprint handshake: re-derive the
+    exact near-dup set (uncapped banding is lossless ground truth by
+    pigeonhole) AND the occupancy-adaptive auto-capped set from the
+    published (aud_id, afp) dump. The energy-envelope kernel itself is
+    pinned by unit tests on closed-form clips; the oracle gates the
+    banding, the integer auto-cap formula, and the verify algebra bit
+    for bit."""
+    aux = _aux("q_audio_neardup", _sf_tag(sf_dir))
+    return f"""
+    WITH fp AS (
+      SELECT CAST(aud_id AS BIGINT) AS aud_id,
+             CAST(afp AS BIGINT) AS afp
+      FROM read_parquet('{aux}/*.parquet')
+    ), bands AS (
+      SELECT aud_id, afp, g.b AS band, (afp >> (g.b * 9)) & 511 AS bv
+      FROM fp, UNNEST(generate_series(0, 6)) AS g(b)
+    ), exact_pairs AS (
+      SELECT DISTINCT a.aud_id AS id_a, b.aud_id AS id_b,
+             CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.aud_id < b.aud_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    ), kept_auto AS (
+      -- same integer auto-cap law as dedup.AUTO_CAP_*: max(4,
+      -- ceil(4 * N / 2^9)) with N = fingerprint count
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM bands)
+      WHERE bn <= GREATEST(4, (4 * (SELECT count(*) FROM fp) + 511) // 512)
+    ), auto_pairs AS (
+      SELECT DISTINCT a.aud_id AS id_a, b.aud_id AS id_b
+      FROM kept_auto a JOIN kept_auto b
+        ON a.band = b.band AND a.bv = b.bv AND a.aud_id < b.aud_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    )
+    SELECT e.id_a, e.id_b, e.hamming,
+           CAST(CASE WHEN au.id_a IS NULL THEN 0 ELSE 1 END AS INT)
+             AS banded_auto
+    FROM exact_pairs e
+    LEFT JOIN auto_pairs au USING (id_a, id_b)
+    """
+
+
+def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared audio-dedup corpus: noise clips per document plus exact
+    copies (every 3rd doc) and first-two-window perturbed clones
+    (every 5th), encoded as real PCM WAV, decoded and fingerprinted
+    by the energy-envelope kernel. Session-memoized like the image
+    corpus so a streaming twin could score the same table."""
+    from .operators.multimodal import audio_fingerprint63, generate_noise_wav
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        d = load_tables(spark, sf_dir, ("documents",))["documents"] \
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+        base = d.select(F.col("doc_id").alias("aud_id"),
+                        F.col("doc_id").alias("base_id"),
+                        F.lit(False).alias("perturbed"))
+        copies = d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("aud_id"),
+            F.col("doc_id").alias("base_id"),
+            F.lit(False).alias("perturbed"))
+        pert = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 200000).alias("aud_id"),
+            F.col("doc_id").alias("base_id"),
+            F.lit(True).alias("perturbed"))
+        clips = generate_noise_wav(
+            fan_out(base.unionByName(copies).unionByName(pert), spark))
+        return (audio_fingerprint63(clips, id_col="aud_id"),)
+
+    (fp,) = _cached_pipeline("audfp", spark, sf_dir, build)
+    return fp
+
+
+@register(
+    "q_audio_neardup",
+    oracle=_audio_neardup_oracle,
+    survey_ref="training-data multimodal dedup: perceptual audio "
+               "near-duplicates — energy-envelope fingerprint over "
+               "REAL decoded PCM (the temporal analog of dHash), "
+               "through the SAME banded core as text/image, with the "
+               "occupancy-adaptive auto cap",
+    doc="noise-clip corpus + exact copies (every 3rd doc) + perturbed "
+        "clones (every 5th, first-16-samples edit) -> "
+        "audio_fingerprint63 Arrow kernel -> (aud_id, afp) handoff -> "
+        "output is every TRUE pair (hamming<=3) flagged with whether "
+        "the auto-capped banding kept it, pinning the cap policy "
+        "hash-exactly on a second modality",
+)
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path = auto-capped banding (N x bands x cap pair
+    bound with the cap tracking occupancy); the uncapped exact side is
+    ground truth and stays an equi-join (pigeonhole losslessness)."""
+    from .operators.dedup import fingerprint_neardup_pairs
+
+    fp = _audio_fingerprints(spark, sf_dir)
+    aux = _aux("q_audio_neardup", _sf_tag(sf_dir))
+    publish_aux(fp.select("aud_id", "afp"), aux)
+    fpd = spark.read.parquet(aux)
+    exact = fingerprint_neardup_pairs(
+        fpd, "aud_id", "afp", bits=63, bands=7, max_hamming=3)
+    auto = fingerprint_neardup_pairs(
+        fpd, "aud_id", "afp", bits=63, bands=7, max_hamming=3,
+        max_bucket_size="auto")
+    return (
+        exact.join(auto.select("id_a", "id_b")
+                   .withColumn("__kepta", F.lit(1)),
+                   ["id_a", "id_b"], "left")
+        .select("id_a", "id_b", "hamming",
+                F.coalesce(F.col("__kepta"), F.lit(0)).cast("int")
+                 .alias("banded_auto"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# video perceptual near-dup: per-frame dHash sets -> frameset banding
+# ---------------------------------------------------------------------------
+
+def _video_neardup_oracle(sf_dir: str) -> str:
+    """DuckDB half of the video handshake: from the published
+    (vid_id, frame_index, dhash) dump, band every frame hash, join
+    across videos, Hamming-verify frame pairs, and aggregate to
+    per-video-pair (min frame distance, matching-frame count) — the
+    exact algebra of ``frameset_neardup_pairs``."""
+    aux = _aux("q_video_neardup", _sf_tag(sf_dir))
+    return f"""
+    WITH fp AS (
+      SELECT CAST(vid_id AS BIGINT) AS vid_id,
+             CAST(frame_index AS INT) AS f,
+             CAST(dhash AS BIGINT) AS dhash
+      FROM read_parquet('{aux}/*.parquet')
+    ), bands AS (
+      SELECT vid_id, f, dhash,
+             g.b AS band, (dhash >> (g.b * 9)) & 511 AS bv
+      FROM fp, UNNEST(generate_series(0, 6)) AS g(b)
+    ), hits AS (
+      SELECT DISTINCT a.vid_id AS id_a, b.vid_id AS id_b,
+             a.f AS fa, b.f AS fb,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.vid_id < b.vid_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    )
+    SELECT id_a, id_b,
+           CAST(min(hamming) AS INT) AS min_hamming,
+           CAST(count(*) AS BIGINT) AS n_hit_frames
+    FROM hits GROUP BY 1, 2
+    """
+
+
+def _video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared video-dedup corpus: 4-frame noise videos per document
+    plus exact copies (every 3rd doc) and re-encode-artifact clones
+    (every 5th: frame 0 patched, frames 1-3 exact), run through the
+    REAL frame splitter and per-frame dHash. Frame identity rides a
+    composite id through the flat dhash kernel (vid*16+frame) and is
+    unpacked after."""
+    from .operators.multimodal import (
+        dhash63,
+        generate_noise_video,
+        sample_video_frames,
+    )
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        d = load_tables(spark, sf_dir, ("documents",))["documents"] \
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+        base = d.select(F.col("doc_id").alias("vid_id"),
+                        F.col("doc_id").alias("base_id"),
+                        F.lit(False).alias("edited"))
+        copies = d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("vid_id"),
+            F.col("doc_id").alias("base_id"),
+            F.lit(False).alias("edited"))
+        edited = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 200000).alias("vid_id"),
+            F.col("doc_id").alias("base_id"),
+            F.lit(True).alias("edited"))
+        vids = generate_noise_video(
+            fan_out(base.unionByName(copies).unionByName(edited), spark))
+        frames = sample_video_frames(vids, id_col="vid_id", every_n=1)
+        fid = frames.select(
+            (F.col("doc_id") * 16 + F.col("frame_index")).alias("fid"),
+            F.col("frame_payload").alias("payload"))
+        h = dhash63(fid, id_col="fid")
+        return (h.select(
+            F.expr("fid div 16").alias("vid_id"),
+            F.expr("fid % 16").cast("int").alias("frame_index"),
+            "dhash"),)
+
+    (fp,) = _cached_pipeline("vidfp", spark, sf_dir, build)
+    return fp
+
+
+@register(
+    "q_video_neardup",
+    oracle=_video_neardup_oracle,
+    survey_ref="training-data multimodal dedup: per-frame perceptual "
+               "video near-duplicates — REAL netpbm-stream frame "
+               "splitting, per-frame dHash, set-vs-set banded match "
+               "(any frame pair within hamming 3); completes the dedup "
+               "story across text/image/audio/video",
+    doc="4-frame noise videos + exact copies (every 3rd doc) + "
+        "frame-0-patched clones (every 5th) -> sample_video_frames -> "
+        "per-frame dhash63 -> (vid_id, frame_index, dhash) handoff -> "
+        "frameset_neardup_pairs emits per video pair the min frame "
+        "hamming and the matching-frame count, both hash-pinned",
+)
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band join runs over frame fingerprints (sum of frames
+    rows, a small constant per video), never payloads; the per-pair
+    rollup is one map-side-combinable aggregate. Same N x bands x cap
+    bound as the flat operator when the cap engages (gate runs
+    uncapped: pigeonhole ground truth)."""
+    from .operators.dedup import frameset_neardup_pairs
+
+    fp = _video_fingerprints(spark, sf_dir)
+    aux = _aux("q_video_neardup", _sf_tag(sf_dir))
+    publish_aux(fp.select("vid_id", "frame_index", "dhash"), aux)
+    fpd = spark.read.parquet(aux)
+    return frameset_neardup_pairs(
+        fpd, "vid_id", "frame_index", "dhash",
+        bits=63, bands=7, max_hamming=3) \
+        .select("id_a", "id_b", "min_hamming",
+                F.col("n_hit_frames").cast("long").alias("n_hit_frames"))

