@@ -872,3 +872,36 @@ def test_auto_bucket_cap_policy(spark):
     # and the final-census batch subset matches the batch operator
     assert inc <= uncapped
     assert (0, 2) in uncapped  # sanity: mega-bucket pairs exist
+
+
+def test_frameset_auto_cap_equivalence(spark):
+    """frameset_neardup_pairs: 'auto' equals the explicitly computed
+    occupancy cap (census = FRAME fingerprint count), and a degenerate
+    all-same-frame pile is chopped while planted copies survive."""
+    from obmp_psql_spark.operators.dedup import (
+        auto_cap_value,
+        frameset_neardup_pairs,
+    )
+
+    base = 0x4CCCCCCCCCCCCCC
+    rows = []
+    # 30 videos sharing one degenerate frame fingerprint (mega-bucket)
+    for v in range(30):
+        rows.append((v, 0, base))
+    # two planted near-dup videos with distinctive frames
+    for v, off in ((100, 0), (101, 1)):  # 1-bit apart on frame 0
+        rows.append((v, 0, (base ^ (0x15 << 9)) ^ off))
+        rows.append((v, 1, base ^ (0x3F << 27)))
+    df = spark.createDataFrame(rows, "vid_id long, frame_index int, dhash long")
+    cap = auto_cap_value(len(rows), 63, 7)
+    kw = dict(bits=63, bands=7, max_hamming=3)
+    auto = {(r.id_a, r.id_b, r.min_hamming, r.n_hit_frames)
+            for r in frameset_neardup_pairs(
+                df, "vid_id", "frame_index", "dhash",
+                max_bucket_size="auto", **kw).collect()}
+    manual = {(r.id_a, r.id_b, r.min_hamming, r.n_hit_frames)
+              for r in frameset_neardup_pairs(
+                  df, "vid_id", "frame_index", "dhash",
+                  max_bucket_size=cap, **kw).collect()}
+    assert auto == manual
+    assert any(p[:2] == (100, 101) for p in auto)  # planted pair kept
