@@ -795,7 +795,7 @@ def kmeans_assign(
 def shard_oversized_clusters(assignments: DataFrame,
                              id_col: str = "vec_id",
                              cluster_col: str = "cluster_id",
-                             max_cluster_size: int = 500) -> DataFrame:
+                             max_cluster_size: int | str = 500) -> DataFrame:
     """Split any cluster larger than ``max_cluster_size`` into
     deterministic hash shards, re-keying ``cluster_col`` to
     ``cid * 2^16 + shard`` (shard 0 when under the cap).
@@ -809,10 +809,25 @@ def shard_oversized_clusters(assignments: DataFrame,
     side — consumers (and the oracle handshake) see only the final
     blocking key in the published assignment, so capping never
     changes the verification contract, only the candidate set (a
-    recall knob, exactly like the LSH cap)."""
+    recall knob, exactly like the LSH cap).
+
+    ``max_cluster_size="auto"`` applies the lsh_topk work-budget law
+    (finding 31): cap = max(LSH_AUTO_CAP_FLOOR, ceil(sqrt(
+    LSH_AUTO_CAP_MULT * N))) from a one-row census — within-shard
+    pair work stays N^1.5-bounded while the per-shard candidate set
+    GROWS with the corpus instead of freezing at a hand-tuned 500."""
     sizes = (assignments.groupBy(cluster_col)
              .agg(F.count(F.lit(1)).alias("__sz")))
-    n_shards = F.ceil(F.col("__sz") / F.lit(max_cluster_size)).cast("long")
+    if max_cluster_size == "auto":
+        census = assignments.select(F.count(F.lit(1)).alias("__ncen"))
+        sizes = sizes.join(F.broadcast(census))
+        cap = F.greatest(
+            F.lit(LSH_AUTO_CAP_FLOOR).cast("long"),
+            F.ceil(F.sqrt(F.col("__ncen") * LSH_AUTO_CAP_MULT))
+             .cast("long"))
+    else:
+        cap = F.lit(int(max_cluster_size)).cast("long")
+    n_shards = F.ceil(F.col("__sz") / cap).cast("long")
     return (assignments.join(F.broadcast(sizes), cluster_col)
             .select(F.col(id_col),
                     (F.col(cluster_col).cast("long") * F.lit(65536)

@@ -185,3 +185,28 @@ def test_band_oversized_clusters_coband_and_cap(spark):
                                    n_planes=2).collect()
     assert len(out2) == len(rows) + 1
     assert any(r.vec_id == 5000 for r in out2)
+
+
+def test_shard_oversized_clusters_auto_cap(spark):
+    """'auto' applies the lsh_topk work-budget law: identical sharding
+    to passing max(FLOOR, ceil(sqrt(MULT*N))) explicitly."""
+    import math
+
+    from obmp_psql_spark.operators.similarity import (
+        LSH_AUTO_CAP_FLOOR,
+        LSH_AUTO_CAP_MULT,
+        shard_oversized_clusters,
+    )
+    n = 400
+    rows = [(i, 1) for i in range(n - 20)] + \
+           [(10_000 + i, 2) for i in range(20)]
+    a = spark.createDataFrame(rows, "vec_id long, cluster_id long")
+    cap = max(LSH_AUTO_CAP_FLOOR,
+              math.ceil(math.sqrt(LSH_AUTO_CAP_MULT * n)))
+    auto = {(r.vec_id, r.cluster_id) for r in
+            shard_oversized_clusters(a, max_cluster_size="auto").collect()}
+    manual = {(r.vec_id, r.cluster_id) for r in
+              shard_oversized_clusters(a, max_cluster_size=cap).collect()}
+    assert auto == manual
+    shards = {c for _, c in auto if c // 65536 == 1}
+    assert len(shards) == math.ceil((n - 20) / cap)  # cap really engaged
