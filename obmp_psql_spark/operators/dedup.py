@@ -199,6 +199,7 @@ def incremental_fingerprint_pairs(
     max_hamming: int = 3, bands_table: str = "img_bands",
     pairs_table: str = "img_pairs",
     max_bucket_size: int | str | None = None,
+    optimize_every: int | None = None,
 ) -> None:
     """Streaming near-duplicate detection over ANY <=63-bit integer
     fingerprint column (dHash images, SimHash text): maintain the
@@ -223,7 +224,18 @@ def incremental_fingerprint_pairs(
     still appended unfiltered so later batches see true occupancy.
     ``"auto"`` re-derives the cap every batch from the accumulated
     census (N = full band rows div bands), so the guard tracks index
-    growth instead of decaying as the stream runs."""
+    growth instead of decaying as the stream runs.
+
+    ``optimize_every=K`` compacts the bands table after every K-th
+    committed batch (SURVEY finding 32: per-batch wall grows ~18 ms
+    per accumulated append FILE — driver listing + task scheduling —
+    not with rows; one compaction of 320 -> 40 files cut the next
+    batch 3.3x). K=3 at 32-partition appends keeps the join scan
+    within ~1.5x of its compacted floor. Compaction is its own
+    atomic commit AFTER the batch txn, so replay semantics are
+    untouched (the replay counter lives in the commit log, not the
+    file layout); a crash between txn and compaction just defers
+    compaction to the next eligible batch."""
     app = f"fingerprint_index:{bands_table}:{pairs_table}"
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work
@@ -278,6 +290,8 @@ def incremental_fingerprint_pairs(
         with store.transaction(app, batch_id) as txn:
             txn.append(bands_table, nb)
             txn.append(pairs_table, pairs)
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            store.optimize(bands_table)
     finally:
         nb.unpersist()
 

@@ -905,3 +905,51 @@ def test_frameset_auto_cap_equivalence(spark):
                   max_bucket_size=cap, **kw).collect()}
     assert auto == manual
     assert any(p[:2] == (100, 101) for p in auto)  # planted pair kept
+
+
+def test_incremental_fingerprint_optimize_cadence(spark, tmp_path):
+    """optimize_every compacts the bands table after every K-th batch
+    as its own commit: pair results identical to the uncompacted run,
+    file count collapses, and a replayed batch stays a no-op after
+    compaction (the replay counter lives in the commit log, not the
+    layout)."""
+    import glob
+
+    from obmp_psql_spark.operators.dedup import (
+        fingerprint_neardup_pairs,
+        incremental_fingerprint_pairs,
+    )
+    from obmp_psql_spark.state import TxnStateStore
+
+    base = 0x155555555555555
+    fps = [(i, base ^ (i % 3)) for i in range(64)]
+    df = spark.createDataFrame(fps, "img_id long, dhash long")
+    kw = dict(bits=63, bands=7, max_hamming=3)
+
+    def files(root):
+        return len(glob.glob(str(root) + "/**/*.parquet", recursive=True))
+
+    store = TxnStateStore(spark, str(tmp_path / "opt"))
+    for b in range(4):
+        incremental_fingerprint_pairs(
+            store, df.filter(f"img_id % 4 = {b}"), "img_id", "dhash",
+            batch_id=b, optimize_every=2, **kw)
+    plain = TxnStateStore(spark, str(tmp_path / "plain"))
+    for b in range(4):
+        incremental_fingerprint_pairs(
+            plain, df.filter(f"img_id % 4 = {b}"), "img_id", "dhash",
+            batch_id=b, **kw)
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in store.read("img_pairs").collect()}
+    want = {(r.id_a, r.id_b, r.hamming)
+            for r in plain.read("img_pairs").collect()}
+    exact = {(r.id_a, r.id_b, r.hamming) for r in fingerprint_neardup_pairs(
+        df, "img_id", "dhash", **kw).collect()}
+    assert got == want == exact
+    assert files(tmp_path / "opt") < files(tmp_path / "plain")
+    # replay after compaction: still a no-op
+    before = store.read("img_pairs").count()
+    incremental_fingerprint_pairs(
+        store, df.filter("img_id % 4 = 1"), "img_id", "dhash",
+        batch_id=1, optimize_every=2, **kw)
+    assert store.read("img_pairs").count() == before
