@@ -128,6 +128,7 @@ def incremental_minhash_pairs(
     batch_id: int, bands_table: str = "doc_bands",
     pairs_table: str = "doc_pairs",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    optimize_every: int | None = None,
 ) -> None:
     """Streaming near-duplicate detection: maintain the MinHash band
     index incrementally as documents arrive.
@@ -189,6 +190,11 @@ def incremental_minhash_pairs(
         with store.transaction(app, batch_id) as txn:
             txn.append(bands_table, nb)
             txn.append(pairs_table, pairs)
+        # same cadence contract as incremental_fingerprint_pairs
+        # (SURVEY finding 32): compaction is its own atomic commit
+        # after the batch txn; replay semantics untouched
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            store.optimize(bands_table)
     finally:
         nb.unpersist()
 

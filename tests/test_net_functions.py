@@ -953,3 +953,41 @@ def test_incremental_fingerprint_optimize_cadence(spark, tmp_path):
         store, df.filter("img_id % 4 = 1"), "img_id", "dhash",
         batch_id=1, optimize_every=2, **kw)
     assert store.read("img_pairs").count() == before
+
+
+def test_incremental_minhash_optimize_cadence(spark, tmp_path):
+    """The MinHash streaming index gets the same cadence knob: results
+    identical to the uncompacted run, fewer band files, replay no-op."""
+    import glob
+
+    from obmp_psql_spark.operators.dedup import incremental_minhash_pairs
+    from obmp_psql_spark.state import TxnStateStore
+
+    docs = [(i, f"alpha beta gamma delta {'clone' if i % 2 else 'orig'} "
+                f"epsilon zeta eta theta")
+            for i in range(24)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run(root, **extra):
+        store = TxnStateStore(spark, str(root))
+        for b in range(4):
+            incremental_minhash_pairs(
+                store, df.filter(f"doc_id % 4 = {b}"), "doc_id", "text",
+                batch_id=b, num_hashes=8, bands=2, **extra)
+        return store
+
+    opt = run(tmp_path / "opt", optimize_every=2)
+    plain = run(tmp_path / "plain")
+    got = {(r.id_a, r.id_b) for r in opt.read("doc_pairs").collect()}
+    want = {(r.id_a, r.id_b) for r in plain.read("doc_pairs").collect()}
+    assert got == want and got  # non-empty: clones pair up
+
+    def files(root):
+        return len(glob.glob(str(root) + "/**/*.parquet", recursive=True))
+
+    assert files(tmp_path / "opt") < files(tmp_path / "plain")
+    before = opt.read("doc_pairs").count()
+    incremental_minhash_pairs(
+        opt, df.filter("doc_id % 4 = 1"), "doc_id", "text",
+        batch_id=1, num_hashes=8, bands=2, optimize_every=2)
+    assert opt.read("doc_pairs").count() == before
