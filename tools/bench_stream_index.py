@@ -80,6 +80,8 @@ def main() -> None:
             "bands_files": nfiles, "bands_bytes": nbytes})
         print(results["batches"][-1], flush=True)
 
+    pairs_10 = store.read("img_pairs").count()  # before the extra batch
+
     # compaction effect: OPTIMIZE the bands table, replay-style extra
     # batch (re-deliver the last slice under a NEW batch id so the work
     # shape matches a steady-state batch against a compacted index)
@@ -97,6 +99,25 @@ def main() -> None:
         "postopt_batch_wall_s": round(post_wall, 2)}
     pairs = store.read("img_pairs").count()
     results["total_pairs"] = pairs
+
+    # second pass: the operator's own cadence knob (optimize_every=3,
+    # finding 32) — per-batch walls should stay near the compacted
+    # floor instead of climbing with the append pile-up
+    root2 = tempfile.mkdtemp(prefix="streamidx_opt_")
+    store2 = TxnStateStore(spark, root2)
+    cadenced = []
+    for b, part in enumerate(batches):
+        t0 = time.time()
+        incremental_fingerprint_pairs(store2, part, "img_id", "dhash",
+                                      batch_id=b, optimize_every=3, **kw)
+        cadenced.append(round(time.time() - t0, 2))
+    nfiles2, _ = _dir_stats(root2, "img_bands")
+    results["cadenced"] = {
+        "optimize_every": 3, "walls_s": cadenced,
+        "bands_files_final": nfiles2,
+        "pairs_equal": store2.read("img_pairs").count() == pairs_10}
+    print(results["cadenced"], flush=True)
+
     for part in batches:
         part.unpersist()
     fp.unpersist()
