@@ -445,6 +445,15 @@ def ngram_jaccard_pairs(
     generation, and Jaccard is computed over the retained sets on
     both the Spark and oracle side. None = exact over all shingles.
 
+    Deliberately NO ``"auto"`` mode here, unlike the banding caps
+    (finding 31): those are recall-only knobs — a dropped bucket can
+    only lose candidate pairs, never change a surviving pair's value
+    — so deriving them from corpus size is safe. This cap changes the
+    retained shingle SETS and therefore every Jaccard score; an
+    auto-derived value would silently re-score the corpus as it
+    grows. Stop-shingle df thresholds stay pinned by the caller,
+    the same reason tokenizers pin their vocab.
+
     Physical shape: with ``max_doc_freq`` set, posting lists are
     bounded (<= max_doc_freq ids), so pairs are generated IN the
     array domain — groupBy(shingle) -> sorted id list -> combination
@@ -581,7 +590,7 @@ def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     bits: int = 32, bands: int = 4, max_hamming: int = 3,
     min_tokens: int | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the fingerprint (pigeonhole
     — any pair within ``max_hamming`` < ``bands`` bits shares at
@@ -606,8 +615,10 @@ def simhash_neardup_pairs(
       than the cap before the self-join. A pair lost this way is
       still found if any of its other bands lands in a small bucket;
       pairs ONLY matching through a mega-bucket are dropped, exactly
-      like stop-shingle removal. None (default) keeps exact
-      pigeonhole semantics for oracle parity."""
+      like stop-shingle removal. ``"auto"`` derives the cap from the
+      occupancy census (finding 31) like every fingerprint-family
+      operator. None (default) keeps exact pigeonhole semantics for
+      oracle parity."""
     if min_tokens is not None:
         ntoks = F.size(F.split(
             F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
