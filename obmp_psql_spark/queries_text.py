@@ -3915,7 +3915,12 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = TxnStateStore(spark, tempfile.mkdtemp(prefix="imgidx_"))
         b1 = fpd.filter(F.col("img_id") % 2 == 0)
         b2 = fpd.filter(F.col("img_id") % 2 == 1)
-        kw = dict(bits=63, bands=7, max_hamming=3)
+        # optimize_every exercises the finding-32 cadence INSIDE the
+        # gate (batch 1 triggers a compaction commit): pair output is
+        # unchanged by compaction, so the oracle needs no knowledge of
+        # it — but a compaction that corrupted the index or broke the
+        # replay guard would hash-mismatch here
+        kw = dict(bits=63, bands=7, max_hamming=3, optimize_every=2)
         incremental_fingerprint_pairs(store, b1, "img_id", "dhash",
                                       batch_id=0, **kw)
         incremental_fingerprint_pairs(store, b2, "img_id", "dhash",
