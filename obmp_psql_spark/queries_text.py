@@ -3740,10 +3740,17 @@ def _image_neardup_oracle(sf_dir: str) -> str:
     ), bands AS (
       SELECT img_id, dhash, g.b AS band, (dhash >> (g.b * 9)) & 511 AS bv
       FROM fp, UNNEST(generate_series(0, 6)) AS g(b)
+    ), bands4 AS (
+      -- exact side at MINIMUM pigeonhole banding (hamming+1 = 4 bands,
+      -- w = 15): same lossless pair set, 2^6x lower bucket occupancy
+      -- (finding 34)
+      SELECT img_id, dhash, g.b AS band,
+             (dhash >> (g.b * 15)) & 32767 AS bv
+      FROM fp, UNNEST(generate_series(0, 3)) AS g(b)
     ), exact_pairs AS (
       SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
              CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
-      FROM bands a JOIN bands b
+      FROM bands4 a JOIN bands4 b
         ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
     ), counted AS (
@@ -3838,8 +3845,12 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aux = _aux("q_image_neardup", _sf_tag(sf_dir))
     publish_aux(fp.select("img_id", "dhash"), aux)
     fpd = spark.read.parquet(aux)
+    # exact ground truth at minimum pigeonhole banding (finding 34:
+    # fewer bands = wider w = 64x lower occupancy, same lossless set,
+    # measured 2.4x at 77k fps); the capped policies keep 7 bands —
+    # band redundancy is what a drop-cap trades against
     exact = fingerprint_neardup_pairs(
-        fpd, "img_id", "dhash", bits=63, bands=7, max_hamming=3)
+        fpd, "img_id", "dhash", bits=60, bands=4, max_hamming=3)
     capped = fingerprint_neardup_pairs(
         fpd, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
         max_bucket_size=_IMG_CAP)
@@ -3954,10 +3965,14 @@ def _audio_neardup_oracle(sf_dir: str) -> str:
     ), bands AS (
       SELECT aud_id, afp, g.b AS band, (afp >> (g.b * 9)) & 511 AS bv
       FROM fp, UNNEST(generate_series(0, 6)) AS g(b)
+    ), bands4 AS (
+      -- exact side at minimum pigeonhole banding (finding 34)
+      SELECT aud_id, afp, g.b AS band, (afp >> (g.b * 15)) & 32767 AS bv
+      FROM fp, UNNEST(generate_series(0, 3)) AS g(b)
     ), exact_pairs AS (
       SELECT DISTINCT a.aud_id AS id_a, b.aud_id AS id_b,
              CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
-      FROM bands a JOIN bands b
+      FROM bands4 a JOIN bands4 b
         ON a.band = b.band AND a.bv = b.bv AND a.aud_id < b.aud_id
       WHERE bit_count(xor(a.afp, b.afp)) <= 3
     ), kept_auto AS (
@@ -4036,8 +4051,9 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aux = _aux("q_audio_neardup", _sf_tag(sf_dir))
     publish_aux(fp.select("aud_id", "afp"), aux)
     fpd = spark.read.parquet(aux)
+    # minimum pigeonhole banding for the exact side (finding 34)
     exact = fingerprint_neardup_pairs(
-        fpd, "aud_id", "afp", bits=63, bands=7, max_hamming=3)
+        fpd, "aud_id", "afp", bits=60, bands=4, max_hamming=3)
     auto = fingerprint_neardup_pairs(
         fpd, "aud_id", "afp", bits=63, bands=7, max_hamming=3,
         max_bucket_size="auto")
@@ -4069,9 +4085,11 @@ def _video_neardup_oracle(sf_dir: str) -> str:
              CAST(dhash AS BIGINT) AS dhash
       FROM read_parquet('{aux}/*.parquet')
     ), bands AS (
+      -- minimum pigeonhole banding (finding 34): the whole gate is
+      -- uncapped ground truth, so hamming+1 = 4 bands suffice
       SELECT vid_id, f, dhash,
-             g.b AS band, (dhash >> (g.b * 9)) & 511 AS bv
-      FROM fp, UNNEST(generate_series(0, 6)) AS g(b)
+             g.b AS band, (dhash >> (g.b * 15)) & 32767 AS bv
+      FROM fp, UNNEST(generate_series(0, 3)) AS g(b)
     ), hits AS (
       SELECT DISTINCT a.vid_id AS id_a, b.vid_id AS id_b,
              a.f AS fa, b.f AS fb,
@@ -4164,6 +4182,6 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpd = spark.read.parquet(aux)
     return frameset_neardup_pairs(
         fpd, "vid_id", "frame_index", "dhash",
-        bits=63, bands=7, max_hamming=3) \
+        bits=60, bands=4, max_hamming=3) \
         .select("id_a", "id_b", "min_hamming",
                 F.col("n_hit_frames").cast("long").alias("n_hit_frames"))
