@@ -685,6 +685,26 @@ def test_fingerprint_banding_pigeonhole_complete(spark):
             want.add((min(ia, ib), max(ia, ib), h))
     assert got == want
 
+    # minimum pigeonhole banding (finding 34): bits=60/bands=4 leaves
+    # bits 60-62 UNcovered by any band — diffs there disturb no band
+    # (the pair still collides everywhere) while the Hamming verify
+    # runs over the full fingerprint, so losslessness and exact
+    # distances both survive; and the 4-band set equals the 7-band set
+    fps4 = fps + [(9, base ^ (1 << 62)),            # uncovered-bit diff
+                  (10, base ^ (7 << 60))]           # all three high bits
+    df4 = spark.createDataFrame(fps4, "img_id long, dhash long")
+    got4 = {(r.id_a, r.id_b, r.hamming) for r in fingerprint_neardup_pairs(
+        df4, "img_id", "dhash", bits=60, bands=4, max_hamming=3).collect()}
+    got7 = {(r.id_a, r.id_b, r.hamming) for r in fingerprint_neardup_pairs(
+        df4, "img_id", "dhash", bits=63, bands=7, max_hamming=3).collect()}
+    want4 = set()
+    for (ia, fa), (ib, fb) in itertools.combinations(fps4, 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= 3:
+            want4.add((min(ia, ib), max(ia, ib), h))
+    assert got4 == got7 == want4
+    assert any(p[:2] == (0, 9) for p in got4)   # hamming-1 via bit 62
+
 
 def test_dhash63_brightness_invariance(spark):
     """dHash is invariant under strictly order-preserving pixel
