@@ -38,12 +38,26 @@ def _pairs(spark):
     lambda s: S.cosine_topk(_vecs(s), _vecs(s)),
     lambda s: S.cosine_topk_arrow(_vecs(s), _vecs(s), k=3),
     lambda s: S.lsh_topk(_vecs(s), dims=4, n_planes=2),
+    lambda s: S.lsh_topk(_vecs(s), dims=4, n_planes=2,
+                         max_bucket_size="auto"),
+    lambda s: D.fingerprint_neardup_pairs(
+        s.createDataFrame([], "img_id long, dhash long"),
+        "img_id", "dhash", bits=60, bands=4, max_bucket_size="auto"),
+    lambda s: D.frameset_neardup_pairs(
+        s.createDataFrame([], "vid_id long, frame_index int, dhash long"),
+        "vid_id", "frame_index", "dhash", bits=60, bands=4,
+        max_bucket_size="auto"),
+    lambda s: __import__("obmp_psql_spark.operators.multimodal",
+                         fromlist=["audio_fingerprint63"])
+        .audio_fingerprint63(
+            s.createDataFrame([], "doc_id long, payload binary")),
     lambda s: S.ivf_topk(_vecs(s), n_centroids=4, nprobe=2),
     lambda s: S.pq_topk(_vecs(s), m=2, n_codes=2),
     lambda s: S.embedding_neardup_pairs(_vecs(s), threshold=0.9,
                                         allow_full_cross=True),
 ], ids=["minhash", "simhash_fp", "simhash_pairs", "ngram", "cc",
-        "cosine", "cosine_arrow", "lsh", "ivf", "pq", "neardup"])
+        "cosine", "cosine_arrow", "lsh", "lsh_auto", "fp_auto",
+        "frameset_auto", "audio_fp", "ivf", "pq", "neardup"])
 def test_operator_empty_input_returns_empty(spark, build):
     from obmp_psql_spark.operators.cache import (build_artifacts)
     with build_artifacts():
