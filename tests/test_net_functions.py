@@ -1011,3 +1011,27 @@ def test_incremental_minhash_optimize_cadence(spark, tmp_path):
         opt, df.filter("doc_id % 4 = 1"), "doc_id", "text",
         batch_id=1, num_hashes=8, bands=2, optimize_every=2)
     assert opt.read("doc_pairs").count() == before
+
+
+def test_auto_cap_expr_matches_python_twin(spark):
+    """The in-plan integer auto-cap expression and auto_cap_value must
+    agree exactly over the whole plausible census range (exact BIGINT
+    arithmetic — any drift would silently desync the oracles)."""
+    from pyspark.sql import functions as F
+
+    from obmp_psql_spark.operators.dedup import (
+        _auto_cap_expr,
+        auto_cap_value,
+    )
+
+    ns = ([0, 1, 2, 3, 4, 511, 512, 513, 1023, 1024, 76667]
+          + [7 ** k % 10 ** 9 for k in range(1, 40)]
+          + [10 ** k for k in range(10)])
+    df = spark.createDataFrame([(n,) for n in ns], "__nfp long")
+    for bits, bands in ((63, 7), (60, 4), (32, 4)):
+        w = bits // bands
+        got = {r["__nfp"]: r["cap"] for r in
+               df.select("__nfp",
+                         _auto_cap_expr("__nfp", w).alias("cap")).collect()}
+        for n in ns:
+            assert got[n] == auto_cap_value(n, bits, bands), (n, bits, bands)
