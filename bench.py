@@ -25,6 +25,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Pre-load above this 1-min average marks a headline draw as
+# noise-suspect: four same-code draws in round 10 spanned 26k-56k msg/s
+# steady purely with ambient load (BENCH_r10 drew at 11.5, r9 at 3.4),
+# making the round-over-round delta unreadable. Draws are stamped with
+# the load they ran at, and the judged min-of-N keeps only qualified
+# draws when any exist.
+HEADLINE_LOAD_GATE = 2.0
+# Bounded pre-bench idle wait: never blocks the round for more than
+# this many seconds even on a permanently busy host.
+IDLE_WAIT_MAX_S = 240
+IDLE_POLL_S = 15
+
+
+def _tree_cpu_seconds() -> float:
+    """CPU seconds (utime+stime) of this process and ALL live
+    descendants — the local-mode JVM and its Python workers included —
+    summed from /proc/<pid>/stat. os.times() can't see the long-lived
+    JVM child (children times accrue only on reap), and the judged
+    headline's real cost lives there. CPU-seconds per message is far
+    less sensitive to ambient host load than wall (round-10 verdict
+    stretch item)."""
+    import glob as _glob
+    tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_ticks)
+    for stat in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                data = fh.read()
+            # comm may contain spaces/parens: fields start after ") "
+            rest = data[data.rindex(")") + 2:].split()
+            # rest[0]=state rest[1]=ppid rest[11]=utime rest[12]=stime
+            procs[int(stat.split("/")[2])] = (
+                int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (OSError, ValueError, IndexError):
+            continue  # process exited mid-scan
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        pid = stack.pop()
+        if pid in procs:
+            total += procs[pid][1]
+            stack.extend(children.get(pid, ()))
+    return total / tick
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from obmp_psql_spark.registry import all_specs
@@ -34,6 +82,15 @@ def main() -> None:
     # shows phantom load (Firecracker hypervisor noise, ±25% wall on
     # identical commits — SURVEY finding #16), and a cold-ingest number
     # recorded under load > 2 is not comparable round-over-round.
+    # Idle gate (round-10 verdict #1): wait — bounded — for the 1-min
+    # average to drop under the gate before ANY timed work starts, so
+    # the judged headline draws start from a quiet host when possible.
+    idle_waited = 0
+    while (os.getloadavg()[0] > HEADLINE_LOAD_GATE
+           and idle_waited < IDLE_WAIT_MAX_S
+           and not os.environ.get("BENCH_NO_IDLE_WAIT")):
+        time.sleep(IDLE_POLL_S)
+        idle_waited += IDLE_POLL_S
     load_before = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark("bench")
@@ -76,9 +133,18 @@ def main() -> None:
     from obmp_psql_spark.operators.cache import release_build_artifacts
 
     timings: dict[str, float] = {}
+    # every headline draw is stamped with the 1-min load it started at
+    # and the CPU-seconds the whole process tree spent on it: draws at
+    # load > HEADLINE_LOAD_GATE are noise-suspect and excluded from
+    # the judged min-of-N when qualified draws exist
+    draws: dict[str, list[dict]] = {n: [] for n in head}
     t_all = time.perf_counter()
     for name in selected:
         spec = specs[name]
+        is_head = name in draws
+        if is_head:
+            load0 = round(os.getloadavg()[0], 2)
+            cpu0 = _tree_cpu_seconds()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -87,6 +153,12 @@ def main() -> None:
         # release is timed as part of the query that created them
         release_build_artifacts()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if is_head:
+            draws[name].append({
+                "wall_s": timings[name],
+                "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+                "load_at_draw": load0,
+            })
     # total = one pass over every query (the cross-round comparison
     # metric); the headline re-runs below are excluded by design
     total = round(time.perf_counter() - t_all, 3)
@@ -100,17 +172,22 @@ def main() -> None:
     # measured. Costs ~15s of bench wall, only for the three gates.
     cold: dict[str, float] = {}
     headline_reruns = 0
+    headline_meta: dict[str, dict] = {}
     if not names:
         from obmp_psql_spark.queries_bmp import _PIPELINE_CACHE
 
-        def cold_run(name: str) -> float:
+        def cold_run(name: str) -> dict:
             _PIPELINE_CACHE.clear()
             release_build_artifacts()
+            load0 = round(os.getloadavg()[0], 2)
+            cpu0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir) \
                 .write.format("noop").mode("overwrite").save()
             release_build_artifacts()
-            return round(time.perf_counter() - t0, 3)
+            return {"wall_s": round(time.perf_counter() - t0, 3),
+                    "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+                    "load_at_draw": load0}
 
         for name in head:
             cold[name] = timings[name]  # first cold build, kept for the JSON
@@ -118,17 +195,29 @@ def main() -> None:
             # is the dominant noise on the judged headline (measured
             # 36.7-48.5k msg/s across idle same-code runs); two extra
             # ~2.5 s cold builds tighten it substantially
-            timings[name] = min(timings[name], cold_run(name),
-                                cold_run(name))
-        # if the host was ALREADY loaded when the bench started, the
-        # judged numbers may carry hypervisor noise — take up to two
-        # more cold passes so min-of-N has a low-noise sample. Gated
-        # on the PRE-bench load: the bench's own work always pushes
-        # the 1-minute average past 2, which is expected, not noise.
-        while load_before[0] > 2 and headline_reruns < 2:
+            draws[name] += [cold_run(name), cold_run(name)]
+        # if any headline draw so far started above the load gate, take
+        # up to two more cold passes per headline so the qualified
+        # sample isn't starved. Per-DRAW gating (round-10 verdict #1):
+        # the bench's own work is CPU inside this process tree, but the
+        # 1-min average it induces still marks the draw — min-of-N over
+        # qualified draws absorbs that conservatively.
+        while (any(all(d["load_at_draw"] > HEADLINE_LOAD_GATE
+                       for d in draws[n]) for n in head)
+               and headline_reruns < 2):
             headline_reruns += 1
             for name in head:
-                timings[name] = min(timings[name], cold_run(name))
+                draws[name].append(cold_run(name))
+        # judged number = min wall over load-qualified draws when any
+        # exist (else min over all, flagged via qualified=False)
+        for name in head:
+            ok = [d for d in draws[name]
+                  if d["load_at_draw"] <= HEADLINE_LOAD_GATE]
+            pool = ok or draws[name]
+            best = min(pool, key=lambda d: d["wall_s"])
+            timings[name] = best["wall_s"]
+            headline_meta[name] = {
+                **best, "qualified": bool(ok), "draws": draws[name]}
 
     import subprocess
     try:
@@ -150,7 +239,13 @@ def main() -> None:
         "load_before": load_before,
         "load_after": [round(x, 2) for x in os.getloadavg()],
         "headline_load_reruns": headline_reruns,
+        "idle_waited_s": idle_waited,
     }
+    # per-headline provenance: the chosen draw's wall/cpu/load plus
+    # every draw taken, so a cross-round delta is readable at a glance
+    # (qualified=False marks a headline that never saw a quiet host)
+    if headline_meta:
+        out["headlines"] = headline_meta
     # methodology is self-documenting: every query in `queries` is a
     # single run EXCEPT the names in min_of_n_queries, whose first
     # (cold-JIT) run is preserved in timings_cold — cross-round
@@ -160,6 +255,13 @@ def main() -> None:
         out["min_of_n_queries"] = head
         out["min_of_n"] = 3 + headline_reruns
         out["timings_cold"] = cold
+        # noise-resistant companion metric: CPU-seconds per message for
+        # the judged draw of each ingest headline (wall inflates with
+        # ambient load; tree CPU barely moves)
+        n_msgs_cpu = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        out["headline_cpu_s_per_kmsg"] = {
+            n: round(1000.0 * headline_meta[n]["cpu_s"] / n_msgs_cpu, 3)
+            for n in head if headline_meta.get(n)}
     # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
     # ip_rib; q_bmp_rib_merge pushes one synthesized message per
     # events-row through the real two-batch merge pipeline
@@ -209,9 +311,17 @@ def main() -> None:
             prev_head = None
         if prev_head != git_head:
             # suffix with the displaced head so a third run at yet
-            # another commit can't silently replace this record
+            # another commit can't silently replace this record; if
+            # that tagged name is ALREADY taken (same head displaced
+            # twice, e.g. A -> B -> A -> C), append a counter instead
+            # of overwriting the earlier archive (round-10 ADVICE)
             tag = (prev_head or "unknown")[:8]
-            os.replace(local_path, f"{local_path}.{tag}.prev")
+            dest = f"{local_path}.{tag}.prev"
+            k = 1
+            while os.path.exists(dest):
+                dest = f"{local_path}.{tag}.{k}.prev"
+                k += 1
+            os.replace(local_path, dest)
     with open(local_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -123,12 +123,41 @@ def minhash_bands(
     ).select("__id", "bb.band", "bb.bucket")
 
 
+# Auto OPTIMIZE cadence threshold: compact an incremental index's band
+# table when its live parquet-file count exceeds this multiple of the
+# session's shuffle partitions. Derived from the measured law (SURVEY
+# finding 32): per-batch wall grows ~18 ms per accumulated append FILE,
+# and compaction at ~100 files (≈3 batches of 32-partition appends)
+# held the streaming decade probe flat at ~1.5x the compacted floor.
+AUTO_OPTIMIZE_FILE_MULT = 3
+
+
+def _maybe_optimize(store, table: str, batch_id: int,
+                    optimize_every: int | str | None) -> None:
+    """Apply the post-commit compaction cadence shared by the
+    incremental indexes. ``optimize_every`` is an int K (compact after
+    every K-th committed batch), ``"auto"`` (compact when the table's
+    live file count exceeds AUTO_OPTIMIZE_FILE_MULT x shuffle
+    partitions — a commit-log + listing check, no data scan), or
+    None/0 (off). Compaction is its own atomic commit AFTER the batch
+    txn, so replay semantics are untouched either way."""
+    if not optimize_every:
+        return
+    if optimize_every == "auto":
+        parts = int(store.spark.conf.get("spark.sql.shuffle.partitions",
+                                         "200"))
+        if store.live_file_count(table) > AUTO_OPTIMIZE_FILE_MULT * parts:
+            store.optimize(table)
+    elif (batch_id + 1) % optimize_every == 0:
+        store.optimize(table)
+
+
 def incremental_minhash_pairs(
     store, new_docs: DataFrame, id_col: str, text_col: str, *,
     batch_id: int, bands_table: str = "doc_bands",
     pairs_table: str = "doc_pairs",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
-    optimize_every: int | None = None,
+    optimize_every: int | str | None = "auto",
 ) -> None:
     """Streaming near-duplicate detection: maintain the MinHash band
     index incrementally as documents arrive.
@@ -150,6 +179,11 @@ def incremental_minhash_pairs(
     (band, bucket); the join is a hash equi-join with AQE skew
     handling; nothing rescans old documents, only their (small) band
     rows. This is the streaming form of ``minhash_lsh_pairs``.
+
+    ``optimize_every``: post-commit compaction cadence for the bands
+    table — default ``"auto"`` compacts when the live file count
+    exceeds AUTO_OPTIMIZE_FILE_MULT x shuffle partitions; see
+    ``incremental_fingerprint_pairs`` for the measured law.
     """
     # one replay-version counter per index: two indexes sharing a store
     # must not skip each other's batches as replays
@@ -193,8 +227,7 @@ def incremental_minhash_pairs(
         # same cadence contract as incremental_fingerprint_pairs
         # (SURVEY finding 32): compaction is its own atomic commit
         # after the batch txn; replay semantics untouched
-        if optimize_every and (batch_id + 1) % optimize_every == 0:
-            store.optimize(bands_table)
+        _maybe_optimize(store, bands_table, batch_id, optimize_every)
     finally:
         nb.unpersist()
 
@@ -205,7 +238,7 @@ def incremental_fingerprint_pairs(
     max_hamming: int = 3, bands_table: str = "img_bands",
     pairs_table: str = "img_pairs",
     max_bucket_size: int | str | None = None,
-    optimize_every: int | None = None,
+    optimize_every: int | str | None = "auto",
 ) -> None:
     """Streaming near-duplicate detection over ANY <=63-bit integer
     fingerprint column (dHash images, SimHash text): maintain the
@@ -232,15 +265,19 @@ def incremental_fingerprint_pairs(
     census (N = full band rows div bands), so the guard tracks index
     growth instead of decaying as the stream runs.
 
-    ``optimize_every=K`` compacts the bands table after every K-th
-    committed batch (SURVEY finding 32: per-batch wall grows ~18 ms
-    per accumulated append FILE — driver listing + task scheduling —
-    not with rows; one compaction of 320 -> 40 files cut the next
-    batch 3.3x). K=3 at 32-partition appends keeps the join scan
-    within ~1.5x of its compacted floor. Compaction is its own
-    atomic commit AFTER the batch txn, so replay semantics are
-    untouched (the replay counter lives in the commit log, not the
-    file layout); a crash between txn and compaction just defers
+    ``optimize_every`` compacts the bands table as its own atomic
+    commit AFTER the batch txn (SURVEY finding 32: per-batch wall
+    grows ~18 ms per accumulated append FILE — driver listing + task
+    scheduling — not with rows; one compaction of 320 -> 40 files cut
+    the next batch 3.3x). The default ``"auto"`` derives the cadence
+    from the measured law: compact when the live band-file count
+    exceeds AUTO_OPTIMIZE_FILE_MULT x shuffle partitions (a
+    commit-log + listing check, no data scan) — equivalent to K≈3 at
+    32-partition appends, which keeps the join scan within ~1.5x of
+    its compacted floor. An int K compacts after every K-th committed
+    batch; None/0 disables. Replay semantics are untouched either way
+    (the replay counter lives in the commit log, not the file
+    layout); a crash between txn and compaction just defers
     compaction to the next eligible batch."""
     app = f"fingerprint_index:{bands_table}:{pairs_table}"
     if store.last_txn_version(app) >= batch_id:
@@ -264,10 +301,18 @@ def incremental_fingerprint_pairs(
         full = old.unionByName(nb)
         join_new, join_full = nb, full
         if max_bucket_size is not None:
+            # Tag batch rows BEFORE the union: the new side of the join
+            # must be exactly this batch's surviving rows. (A left-semi
+            # back on __id would re-admit OLD index rows sharing an id
+            # with a re-delivered id, re-emitting already-committed
+            # pairs — round-10 ADVICE.) The cap itself still applies to
+            # both sides, so over-cap buckets form no pair either way.
+            tagged = (old.withColumn("__new", F.lit(False))
+                      .unionByName(nb.withColumn("__new", F.lit(True))))
             bw = W.partitionBy("band", "bv")
-            counted = full.withColumn("__bn", F.count(F.lit(1)).over(bw))
+            counted = tagged.withColumn("__bn", F.count(F.lit(1)).over(bw))
             if max_bucket_size == "auto":
-                census = full.select(
+                census = tagged.select(
                     F.expr(f"count(1) div {bands}").alias("__nfp"))
                 counted = (counted.join(F.broadcast(census))
                            .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
@@ -275,11 +320,8 @@ def incremental_fingerprint_pairs(
             else:
                 counted = (counted.filter(F.col("__bn") <= max_bucket_size)
                            .drop("__bn"))
-            join_full = counted
-            # the new side must apply the SAME bucket gate or a pair in
-            # an over-cap bucket would still form through its new row
-            join_new = counted.join(
-                nb.select("__id").distinct(), "__id", "left_semi")
+            join_full = counted.drop("__new")
+            join_new = counted.filter(F.col("__new")).drop("__new")
         a, b_ = join_new.alias("a"), join_full.alias("b")
         ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
             .cast("int")
@@ -296,8 +338,7 @@ def incremental_fingerprint_pairs(
         with store.transaction(app, batch_id) as txn:
             txn.append(bands_table, nb)
             txn.append(pairs_table, pairs)
-        if optimize_every and (batch_id + 1) % optimize_every == 0:
-            store.optimize(bands_table)
+        _maybe_optimize(store, bands_table, batch_id, optimize_every)
     finally:
         nb.unpersist()
 

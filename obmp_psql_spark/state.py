@@ -526,6 +526,18 @@ class TxnStateStore:
         out.extend(self._abs(p) for p in tab["appends"])
         return out
 
+    def live_file_count(self, table: str) -> int:
+        """Number of live parquet data files for ``table`` — commit
+        log + directory listing only, no footer reads. The input to
+        the auto OPTIMIZE cadence: per-batch wall on the incremental
+        indexes grows with accumulated FILES (driver listing + task
+        scheduling), not rows (SURVEY finding 32)."""
+        n = 0
+        for root in self.current_paths(table):
+            for _, _, fnames in os.walk(root):
+                n += sum(f.endswith(".parquet") for f in fnames)
+        return n
+
     def table_info(self) -> list[dict]:
         """Operational stats per table — the ``show_table_info`` ops
         report (reference database/5_functions.sql:13-35: per-table

@@ -958,7 +958,7 @@ def test_incremental_fingerprint_optimize_cadence(spark, tmp_path):
     for b in range(4):
         incremental_fingerprint_pairs(
             plain, df.filter(f"img_id % 4 = {b}"), "img_id", "dhash",
-            batch_id=b, **kw)
+            batch_id=b, optimize_every=None, **kw)
     got = {(r.id_a, r.id_b, r.hamming)
            for r in store.read("img_pairs").collect()}
     want = {(r.id_a, r.id_b, r.hamming)
@@ -997,7 +997,7 @@ def test_incremental_minhash_optimize_cadence(spark, tmp_path):
         return store
 
     opt = run(tmp_path / "opt", optimize_every=2)
-    plain = run(tmp_path / "plain")
+    plain = run(tmp_path / "plain", optimize_every=None)
     got = {(r.id_a, r.id_b) for r in opt.read("doc_pairs").collect()}
     want = {(r.id_a, r.id_b) for r in plain.read("doc_pairs").collect()}
     assert got == want and got  # non-empty: clones pair up
@@ -1011,6 +1011,91 @@ def test_incremental_minhash_optimize_cadence(spark, tmp_path):
         opt, df.filter("doc_id % 4 = 1"), "doc_id", "text",
         batch_id=1, num_hashes=8, bands=2, optimize_every=2)
     assert opt.read("doc_pairs").count() == before
+
+
+def test_auto_optimize_cadence_default_on(spark, tmp_path):
+    """optimize_every defaults to 'auto': the bands table self-compacts
+    once its live file count exceeds AUTO_OPTIMIZE_FILE_MULT x shuffle
+    partitions, with pair results identical to the never-compacted run
+    and replay still a no-op (round-10 verdict #4)."""
+    import glob
+
+    from obmp_psql_spark.operators.dedup import (
+        AUTO_OPTIMIZE_FILE_MULT,
+        fingerprint_neardup_pairs,
+        incremental_fingerprint_pairs,
+    )
+    from obmp_psql_spark.state import TxnStateStore
+
+    base = 0x155555555555555
+    fps = [(i, base ^ (i % 3)) for i in range(64)]
+    df = spark.createDataFrame(fps, "img_id long, dhash long")
+    kw = dict(bits=63, bands=7, max_hamming=3)
+
+    def files(root):
+        return len(glob.glob(str(root) + "/**/*.parquet", recursive=True))
+
+    # shrink the threshold so a handful of small batches crosses it
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        auto = TxnStateStore(spark, str(tmp_path / "auto"))
+        never = TxnStateStore(spark, str(tmp_path / "never"))
+        for b in range(8):
+            batch = df.filter(f"img_id % 8 = {b}")
+            incremental_fingerprint_pairs(  # default optimize_every
+                auto, batch, "img_id", "dhash", batch_id=b, **kw)
+            incremental_fingerprint_pairs(
+                never, batch, "img_id", "dhash", batch_id=b,
+                optimize_every=None, **kw)
+        threshold = AUTO_OPTIMIZE_FILE_MULT * 1
+        assert files(tmp_path / "never") > threshold  # cadence engaged
+        # live band files stay bounded near the threshold under auto
+        assert auto.live_file_count("img_bands") <= threshold + 7
+        got = {(r.id_a, r.id_b, r.hamming)
+               for r in auto.read("img_pairs").collect()}
+        want = {(r.id_a, r.id_b, r.hamming)
+                for r in never.read("img_pairs").collect()}
+        exact = {(r.id_a, r.id_b, r.hamming)
+                 for r in fingerprint_neardup_pairs(
+                     df, "img_id", "dhash", **kw).collect()}
+        assert got == want == exact
+        # replay after an auto-compaction: still a no-op
+        before = auto.read("img_pairs").count()
+        incremental_fingerprint_pairs(
+            auto, df.filter("img_id % 8 = 3"), "img_id", "dhash",
+            batch_id=3, **kw)
+        assert auto.read("img_pairs").count() == before
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_incremental_capped_redelivered_id_no_reemit(spark, tmp_path):
+    """Capped incremental path: an id re-delivered under a NEW batch_id
+    with a changed, unrelated fingerprint must NOT re-emit the pairs its
+    OLD index rows already committed (round-10 ADVICE: the former
+    left-semi on __id re-admitted old band rows sharing an id with the
+    batch; the new side must be exactly this batch's rows)."""
+    from obmp_psql_spark.operators.dedup import incremental_fingerprint_pairs
+    from obmp_psql_spark.state import TxnStateStore
+
+    base = 0x2AAAAAAAAAAAAAA
+    b0 = spark.createDataFrame(
+        [(0, base), (1, base ^ 1)], "img_id long, dhash long")
+    store = TxnStateStore(spark, str(tmp_path / "redeliver"))
+    kw = dict(bits=63, bands=7, max_hamming=3, max_bucket_size=64)
+    incremental_fingerprint_pairs(store, b0, "img_id", "dhash",
+                                  batch_id=0, **kw)
+    first = [(r.id_a, r.id_b) for r in store.read("img_pairs").collect()]
+    assert first == [(0, 1)]
+    # id 0 arrives again in batch 1 with a fingerprint far from all
+    # existing ones: no new true pair exists, so nothing may be appended
+    far = base ^ ((1 << 62) - 1)
+    b1 = spark.createDataFrame([(0, far)], "img_id long, dhash long")
+    incremental_fingerprint_pairs(store, b1, "img_id", "dhash",
+                                  batch_id=1, **kw)
+    again = [(r.id_a, r.id_b) for r in store.read("img_pairs").collect()]
+    assert again == [(0, 1)]  # old (0,1) not re-emitted as a duplicate
 
 
 def test_auto_cap_expr_matches_python_twin(spark):
