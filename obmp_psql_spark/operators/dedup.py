@@ -825,3 +825,111 @@ def frameset_neardup_pairs(
     return (hits.groupBy("id_a", "id_b")
             .agg(F.min("hamming").cast("int").alias("min_hamming"),
                  F.count(F.lit(1)).alias("n_hit_frames")))
+
+
+def incremental_frameset_pairs(
+    store, new_fp: DataFrame, set_col: str, frame_col: str, fp_col: str, *,
+    batch_id: int, bits: int = 63, bands: int = 7,
+    max_hamming: int = 3, bands_table: str = "vid_bands",
+    pairs_table: str = "vid_pairs",
+    max_bucket_size: int | str | None = None,
+    optimize_every: int | str | None = "auto",
+) -> None:
+    """Streaming video near-duplicate detection: maintain the
+    per-frame dHash band index incrementally as videos arrive — the
+    frameset member of the incremental-index family
+    (``incremental_minhash_pairs`` for documents,
+    ``incremental_fingerprint_pairs`` for flat fingerprints), same
+    store/replay contract.
+
+    Assumes each VIDEO arrives whole within one micro-batch (its
+    frames are never split across batches — the unit of delivery is
+    the video, as with documents/images). Under that contract every
+    true video pair's hit-frame set forms entirely in the younger
+    member's batch (the older video's frames are all in the index,
+    the younger's all in this batch), so the per-batch
+    (min_hamming, n_hit_frames) aggregate is COMPLETE for each
+    emitted pair and the accumulated pairs table equals the
+    batch-built ``frameset_neardup_pairs`` output with no cross-batch
+    merge.
+
+    Per micro-batch: band only the new frames (O(batch)), equi-join
+    against the persisted index UNION themselves, Hamming-verify
+    frame pairs, aggregate per video pair, commit bands + pairs in
+    one txn keyed by ``batch_id`` (replay is a no-op).
+    ``max_bucket_size`` / ``optimize_every`` behave exactly as on
+    ``incremental_fingerprint_pairs`` (auto cap census = FRAME
+    fingerprints in the full index; auto compaction from the live
+    file count)."""
+    app = f"frameset_index:{bands_table}:{pairs_table}"
+    if store.last_txn_version(app) >= batch_id:
+        return  # replayed batch: skip before doing any banding work
+    w = bits // bands
+    mask = (1 << w) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(fp_col), b * w)
+             .bitwiseAND(F.lit(mask)).alias("bv"))
+        for b in range(bands)])
+    nb = (new_fp.select(F.col(set_col).alias("__sid"),
+                        F.col(frame_col).alias("__f"),
+                        F.col(fp_col).alias("__fp"),
+                        F.explode(band_structs).alias("bb"))
+          .select("__sid", "__f", "__fp",
+                  F.col("bb.band").alias("band"),
+                  F.col("bb.bv").alias("bv"))
+          .persist())
+    try:
+        old = store.read(bands_table, nb.schema)
+        full = old.unionByName(nb)
+        join_new, join_full = nb, full
+        if max_bucket_size is not None:
+            # batch rows tagged BEFORE the union, as in the flat
+            # incremental operator: the new side is exactly this
+            # batch's surviving rows
+            tagged = (old.withColumn("__new", F.lit(False))
+                      .unionByName(nb.withColumn("__new", F.lit(True))))
+            bw = W.partitionBy("band", "bv")
+            counted = tagged.withColumn("__bn", F.count(F.lit(1)).over(bw))
+            if max_bucket_size == "auto":
+                census = tagged.select(
+                    F.expr(f"count(1) div {bands}").alias("__nfp"))
+                counted = (counted.join(F.broadcast(census))
+                           .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
+                           .drop("__bn", "__nfp"))
+            else:
+                counted = (counted.filter(F.col("__bn") <= max_bucket_size)
+                           .drop("__bn"))
+            join_full = counted.drop("__new")
+            join_new = counted.filter(F.col("__new")).drop("__new")
+        a, b_ = join_new.alias("a"), join_full.alias("b")
+        ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
+            .cast("int")
+        lt = F.col("a.__sid") < F.col("b.__sid")
+        hits = (
+            a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.__sid") != F.col("b.__sid")))
+            .select(F.least("a.__sid", "b.__sid").alias("id_a"),
+                    F.greatest("a.__sid", "b.__sid").alias("id_b"),
+                    # frame indices follow the id orientation so a
+                    # new-new pair seen from both sides normalizes to
+                    # the same (fa, fb) row for the dedup
+                    F.when(lt, F.col("a.__f")).otherwise(F.col("b.__f"))
+                     .alias("__fa"),
+                    F.when(lt, F.col("b.__f")).otherwise(F.col("a.__f"))
+                     .alias("__fb"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b", "__fa", "__fb"])
+        )
+        pairs = (hits.groupBy("id_a", "id_b")
+                 .agg(F.min("hamming").cast("int").alias("min_hamming"),
+                      F.count(F.lit(1)).alias("n_hit_frames")))
+        with store.transaction(app, batch_id) as txn:
+            txn.append(bands_table, nb)
+            txn.append(pairs_table, pairs)
+        _maybe_optimize(store, bands_table, batch_id, optimize_every)
+    finally:
+        nb.unpersist()

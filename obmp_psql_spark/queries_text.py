@@ -4077,7 +4077,10 @@ def _video_neardup_oracle(sf_dir: str) -> str:
     across videos, Hamming-verify frame pairs, and aggregate to
     per-video-pair (min frame distance, matching-frame count) — the
     exact algebra of ``frameset_neardup_pairs``."""
-    aux = _aux("q_video_neardup", _sf_tag(sf_dir))
+    return _frameset_oracle_sql(_aux("q_video_neardup", _sf_tag(sf_dir)))
+
+
+def _frameset_oracle_sql(aux: str) -> str:
     return f"""
     WITH fp AS (
       SELECT CAST(vid_id AS BIGINT) AS vid_id,
@@ -4185,3 +4188,71 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=60, bands=4, max_hamming=3) \
         .select("id_a", "id_b", "min_hamming",
                 F.col("n_hit_frames").cast("long").alias("n_hit_frames"))
+
+
+def _stream_video_oracle(sf_dir: str) -> str:
+    """Batch-built frameset ground truth from the streaming query's
+    own frame-fingerprint dump: by the videos-arrive-whole contract
+    this equals what the incremental frameset index must have
+    accumulated after all batches — including each pair's COMPLETE
+    (min_hamming, n_hit_frames) aggregate, which forms entirely in
+    the younger member's batch. A replayed batch would double pairs
+    and hash-mismatch, so exactly-once is part of what the gate
+    pins."""
+    return _frameset_oracle_sql(_aux("q_stream_video_dedup",
+                                     _sf_tag(sf_dir)))
+
+
+@register(
+    "q_stream_video_dedup",
+    oracle=_stream_video_oracle,
+    survey_ref="training-data multimodal dedup x streaming: incremental "
+               "per-frame dHash band index through the transactional "
+               "store — completes the streaming dedup matrix "
+               "(documents/images/audio fingerprints are flat; video is "
+               "the frameset member, join unit = frame pairs); "
+               "exactly-once via batch txn actions",
+    doc="videos arrive whole in two micro-batches; each batch bands "
+        "only its own frames (O(batch)), joins them against the "
+        "persisted frame index union themselves, hamming-verifies "
+        "frame pairs, aggregates per video pair, and commits "
+        "bands+pairs atomically (a replayed batch is a no-op); the "
+        "accumulated pairs table must equal the batch-built uncapped "
+        "frameset set derived by both engines from the dump",
+)
+def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_frameset_pairs
+    from .queries_bmp import _cached_pipeline
+
+    def build():
+        import tempfile
+
+        from .state import TxnStateStore
+
+        fp = _video_fingerprints(spark, sf_dir)
+        aux = _aux("q_stream_video_dedup", _sf_tag(sf_dir))
+        publish_aux(fp.select("vid_id", "frame_index", "dhash"), aux)
+        fpd = spark.read.parquet(aux)
+        store = TxnStateStore(spark, tempfile.mkdtemp(prefix="vididx_"))
+        # split at VIDEO granularity: frames ride with their video
+        b1 = fpd.filter(F.col("vid_id") % 2 == 0)
+        b2 = fpd.filter(F.col("vid_id") % 2 == 1)
+        # gate runs uncapped at minimum pigeonhole banding (finding
+        # 34) = lossless exact parity with the batch operator; the
+        # int cadence exercises a mid-stream compaction commit
+        kw = dict(bits=60, bands=4, max_hamming=3, optimize_every=2)
+        incremental_frameset_pairs(
+            store, b1, "vid_id", "frame_index", "dhash",
+            batch_id=0, **kw)
+        incremental_frameset_pairs(
+            store, b2, "vid_id", "frame_index", "dhash",
+            batch_id=1, **kw)
+        incremental_frameset_pairs(
+            store, b1, "vid_id", "frame_index", "dhash",
+            batch_id=0, **kw)  # replay: no-op
+        return (store.read("vid_pairs"),)
+
+    (pairs,) = _cached_pipeline("vididx", spark, sf_dir, build)
+    return pairs.select(
+        "id_a", "id_b", "min_hamming",
+        F.col("n_hit_frames").cast("long").alias("n_hit_frames"))

@@ -927,6 +927,57 @@ def test_frameset_auto_cap_equivalence(spark):
     assert any(p[:2] == (100, 101) for p in auto)  # planted pair kept
 
 
+def test_incremental_frameset_pairs_matches_batch(spark, tmp_path):
+    """Streaming frameset index: with videos arriving whole per batch,
+    the accumulated pairs table equals the batch-built
+    frameset_neardup_pairs output — including each pair's complete
+    (min_hamming, n_hit_frames) aggregate — replay is a no-op, and the
+    auto-capped path accumulates a subset of the exact set."""
+    from obmp_psql_spark.operators.dedup import (
+        frameset_neardup_pairs,
+        incremental_frameset_pairs,
+    )
+    from obmp_psql_spark.state import TxnStateStore
+
+    base = 0x4CCCCCCCCCCCCCC
+    rows = []
+    for v in range(12):  # clusters of 3 near-identical videos
+        for f in range(3):
+            rows.append((v, f, (base ^ (0x1F << (9 * (v % 3) + 9))) ^ (v // 3)))
+    # one planted cross-batch pair with two hit frames
+    rows += [(100, 0, base ^ (0x2A << 36)), (100, 1, base ^ (0x15 << 45)),
+             (101, 0, (base ^ (0x2A << 36)) ^ 1), (101, 1, base ^ (0x15 << 45))]
+    df = spark.createDataFrame(rows, "vid_id long, frame_index int, dhash long")
+    kw = dict(bits=60, bands=4, max_hamming=3)
+    want = {(r.id_a, r.id_b, r.min_hamming, r.n_hit_frames)
+            for r in frameset_neardup_pairs(
+                df, "vid_id", "frame_index", "dhash", **kw).collect()}
+    assert any(p[:2] == (100, 101) and p[3] == 2 for p in want)
+
+    store = TxnStateStore(spark, str(tmp_path / "vididx"))
+    for b in range(2):  # video-granularity split: 100 and 101 straddle
+        incremental_frameset_pairs(
+            store, df.filter(f"vid_id % 2 = {b}"), "vid_id",
+            "frame_index", "dhash", batch_id=b, **kw)
+    got = {(r.id_a, r.id_b, r.min_hamming, r.n_hit_frames)
+           for r in store.read("vid_pairs").collect()}
+    assert got == want
+    # replay: no-op
+    incremental_frameset_pairs(
+        store, df.filter("vid_id % 2 = 0"), "vid_id",
+        "frame_index", "dhash", batch_id=0, **kw)
+    assert store.read("vid_pairs").count() == len(want)
+    # capped incremental path: subset of the exact pair set
+    capped = TxnStateStore(spark, str(tmp_path / "vididx_cap"))
+    for b in range(2):
+        incremental_frameset_pairs(
+            capped, df.filter(f"vid_id % 2 = {b}"), "vid_id",
+            "frame_index", "dhash", batch_id=b,
+            max_bucket_size="auto", **kw)
+    got_cap = {(r.id_a, r.id_b) for r in capped.read("vid_pairs").collect()}
+    assert got_cap <= {p[:2] for p in want}
+
+
 def test_incremental_fingerprint_optimize_cadence(spark, tmp_path):
     """optimize_every compacts the bands table after every K-th batch
     as its own commit: pair results identical to the uncompacted run,

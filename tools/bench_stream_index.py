@@ -69,10 +69,14 @@ def main() -> None:
     results: dict = {
         "load_before": [round(x, 2) for x in os.getloadavg()],
         "n_fp": n, "nbatch": nbatch, "batches": []}
+    # baseline pass: compaction explicitly OFF — the uncompacted
+    # append pile-up this probe exists to measure (optimize_every
+    # defaults to "auto" since round 11, so off needs asking for)
     for b, part in enumerate(batches):
         t0 = time.time()
         incremental_fingerprint_pairs(store, part, "img_id", "dhash",
-                                      batch_id=b, **kw)
+                                      batch_id=b, optimize_every=None,
+                                      **kw)
         wall = time.time() - t0
         nfiles, nbytes = _dir_stats(root, "img_bands")
         results["batches"].append({
@@ -91,7 +95,8 @@ def main() -> None:
     nfiles, nbytes = _dir_stats(root, "img_bands")
     t0 = time.time()
     incremental_fingerprint_pairs(store, batches[-1], "img_id", "dhash",
-                                  batch_id=nbatch, **kw)
+                                  batch_id=nbatch, optimize_every=None,
+                                  **kw)
     post_wall = time.time() - t0
     results["optimize"] = {
         "optimize_wall_s": round(opt_wall, 2),
@@ -117,6 +122,25 @@ def main() -> None:
         "bands_files_final": nfiles2,
         "pairs_equal": store2.read("img_pairs").count() == pairs_10}
     print(results["cadenced"], flush=True)
+
+    # third pass: the round-11 DEFAULT ("auto" — compact when live
+    # band files exceed 3x shuffle partitions). The plain call with no
+    # cadence argument should now self-compact: walls near the
+    # cadenced floor, file count bounded, identical pairs.
+    root3 = tempfile.mkdtemp(prefix="streamidx_auto_")
+    store3 = TxnStateStore(spark, root3)
+    auto_walls = []
+    for b, part in enumerate(batches):
+        t0 = time.time()
+        incremental_fingerprint_pairs(store3, part, "img_id", "dhash",
+                                      batch_id=b, **kw)
+        auto_walls.append(round(time.time() - t0, 2))
+    nfiles3, _ = _dir_stats(root3, "img_bands")
+    results["auto_default"] = {
+        "walls_s": auto_walls,
+        "bands_files_final": nfiles3,
+        "pairs_equal": store3.read("img_pairs").count() == pairs_10}
+    print(results["auto_default"], flush=True)
 
     for part in batches:
         part.unpersist()
