@@ -278,26 +278,42 @@ def cosine_topk_arrow(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
-    """Lloyd iterations for the IVF codebook: assign each vector to
-    its nearest centroid (broadcast crossJoin + top-1 window),
-    recompute centroids as the element-wise mean (posexplode ->
-    (cid, pos) avg -> re-assemble). The codebook is k ≪ N rows, so it
-    lives driver-side between rounds (one bounded k-row collect per
-    iteration) — the standard Lloyd-on-Spark shape; the data side
-    never leaves the cluster and no lineage checkpointing is needed.
-    Centroids that lose all members drop out (standard Lloyd
-    behavior — fewer, better-placed lists)."""
+def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int,
+                   arrow_threshold: int = 64) -> DataFrame:
+    """Lloyd iterations for the IVF codebook. The codebook is k ≪ N
+    rows, so it lives driver-side between rounds (one bounded k-row
+    collect per iteration) — the standard Lloyd-on-Spark shape; the
+    data side never leaves the cluster and no lineage checkpointing
+    is needed. Centroids that lose all members drop out (standard
+    Lloyd behavior — fewer, better-placed lists).
+
+    The assignment step is size-gated on the codebook, the same
+    policy as ``kmeans_assign``/``ivf_topk`` scoring: at k <=
+    ``arrow_threshold`` a broadcast crossJoin + top-1 window (cheap,
+    Python-free, bit-exact vs SQL oracles); above it the Arrow BLAS
+    argmax with the codebook in the closure. The expression plan
+    materializes an N x k scored intermediate AND shuffles it for the
+    window — at 2M vectors x 1414 centroids that is 2.8e9 rows
+    through an exchange, which is where the round-11 2M IVF probe
+    originally died; the BLAS form is one X @ C.T matmul per Arrow
+    batch with no N x k rows ever existing JVM-side."""
     spark = base.sparkSession
     for _ in range(iters):
-        scored = base.crossJoin(F.broadcast(cents)).select(
-            "__id", "__v", "__cid",
-            (dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")))
-            .alias("__csim"))
-        wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
-                                           F.col("__cid").asc())
-        top1 = (scored.withColumn("__cr", F.row_number().over(wc))
-                .filter(F.col("__cr") == 1).select("__cid", "__v"))
+        k = cents.count()
+        if k <= arrow_threshold:
+            scored = base.crossJoin(F.broadcast(cents)).select(
+                "__id", "__v", "__cid",
+                (dot(F.col("__v"), F.col("__cv"))
+                 / (F.col("__n") * F.col("__cn"))).alias("__csim"))
+            wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
+                                               F.col("__cid").asc())
+            top1 = (scored.withColumn("__cr", F.row_number().over(wc))
+                    .filter(F.col("__cr") == 1).select("__cid", "__v"))
+        else:
+            cent_rows = sorted(
+                (r["__cid"], r["__cv"]) for r in cents.collect())
+            best = _nearest_centroid_udf(cent_rows)
+            top1 = base.select(best(F.col("__v")).alias("__cid"), "__v")
         means = (
             top1.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
             .groupBy("__cid", "__pos").agg(F.avg("__val").alias("__m"))
@@ -352,7 +368,7 @@ def ivf_topk(
         F.col("__n").alias("__cn"))
     if train_iters > 0:
         base = owned_persist(base)
-        seed = _kmeans_refine(base, seed, train_iters)
+        seed = _kmeans_refine(base, seed, train_iters, arrow_threshold)
     cents = F.broadcast(seed)
 
     # nprobe nearest centroids per vector. The assignment table is

@@ -129,3 +129,25 @@ def test_lsh_topk_auto_cap_equivalence(spark):
     cand = lsh_topk(df, max_bucket_size="auto", **kw) \
         .groupBy("query_id").agg(F.count(F.lit(1)).alias("c"))
     assert cand.agg(F.max("c")).collect()[0][0] <= 3  # k bound holds
+
+
+def test_ivf_refine_arrow_expression_parity(spark):
+    """_kmeans_refine's size-gated assignment (round 11): the Arrow
+    BLAS argmax path (codebook above arrow_threshold) and the
+    broadcast-crossJoin expression path walk the same Lloyd
+    trajectory on well-separated data, so ivf_topk returns the same
+    neighbor sets either way (ties up to float ulps aside)."""
+    from obmp_psql_spark.operators.cache import build_artifacts
+    from obmp_psql_spark.operators.similarity import ivf_topk
+
+    v = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet") \
+        .select("vec_id", "embedding").limit(120)
+    kw = dict(n_centroids=8, nprobe=2, k=3, train_iters=2, max_queries=30)
+    with build_artifacts():
+        expr = {(r.query_id, r.neighbor_id) for r in
+                ivf_topk(v, arrow_threshold=1000, **kw).collect()}
+    with build_artifacts():
+        arrow = {(r.query_id, r.neighbor_id) for r in
+                 ivf_topk(v, arrow_threshold=0, **kw).collect()}
+    agree = len(expr & arrow) / max(len(expr), 1)
+    assert agree >= 0.98, f"paths agree on only {agree:.1%}"
