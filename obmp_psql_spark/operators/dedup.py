@@ -301,27 +301,22 @@ def incremental_fingerprint_pairs(
         full = old.unionByName(nb)
         join_new, join_full = nb, full
         if max_bucket_size is not None:
-            # Tag batch rows BEFORE the union: the new side of the join
-            # must be exactly this batch's surviving rows. (A left-semi
-            # back on __id would re-admit OLD index rows sharing an id
-            # with a re-delivered id, re-emitting already-committed
-            # pairs — round-10 ADVICE.) The cap itself still applies to
-            # both sides, so over-cap buckets form no pair either way.
-            tagged = (old.withColumn("__new", F.lit(False))
-                      .unionByName(nb.withColumn("__new", F.lit(True))))
-            bw = W.partitionBy("band", "bv")
-            counted = tagged.withColumn("__bn", F.count(F.lit(1)).over(bw))
-            if max_bucket_size == "auto":
-                census = tagged.select(
-                    F.expr(f"count(1) div {bands}").alias("__nfp"))
-                counted = (counted.join(F.broadcast(census))
-                           .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
-                           .drop("__bn", "__nfp"))
-            else:
-                counted = (counted.filter(F.col("__bn") <= max_bucket_size)
-                           .drop("__bn"))
-            join_full = counted.drop("__new")
-            join_new = counted.filter(F.col("__new")).drop("__new")
+            # The cap applies to both sides, measured over the FULL
+            # index (old + this batch), so over-cap buckets form no
+            # pair through either side; the new side of the join stays
+            # exactly this batch's surviving rows (a left-semi back on
+            # __id would re-admit OLD index rows sharing an id with a
+            # re-delivered id and re-emit committed pairs — round-10
+            # ADVICE). Gate = map-side groupBy counts -> broadcast
+            # anti-join; neither side shuffles (_overcap_bucket_keys).
+            census = full.select(
+                F.expr(f"count(1) div {bands}").alias("__nfp")) \
+                if max_bucket_size == "auto" else None
+            overcap = _overcap_bucket_keys(full, max_bucket_size, w, census)
+            join_full = full.join(F.broadcast(overcap), ["band", "bv"],
+                                  "left_anti")
+            join_new = nb.join(F.broadcast(overcap), ["band", "bv"],
+                               "left_anti")
         a, b_ = join_new.alias("a"), join_full.alias("b")
         ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
             .cast("int")
@@ -696,6 +691,36 @@ def auto_cap_value(n: int, bits: int, bands: int) -> int:
                -(-(n * AUTO_CAP_MULT) // (1 << w)))
 
 
+def _overcap_bucket_keys(bands_df: DataFrame, max_bucket_size, w: int,
+                         census: DataFrame | None) -> DataFrame:
+    """(band, bv) keys whose occupancy exceeds the cap — the broadcast
+    anti-join side of the skew gate.
+
+    Plan shape (round 11): the former count-over-window put the WHOLE
+    band table through a WindowExec — a full-row Exchange + sort on
+    (band, bv) every invocation. A groupBy count is map-side
+    combinable (shuffle volume = distinct buckets, never N band rows)
+    and the over-cap key list is then broadcast into a left_anti join
+    against the band table, which stays un-shuffled. Output row bound:
+    under the auto cap, #over-cap buckets <= bands x 2^w regardless of
+    N (occupancy > 4x expected can hold at most 2^w/4 buckets per
+    band); under an explicit int cap it is <= N/cap — the caller owns
+    that cap, and at gate scales it is trivially broadcastable.
+
+    ``census``: 1-row DataFrame carrying ``__nfp`` for the auto law
+    (broadcast-joined so the cap expression stays in-plan, exact
+    integer, bit-identical to the DuckDB oracles); None for int caps.
+    """
+    counts = bands_df.groupBy("band", "bv").agg(
+        F.count(F.lit(1)).alias("__bn"))
+    if max_bucket_size == "auto":
+        counts = counts.join(F.broadcast(census))
+        return counts.filter(F.col("__bn") > _auto_cap_expr("__nfp", w)) \
+                     .select("band", "bv")
+    return counts.filter(F.col("__bn") > int(max_bucket_size)) \
+                 .select("band", "bv")
+
+
 def fingerprint_neardup_pairs(
     fp: DataFrame, id_col: str, fp_col: str,
     bits: int = 32, bands: int = 4, max_hamming: int = 3,
@@ -726,9 +751,15 @@ def fingerprint_neardup_pairs(
                 .select(F.col(id_col), fp_col,
                         F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     if max_bucket_size is not None:
-        # bucket-size gate before the self-join: one count-over-window
-        # on the join key (no ordering => no sort, map-side partial
-        # count), then the oversized buckets never reach the join
+        # bucket-size gate before the self-join, deliberately a
+        # count-over-window on the join key: the window's Exchange
+        # hashpartitioning(band, bv) is the SAME partitioning the
+        # self-join needs, so Catalyst reuses it (ReusedExchange) for
+        # both join sides and the window costs no extra shuffle. The
+        # groupBy-counts + broadcast-anti-join form used by the
+        # incremental operators is WORSE here: it removes the reuse
+        # and the symmetric join then shuffles both sides itself
+        # (measured on the sf1 frameset probe: 3.1 s -> 5.1 s).
         bw = W.partitionBy("band", "bv")
         bandsdf = bandsdf.withColumn("__bn", F.count(F.lit(1)).over(bw))
         if max_bucket_size == "auto":
@@ -795,6 +826,11 @@ def frameset_neardup_pairs(
                         F.col("bb.band").alias("band"),
                         F.col("bb.bv").alias("bv"))
     if max_bucket_size is not None:
+        # count-over-window on the join key, NOT the groupBy +
+        # broadcast-anti-join form: the window's (band, bv) Exchange
+        # is reused by both sides of the symmetric self-join below
+        # (see fingerprint_neardup_pairs — measured 3.1 s -> 5.1 s
+        # regression when this site used the anti-join form)
         bw = W.partitionBy("band", "bv")
         bandsdf = bandsdf.withColumn("__bn", F.count(F.lit(1)).over(bw))
         if max_bucket_size == "auto":
@@ -885,24 +921,17 @@ def incremental_frameset_pairs(
         full = old.unionByName(nb)
         join_new, join_full = nb, full
         if max_bucket_size is not None:
-            # batch rows tagged BEFORE the union, as in the flat
-            # incremental operator: the new side is exactly this
-            # batch's surviving rows
-            tagged = (old.withColumn("__new", F.lit(False))
-                      .unionByName(nb.withColumn("__new", F.lit(True))))
-            bw = W.partitionBy("band", "bv")
-            counted = tagged.withColumn("__bn", F.count(F.lit(1)).over(bw))
-            if max_bucket_size == "auto":
-                census = tagged.select(
-                    F.expr(f"count(1) div {bands}").alias("__nfp"))
-                counted = (counted.join(F.broadcast(census))
-                           .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
-                           .drop("__bn", "__nfp"))
-            else:
-                counted = (counted.filter(F.col("__bn") <= max_bucket_size)
-                           .drop("__bn"))
-            join_full = counted.drop("__new")
-            join_new = counted.filter(F.col("__new")).drop("__new")
+            # same gate as the flat incremental operator: over-cap keys
+            # from the FULL index, broadcast-anti-joined against each
+            # side — the new side stays exactly this batch's rows
+            census = full.select(
+                F.expr(f"count(1) div {bands}").alias("__nfp")) \
+                if max_bucket_size == "auto" else None
+            overcap = _overcap_bucket_keys(full, max_bucket_size, w, census)
+            join_full = full.join(F.broadcast(overcap), ["band", "bv"],
+                                  "left_anti")
+            join_new = nb.join(F.broadcast(overcap), ["band", "bv"],
+                               "left_anti")
         a, b_ = join_new.alias("a"), join_full.alias("b")
         ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
             .cast("int")

@@ -136,8 +136,15 @@ def lsh_topk(
     # n_planes interpreted dot products don't evaluate twice per row
     # (caller releases via cache.build_artifacts)
     if max_bucket_size is not None:
-        bw = W.partitionBy("__bucket")
-        base = base.withColumn("__bn", F.count(F.lit(1)).over(bw))
+        # per-bucket occupancy via a map-side-combinable groupBy count
+        # broadcast back onto the rows — sign buckets saturate at the
+        # data's cluster count, so the counts table is tiny, and the
+        # base table itself never shuffles for the gate (the former
+        # count-over-window pushed all N rows through a WindowExec
+        # Exchange + sort — round 11)
+        counts = base.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("__bn"))
+        base = base.join(F.broadcast(counts), "__bucket")
         if max_bucket_size == "auto":
             census = df.select(F.count(F.lit(1)).alias("__ncen"))
             base = base.join(F.broadcast(census))
