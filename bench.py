@@ -77,8 +77,13 @@ def _tree_cpu_seconds() -> float:
             # comm may contain spaces/parens: fields start after ") "
             rest = data[data.rindex(")") + 2:].split()
             # rest[0]=state rest[1]=ppid rest[11]=utime rest[12]=stime
+            # rest[13]=cutime rest[14]=cstime — the reaped-children
+            # counters keep a descendant's CPU visible after it exits
+            # (Python/Arrow workers the JVM reaps between two samples
+            # would otherwise make the delta undercount or go negative)
             procs[int(stat.split("/")[2])] = (
-                int(rest[1]), int(rest[11]) + int(rest[12]))
+                int(rest[1]), int(rest[11]) + int(rest[12])
+                + int(rest[13]) + int(rest[14]))
         except (OSError, ValueError, IndexError):
             continue  # process exited mid-scan
     children: dict[int, list[int]] = {}
@@ -272,6 +277,8 @@ def main() -> None:
     # (cold-JIT) run is preserved in timings_cold — cross-round
     # comparisons can use either series apples-to-apples. min_of_n
     # records the ACTUAL pass count (3 base + 1 per load-gated rerun).
+    n_msgs = spark.read.parquet(f"{sf_dir}/events.parquet").count() \
+        if (cold or "q_bmp_rib_merge" in timings) else 0
     if cold:
         out["min_of_n_queries"] = head
         out["min_of_n"] = 3 + headline_reruns
@@ -279,15 +286,13 @@ def main() -> None:
         # noise-resistant companion metric: CPU-seconds per message for
         # the judged draw of each ingest headline (wall inflates with
         # ambient load; tree CPU barely moves)
-        n_msgs_cpu = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         out["headline_cpu_s_per_kmsg"] = {
-            n: round(1000.0 * headline_meta[n]["cpu_s"] / n_msgs_cpu, 3)
+            n: round(1000.0 * headline_meta[n]["cpu_s"] / n_msgs, 3)
             for n in head if headline_meta.get(n)}
     # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
     # ip_rib; q_bmp_rib_merge pushes one synthesized message per
     # events-row through the real two-batch merge pipeline
     if "q_bmp_rib_merge" in timings and timings["q_bmp_rib_merge"] > 0:
-        n_msgs = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         out["ingest_rate_msgs_per_sec"] = round(
             n_msgs / timings["q_bmp_rib_merge"])
         # durable variant: same messages through the transactional

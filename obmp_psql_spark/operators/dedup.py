@@ -148,8 +148,22 @@ def _maybe_optimize(store, table: str, batch_id: int,
                                          "200"))
         if store.live_file_count(table) > AUTO_OPTIMIZE_FILE_MULT * parts:
             store.optimize(table)
-    elif (batch_id + 1) % optimize_every == 0:
+    elif (batch_id + 1) % int(optimize_every) == 0:
         store.optimize(table)
+
+
+def _validate_cadence(optimize_every) -> None:
+    """Reject a malformed cadence BEFORE any batch work: this runs
+    post-commit inside _maybe_optimize, where a TypeError would abort
+    the micro-batch after its txn already committed."""
+    if optimize_every in (None, "auto") or optimize_every == 0:
+        return
+    try:
+        int(optimize_every)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"optimize_every must be an int, 'auto', or None; "
+            f"got {optimize_every!r}") from None
 
 
 def incremental_minhash_pairs(
@@ -187,6 +201,7 @@ def incremental_minhash_pairs(
     """
     # one replay-version counter per index: two indexes sharing a store
     # must not skip each other's batches as replays
+    _validate_cadence(optimize_every)
     app = f"minhash_index:{bands_table}:{pairs_table}"
     last = store.last_txn_version(app)
     if last < 0 and (bands_table, pairs_table) == ("doc_bands", "doc_pairs"):
@@ -279,6 +294,7 @@ def incremental_fingerprint_pairs(
     (the replay counter lives in the commit log, not the file
     layout); a crash between txn and compaction just defers
     compaction to the next eligible batch."""
+    _validate_cadence(optimize_every)
     app = f"fingerprint_index:{bands_table}:{pairs_table}"
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work
@@ -897,6 +913,7 @@ def incremental_frameset_pairs(
     ``incremental_fingerprint_pairs`` (auto cap census = FRAME
     fingerprints in the full index; auto compaction from the live
     file count)."""
+    _validate_cadence(optimize_every)
     app = f"frameset_index:{bands_table}:{pairs_table}"
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work

@@ -306,8 +306,10 @@ def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int,
     batch with no N x k rows ever existing JVM-side."""
     spark = base.sparkSession
     for _ in range(iters):
-        k = cents.count()
-        if k <= arrow_threshold:
+        # one k-row collect serves both the size gate and the Arrow
+        # codebook (a separate count() would run the seed scan twice)
+        cent_rows = cents.collect()
+        if len(cent_rows) <= arrow_threshold:
             scored = base.crossJoin(F.broadcast(cents)).select(
                 "__id", "__v", "__cid",
                 (dot(F.col("__v"), F.col("__cv"))
@@ -317,9 +319,8 @@ def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int,
             top1 = (scored.withColumn("__cr", F.row_number().over(wc))
                     .filter(F.col("__cr") == 1).select("__cid", "__v"))
         else:
-            cent_rows = sorted(
-                (r["__cid"], r["__cv"]) for r in cents.collect())
-            best = _nearest_centroid_udf(cent_rows)
+            best = _nearest_centroid_udf(sorted(
+                (r["__cid"], r["__cv"]) for r in cent_rows))
             top1 = base.select(best(F.col("__v")).alias("__cid"), "__v")
         means = (
             top1.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
