@@ -1703,16 +1703,30 @@ reach(id, lab) AS (
 comp AS (
   SELECT id, min(lab) AS component FROM reach GROUP BY id
 ),
-gs AS (
-  SELECT component, count(*) AS group_size FROM comp GROUP BY component
-)
+mem AS (
+  SELECT comp.id AS doc_id, comp.component, length(c.text) AS n_chars
+  FROM comp JOIN corpus c ON c.doc_id = comp.id
+),
+rep AS (
+  SELECT component, doc_id AS rep_id FROM (
+    SELECT component, doc_id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id ASC) AS r
+    FROM mem) WHERE r = 1
+),
+gs AS (SELECT component, count(*) AS group_size FROM mem GROUP BY component)
 SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.source,
-       CAST(CASE WHEN comp.id IS NULL THEN 1
-                 ELSE gs.group_size END AS BIGINT) AS group_size
+       CAST(length(c.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(gs.group_size, 1) AS BIGINT) AS group_size,
+       CAST(CASE WHEN comp.id IS NULL OR c.doc_id = comp.component
+                 THEN 1 ELSE 0 END AS INT) AS kept_minid,
+       CAST(CASE WHEN comp.id IS NULL OR c.doc_id = rep.rep_id
+                 THEN 1 ELSE 0 END AS INT) AS kept_quality
 FROM corpus c
 LEFT JOIN comp ON comp.id = c.doc_id
+LEFT JOIN rep ON rep.component = comp.component
 LEFT JOIN gs ON gs.component = comp.component
-WHERE comp.id IS NULL OR comp.id = comp.component
+WHERE comp.id IS NULL OR c.doc_id = comp.component OR c.doc_id = rep.rep_id
 """
 
 
@@ -1721,19 +1735,28 @@ WHERE comp.id IS NULL OR comp.id = comp.component
     oracle=_DEDUP_APPLY_ORACLE,
     survey_ref="training-data dedup: cluster-collapse removal — the step "
                "that actually shrinks the corpus (pairs -> components -> "
-               "keep min-id representative, drop the rest)",
-    doc="minhash pairs -> connected components -> anti-join the "
-        "non-representatives out of the corpus; survivors keep their "
-        "duplicate-group size (1 for unpaired docs)",
+               "keep one representative, drop the rest). Pins BOTH "
+               "representative policies in one gate (consolidated r11: "
+               "subsumes the former q_dedup_quality_rep): the min-id rule "
+               "and the production quality rule (longest member, "
+               "deterministic tie-break)",
+    doc="minhash pairs -> connected components -> anti-join out every "
+        "doc that is a representative under NEITHER policy; each "
+        "survivor carries group_size plus kept_minid / kept_quality "
+        "flags (singletons are 1/1), so both survivor identity sets "
+        "are hash-pinned",
 )
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completes the dedup story q_minhash_lsh/q_dedup_cluster start:
-    the output IS the deduplicated corpus. Scale shape: components is
-    O(docs-in-pairs) rows (pairs only, never the whole corpus); the
-    removal is a broadcast-eligible left_anti against the full scan —
-    the 100 TB side is touched once, and the representative join adds
-    one bounded hash join. No new shuffle over the corpus beyond the
-    anti/left joins on doc_id."""
+    the output IS the deduplicated corpus, under both representative
+    rules at once. Scale shape: components is O(docs-in-pairs) rows
+    (pairs only, never the whole corpus); the quality window ranks
+    component MEMBERS only; the removal is a broadcast-eligible
+    left_anti against the full scan — the 100 TB side is touched
+    once, and the flag joins add bounded hash joins on doc_id/
+    component."""
+    from pyspark.sql.window import Window as W
+
     from .operators.dedup import connected_components
 
     c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
@@ -1741,18 +1764,36 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                               num_hashes=_NUM_HASHES, bands=_BANDS,
                               shingle_n=_SHINGLE_N)
     comp = connected_components(pairs)  # (id, component=min id)
-    gs = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("group_size"))
-    reps = (comp.filter(F.col("id") == F.col("component"))
-            .join(gs, "component")
-            .select(F.col("id").alias("doc_id"), "group_size"))
-    dupes = comp.filter(F.col("id") != F.col("component")) \
-        .select(F.col("id").alias("doc_id"))
-    return (c.join(dupes, "doc_id", "left_anti")
-            .join(reps, "doc_id", "left")
+    mem = comp.join(
+        c.select(F.col("doc_id").alias("id"),
+                 F.length("text").alias("__len")), "id")
+    w = W.partitionBy("component").orderBy(F.col("__len").desc(),
+                                           F.col("id").asc())
+    rep = (mem.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") == 1)
+           .select("component", F.col("id").alias("rep_id")))
+    gs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    # a doc that represents its component under NEITHER policy is a
+    # true duplicate: anti-joined out of the corpus (J9)
+    removal = (comp.join(rep, "component")
+               .filter((F.col("id") != F.col("component"))
+                       & (F.col("id") != F.col("rep_id")))
+               .select(F.col("id").alias("doc_id")))
+    return (c.join(removal, "doc_id", "left_anti")
+            .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .join(rep, "component", "left")
+            .join(gs, "component", "left")
             .select(F.col("doc_id").cast("long").alias("doc_id"), "source",
+                    F.length("text").cast("long").alias("n_chars"),
                     F.coalesce("group_size", F.lit(1)).cast("long")
-                     .alias("group_size")))
+                     .alias("group_size"),
+                    F.when(F.col("component").isNull()
+                           | (F.col("doc_id") == F.col("component")),
+                           1).otherwise(0).cast("int").alias("kept_minid"),
+                    F.when(F.col("component").isNull()
+                           | (F.col("doc_id") == F.col("rep_id")),
+                           1).otherwise(0).cast("int")
+                     .alias("kept_quality")))
 
 
 # ---------------------------------------------------------------------------
@@ -2072,116 +2113,6 @@ def q_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.col("n_occurrences").cast("long")
                      .alias("n_occurrences")))
-
-
-# ---------------------------------------------------------------------------
-# quality-weighted dedup representative: keep the LONGEST cluster member
-# ---------------------------------------------------------------------------
-
-_QUALITY_REP_ORACLE = f"""
-WITH RECURSIVE {_CORPUS_SQL},
-toks AS (
-  SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t FROM corpus
-),
-sh AS (
-  SELECT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
-  FROM toks, UNNEST(generate_series(1, len(t) - {_SHINGLE_N - 1})) AS g(i)
-),
-mh AS (
-  SELECT doc_id, {_minhash_cols}
-  FROM sh GROUP BY doc_id
-),
-sigs AS (
-  SELECT doc_id, {_band_exprs} FROM mh
-),
-banded AS (
-{_band_union}
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, lab) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
-),
-comp AS (
-  SELECT id, min(lab) AS component FROM reach GROUP BY id
-),
-mem AS (
-  SELECT comp.id AS doc_id, comp.component, length(c.text) AS n_chars
-  FROM comp JOIN corpus c ON c.doc_id = comp.id
-),
-rep AS (
-  SELECT component, doc_id AS rep_id FROM (
-    SELECT component, doc_id,
-           row_number() OVER (PARTITION BY component
-                              ORDER BY n_chars DESC, doc_id ASC) AS r
-    FROM mem) WHERE r = 1
-),
-gs AS (SELECT component, count(*) AS group_size FROM mem GROUP BY component)
-SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
-       CAST(length(c.text) AS BIGINT) AS n_chars,
-       CAST(coalesce(gs.group_size, 1) AS BIGINT) AS group_size
-FROM corpus c
-LEFT JOIN comp ON comp.id = c.doc_id
-LEFT JOIN rep ON rep.component = comp.component
-LEFT JOIN gs ON gs.component = comp.component
-WHERE comp.id IS NULL OR c.doc_id = rep.rep_id
-"""
-
-
-@register(
-    "q_dedup_quality_rep",
-    oracle=_QUALITY_REP_ORACLE,
-    survey_ref="training-data dedup: QUALITY-WEIGHTED cluster collapse — "
-               "keep the most complete member of each near-dup cluster "
-               "(longest text, deterministic tie-break) instead of the "
-               "arbitrary min-id; the rule real corpus curation uses so "
-               "truncated/mirrored copies lose to the canonical page",
-    doc="minhash pairs -> connected components -> per-component window "
-        "rank by (length desc, doc_id) -> keep rank 1 + all singletons",
-)
-def q_dedup_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same corpus-collapse plan as q_dedup_apply, different (and more
-    production-real) representative rule. Scale shape: the window
-    ranking runs over component MEMBERS only (pairs-derived, tiny
-    relative to the corpus); the full scan is touched once by the
-    final left joins on doc_id, all broadcast-eligible."""
-    from pyspark.sql.window import Window as W
-
-    from .operators.dedup import connected_components
-
-    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
-    pairs = minhash_lsh_pairs(c, "doc_id", "text",
-                              num_hashes=_NUM_HASHES, bands=_BANDS,
-                              shingle_n=_SHINGLE_N)
-    comp = connected_components(pairs)  # (id, component=min id)
-    mem = comp.join(
-        c.select(F.col("doc_id").alias("id"),
-                 F.length("text").alias("__len")), "id")
-    w = W.partitionBy("component").orderBy(F.col("__len").desc(),
-                                           F.col("id").asc())
-    rep = (mem.withColumn("__r", F.row_number().over(w))
-           .filter(F.col("__r") == 1)
-           .select("component", F.col("id").alias("rep_id")))
-    gs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
-    return (c.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-            .join(rep, "component", "left")
-            .join(gs, "component", "left")
-            .filter(F.col("component").isNull()
-                    | (F.col("doc_id") == F.col("rep_id")))
-            .select(F.col("doc_id").cast("long").alias("doc_id"),
-                    F.length("text").cast("long").alias("n_chars"),
-                    F.coalesce("group_size", F.lit(1)).cast("long")
-                     .alias("group_size")))
 
 
 # ---------------------------------------------------------------------------
