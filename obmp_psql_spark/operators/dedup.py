@@ -299,16 +299,10 @@ def incremental_fingerprint_pairs(
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work
     w = bits // bands
-    mask = (1 << w) - 1
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col(fp_col), b * w)
-             .bitwiseAND(F.lit(mask)).alias("bv"))
-        for b in range(bands)])
     nb = (new_fp.select(F.col(id_col).alias("__id"),
                         F.col(fp_col).alias("__fp"),
-                        F.explode(band_structs).alias("bb"))
+                        F.explode(_band_struct_expr(fp_col, bits, bands))
+                         .alias("bb"))
           .select("__id", "__fp", F.col("bb.band").alias("band"),
                   F.col("bb.bv").alias("bv"))
           .persist())
@@ -317,22 +311,8 @@ def incremental_fingerprint_pairs(
         full = old.unionByName(nb)
         join_new, join_full = nb, full
         if max_bucket_size is not None:
-            # The cap applies to both sides, measured over the FULL
-            # index (old + this batch), so over-cap buckets form no
-            # pair through either side; the new side of the join stays
-            # exactly this batch's surviving rows (a left-semi back on
-            # __id would re-admit OLD index rows sharing an id with a
-            # re-delivered id and re-emit committed pairs — round-10
-            # ADVICE). Gate = map-side groupBy counts -> broadcast
-            # anti-join; neither side shuffles (_overcap_bucket_keys).
-            census = full.select(
-                F.expr(f"count(1) div {bands}").alias("__nfp")) \
-                if max_bucket_size == "auto" else None
-            overcap = _overcap_bucket_keys(full, max_bucket_size, w, census)
-            join_full = full.join(F.broadcast(overcap), ["band", "bv"],
-                                  "left_anti")
-            join_new = nb.join(F.broadcast(overcap), ["band", "bv"],
-                               "left_anti")
+            join_new, join_full = _incremental_cap_sides(
+                nb, full, max_bucket_size, w, bands)
         a, b_ = join_new.alias("a"), join_full.alias("b")
         ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
             .cast("int")
@@ -707,6 +687,63 @@ def auto_cap_value(n: int, bits: int, bands: int) -> int:
                -(-(n * AUTO_CAP_MULT) // (1 << w)))
 
 
+def _band_struct_expr(fp_col: str, bits: int, bands: int) -> Column:
+    """array<struct<band, bv>> of pigeonhole band slices for a <=63-bit
+    integer fingerprint column — the shared banding expression of the
+    whole fingerprint-dedup family (explode it to get one row per
+    (fingerprint, band))."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(fp_col), b * w)
+             .bitwiseAND(F.lit(mask)).alias("bv"))
+        for b in range(bands)])
+
+
+def _window_bucket_cap(bandsdf: DataFrame, fp: DataFrame,
+                       max_bucket_size, w: int) -> DataFrame:
+    """Bucket-size gate for the SYMMETRIC batch self-joins,
+    deliberately a count-over-window on the join key: the window's
+    Exchange hashpartitioning(band, bv) is the SAME partitioning the
+    self-join needs, so Catalyst reuses it (ReusedExchange) for both
+    join sides and the window costs no extra shuffle. The
+    groupBy-counts + broadcast-anti-join form used by the incremental
+    operators is WORSE here: it removes the reuse and the symmetric
+    join then shuffles both sides itself (measured on the sf1
+    frameset probe: 3.1 s -> 5.1 s — SURVEY finding 38).
+    ``fp`` supplies the auto-cap census (one fingerprint per row)."""
+    bw = W.partitionBy("band", "bv")
+    out = bandsdf.withColumn("__bn", F.count(F.lit(1)).over(bw))
+    if max_bucket_size == "auto":
+        census = fp.select(F.count(F.lit(1)).alias("__nfp"))
+        return (out.join(F.broadcast(census))
+                .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
+                .drop("__bn", "__nfp"))
+    return out.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+
+
+def _incremental_cap_sides(nb: DataFrame, full: DataFrame,
+                           max_bucket_size, w: int,
+                           bands: int) -> tuple[DataFrame, DataFrame]:
+    """Bucket-size gate for the ASYMMETRIC incremental joins
+    (small new batch vs big persisted index): over-cap keys from the
+    FULL index, broadcast-anti-joined against each side — the new
+    side stays exactly this batch's rows (a left-semi back on the id
+    would re-admit OLD index rows sharing an id with a re-delivered
+    id and re-emit committed pairs — round-10 ADVICE), and the index
+    is only SCANNED, never shuffled, for the gate (finding 38: the
+    window form shuffled the whole index every micro-batch).
+    Returns (join_new, join_full)."""
+    census = full.select(
+        F.expr(f"count(1) div {bands}").alias("__nfp")) \
+        if max_bucket_size == "auto" else None
+    overcap = _overcap_bucket_keys(full, max_bucket_size, w, census)
+    return (nb.join(F.broadcast(overcap), ["band", "bv"], "left_anti"),
+            full.join(F.broadcast(overcap), ["band", "bv"], "left_anti"))
+
+
 def _overcap_bucket_keys(bands_df: DataFrame, max_bucket_size, w: int,
                          census: DataFrame | None) -> DataFrame:
     """(band, bv) keys whose occupancy exceeds the cap — the broadcast
@@ -755,39 +792,15 @@ def fingerprint_neardup_pairs(
     the skew guard tracks occupancy instead of starving recall as the
     corpus grows past a hand-tuned constant."""
     w = bits // bands
-    mask = (1 << w) - 1
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col(fp_col), b * w)
-             .bitwiseAND(F.lit(mask)).alias("bv"))
-        for b in range(bands)])
     bandsdf = fp.select(F.col(id_col), fp_col,
-                        F.explode(band_structs).alias("bb")) \
+                        F.explode(_band_struct_expr(fp_col, bits, bands))
+                         .alias("bb")) \
                 .select(F.col(id_col), fp_col,
                         F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     if max_bucket_size is not None:
-        # bucket-size gate before the self-join, deliberately a
-        # count-over-window on the join key: the window's Exchange
-        # hashpartitioning(band, bv) is the SAME partitioning the
-        # self-join needs, so Catalyst reuses it (ReusedExchange) for
-        # both join sides and the window costs no extra shuffle. The
-        # groupBy-counts + broadcast-anti-join form used by the
-        # incremental operators is WORSE here: it removes the reuse
-        # and the symmetric join then shuffles both sides itself
-        # (measured on the sf1 frameset probe: 3.1 s -> 5.1 s).
-        bw = W.partitionBy("band", "bv")
-        bandsdf = bandsdf.withColumn("__bn", F.count(F.lit(1)).over(bw))
-        if max_bucket_size == "auto":
-            census = fp.select(F.count(F.lit(1)).alias("__nfp"))
-            bandsdf = (bandsdf
-                       .join(F.broadcast(census))
-                       .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
-                       .drop("__bn", "__nfp"))
-        else:
-            bandsdf = (bandsdf
-                       .filter(F.col("__bn") <= max_bucket_size)
-                       .drop("__bn"))
+        # symmetric self-join => window gate (exchange reuse;
+        # _window_bucket_cap documents the measured law)
+        bandsdf = _window_bucket_cap(bandsdf, fp, max_bucket_size, w)
     a, b_ = bandsdf.alias("a"), bandsdf.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -829,36 +842,16 @@ def frameset_neardup_pairs(
     census counts FRAME fingerprints, the unit the buckets hold.
     Output: (id_a, id_b, min_hamming, n_hit_frames)."""
     w = bits // bands
-    mask = (1 << w) - 1
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col(fp_col), b * w)
-             .bitwiseAND(F.lit(mask)).alias("bv"))
-        for b in range(bands)])
     bandsdf = fp.select(F.col(set_col), F.col(frame_col), F.col(fp_col),
-                        F.explode(band_structs).alias("bb")) \
+                        F.explode(_band_struct_expr(fp_col, bits, bands))
+                         .alias("bb")) \
                 .select(F.col(set_col), F.col(frame_col), F.col(fp_col),
                         F.col("bb.band").alias("band"),
                         F.col("bb.bv").alias("bv"))
     if max_bucket_size is not None:
-        # count-over-window on the join key, NOT the groupBy +
-        # broadcast-anti-join form: the window's (band, bv) Exchange
-        # is reused by both sides of the symmetric self-join below
-        # (see fingerprint_neardup_pairs — measured 3.1 s -> 5.1 s
-        # regression when this site used the anti-join form)
-        bw = W.partitionBy("band", "bv")
-        bandsdf = bandsdf.withColumn("__bn", F.count(F.lit(1)).over(bw))
-        if max_bucket_size == "auto":
-            census = fp.select(F.count(F.lit(1)).alias("__nfp"))
-            bandsdf = (bandsdf
-                       .join(F.broadcast(census))
-                       .filter(F.col("__bn") <= _auto_cap_expr("__nfp", w))
-                       .drop("__bn", "__nfp"))
-        else:
-            bandsdf = (bandsdf
-                       .filter(F.col("__bn") <= max_bucket_size)
-                       .drop("__bn"))
+        # symmetric self-join => window gate (exchange reuse;
+        # _window_bucket_cap documents the measured law)
+        bandsdf = _window_bucket_cap(bandsdf, fp, max_bucket_size, w)
     a, b_ = bandsdf.alias("a"), bandsdf.alias("b")
     ham = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))) \
         .cast("int")
@@ -918,17 +911,11 @@ def incremental_frameset_pairs(
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work
     w = bits // bands
-    mask = (1 << w) - 1
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col(fp_col), b * w)
-             .bitwiseAND(F.lit(mask)).alias("bv"))
-        for b in range(bands)])
     nb = (new_fp.select(F.col(set_col).alias("__sid"),
                         F.col(frame_col).alias("__f"),
                         F.col(fp_col).alias("__fp"),
-                        F.explode(band_structs).alias("bb"))
+                        F.explode(_band_struct_expr(fp_col, bits, bands))
+                         .alias("bb"))
           .select("__sid", "__f", "__fp",
                   F.col("bb.band").alias("band"),
                   F.col("bb.bv").alias("bv"))
@@ -938,17 +925,8 @@ def incremental_frameset_pairs(
         full = old.unionByName(nb)
         join_new, join_full = nb, full
         if max_bucket_size is not None:
-            # same gate as the flat incremental operator: over-cap keys
-            # from the FULL index, broadcast-anti-joined against each
-            # side — the new side stays exactly this batch's rows
-            census = full.select(
-                F.expr(f"count(1) div {bands}").alias("__nfp")) \
-                if max_bucket_size == "auto" else None
-            overcap = _overcap_bucket_keys(full, max_bucket_size, w, census)
-            join_full = full.join(F.broadcast(overcap), ["band", "bv"],
-                                  "left_anti")
-            join_new = nb.join(F.broadcast(overcap), ["band", "bv"],
-                               "left_anti")
+            join_new, join_full = _incremental_cap_sides(
+                nb, full, max_bucket_size, w, bands)
         a, b_ = join_new.alias("a"), join_full.alias("b")
         ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) \
             .cast("int")
