@@ -286,8 +286,10 @@ def main() -> None:
         # noise-resistant companion metric: CPU-seconds per message for
         # the judged draw of each ingest headline (wall inflates with
         # ambient load; tree CPU barely moves)
+        # max(n_msgs, 1) guards the empty-events edge: crashing here
+        # would lose the whole record after all timed work completed
         out["headline_cpu_s_per_kmsg"] = {
-            n: round(1000.0 * headline_meta[n]["cpu_s"] / n_msgs, 3)
+            n: round(1000.0 * headline_meta[n]["cpu_s"] / max(n_msgs, 1), 3)
             for n in head if headline_meta.get(n)}
     # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
     # ip_rib; q_bmp_rib_merge pushes one synthesized message per
@@ -315,11 +317,27 @@ def main() -> None:
     if round_n is None:
         import glob
         import re
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
         done = [int(m.group(1)) for f in glob.glob(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "CORRECTNESS_r*.json"))
+            os.path.join(here, "CORRECTNESS_r*.json"))
             if (m := re.search(r"_r(\d+)\.json$", f))]
-        round_n = (max(done) + 1) if done else 0
+        if done:
+            # Key the record by the round actually being benched. The
+            # driver's end-of-round run happens right after it writes
+            # CORRECTNESS_r{N}.json and BEFORE the round-boundary
+            # commit, so that newest file is still untracked — the
+            # bench belongs to round N. Mid-round runs see the newest
+            # CORRECTNESS file already committed — the bench belongs
+            # to round N+1. (Round 11's record landed one past its own
+            # round because the inference always added one.)
+            newest = f"CORRECTNESS_r{max(done):02d}.json"
+            tracked = subprocess.run(
+                ["git", "-C", here, "ls-files", "--error-unmatch", newest],
+                capture_output=True).returncode == 0
+            round_n = max(done) + (1 if tracked else 0)
+        else:
+            round_n = 0
     # a BENCH_QUERIES subset is a scratch run — never let it clobber
     # the committed full-registry artifact for the round
     stem = "BENCH_SUBSET" if names else "BENCH_LOCAL"

@@ -144,26 +144,43 @@ def _maybe_optimize(store, table: str, batch_id: int,
     if not optimize_every:
         return
     if optimize_every == "auto":
-        parts = int(store.spark.conf.get("spark.sql.shuffle.partitions",
-                                         "200"))
+        parts = _resolve_auto_partitions(store)
         if store.live_file_count(table) > AUTO_OPTIMIZE_FILE_MULT * parts:
             store.optimize(table)
     elif (batch_id + 1) % int(optimize_every) == 0:
         store.optimize(table)
 
 
-def _validate_cadence(optimize_every) -> None:
-    """Reject a malformed cadence BEFORE any batch work: this runs
-    post-commit inside _maybe_optimize, where a TypeError would abort
-    the micro-batch after its txn already committed."""
-    if optimize_every in (None, "auto") or optimize_every == 0:
-        return
+def _resolve_auto_partitions(store) -> int:
+    """The 'auto' cadence needs an integer shuffle-partition count;
+    vendor distros / AQE configs can set the conf to a non-integer
+    string (e.g. "auto"), which must fail at validation time, never
+    post-commit inside _maybe_optimize."""
+    raw = store.spark.conf.get("spark.sql.shuffle.partitions", "200")
     try:
-        int(optimize_every)
+        return int(raw)
     except (TypeError, ValueError):
         raise ValueError(
+            "optimize_every='auto' requires an integer "
+            f"spark.sql.shuffle.partitions; session has {raw!r}") from None
+
+
+def _validate_cadence(optimize_every, store=None) -> None:
+    """Reject a malformed cadence BEFORE any batch work: this runs
+    post-commit inside _maybe_optimize, where a TypeError would abort
+    the micro-batch after its txn already committed. With a store,
+    'auto' also resolves the shuffle-partition conf now so a
+    non-integer session value fails here, not after the commit."""
+    if optimize_every is None or optimize_every == "auto":
+        if optimize_every == "auto" and store is not None:
+            _resolve_auto_partitions(store)
+        return
+    # bool is an int subclass and floats truncate silently — both are
+    # caller typos (optimize_every=2.5 must not become cadence 2)
+    if isinstance(optimize_every, bool) or not isinstance(optimize_every, int):
+        raise ValueError(
             f"optimize_every must be an int, 'auto', or None; "
-            f"got {optimize_every!r}") from None
+            f"got {optimize_every!r}")
 
 
 def incremental_minhash_pairs(
@@ -201,7 +218,7 @@ def incremental_minhash_pairs(
     """
     # one replay-version counter per index: two indexes sharing a store
     # must not skip each other's batches as replays
-    _validate_cadence(optimize_every)
+    _validate_cadence(optimize_every, store)
     app = f"minhash_index:{bands_table}:{pairs_table}"
     last = store.last_txn_version(app)
     if last < 0 and (bands_table, pairs_table) == ("doc_bands", "doc_pairs"):
@@ -294,7 +311,7 @@ def incremental_fingerprint_pairs(
     (the replay counter lives in the commit log, not the file
     layout); a crash between txn and compaction just defers
     compaction to the next eligible batch."""
-    _validate_cadence(optimize_every)
+    _validate_cadence(optimize_every, store)
     app = f"fingerprint_index:{bands_table}:{pairs_table}"
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work
@@ -906,7 +923,7 @@ def incremental_frameset_pairs(
     ``incremental_fingerprint_pairs`` (auto cap census = FRAME
     fingerprints in the full index; auto compaction from the live
     file count)."""
-    _validate_cadence(optimize_every)
+    _validate_cadence(optimize_every, store)
     app = f"frameset_index:{bands_table}:{pairs_table}"
     if store.last_txn_version(app) >= batch_id:
         return  # replayed batch: skip before doing any banding work

@@ -132,21 +132,28 @@ def lsh_topk(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), dims, n_planes))      .withColumn("__n", l2norm(F.col("__v")))
-    # bucketed table feeds both join sides; materialize once so the
-    # n_planes interpreted dot products don't evaluate twice per row
-    # (caller releases via cache.build_artifacts)
+    # Persist the bucketed table BEFORE the cap gate: the occupancy
+    # count below, the census, and both join sides all read it, so the
+    # n_planes interpreted dot products and the l2 norm evaluate once
+    # per row, not once per consumer (caller releases via
+    # cache.build_artifacts). The post-gate lineage re-derived off it
+    # is only a broadcast join + a withColumn — cheap to replay.
+    base = owned_persist(base)
     if max_bucket_size is not None:
         # per-bucket occupancy via a map-side-combinable groupBy count
-        # broadcast back onto the rows — sign buckets saturate at the
-        # data's cluster count, so the counts table is tiny, and the
-        # base table itself never shuffles for the gate (the former
+        # broadcast back onto the rows — the forced broadcast is safe
+        # because distinct sign buckets are bounded by min(2^n_planes,
+        # cluster count of the data); at the default n_planes=8 that is
+        # <=256 one-long rows. A caller raising n_planes past ~24
+        # should drop the hint (2^n_planes rows no longer driver-tiny).
+        # The base table itself never shuffles for the gate (the former
         # count-over-window pushed all N rows through a WindowExec
-        # Exchange + sort — round 11)
+        # Exchange + sort — round 11).
         counts = base.groupBy("__bucket").agg(
             F.count(F.lit(1)).alias("__bn"))
         base = base.join(F.broadcast(counts), "__bucket")
         if max_bucket_size == "auto":
-            census = df.select(F.count(F.lit(1)).alias("__ncen"))
+            census = base.select(F.count(F.lit(1)).alias("__ncen"))
             base = base.join(F.broadcast(census))
             cap = F.greatest(
                 F.lit(LSH_AUTO_CAP_FLOOR).cast("long"),
@@ -165,7 +172,6 @@ def lsh_topk(
                 .drop("__bn", "__ncen"))
     else:
         base = base.withColumn("__shard", F.lit(0).cast("long"))
-    base = owned_persist(base)
     a = base.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv"),
                     F.col("__n").alias("__qn"), F.col("__bucket").alias("__b"),
                     "__shard")

@@ -526,31 +526,77 @@ def q_bmp_chg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A5 through the engine: update_global_ip_rib over the pipeline state
 # ---------------------------------------------------------------------------
 
+# Synthetic enrichment dims for the A5 gate, deterministic from the
+# prefix family 10.m.0.0/16 (m = user_id % 200, see _MSG_SQL):
+# - info_route covers m in [0, 120): origin 64000+m, source by parity
+#   (so m >= 120 pins the NULL path of the UPDATE-join even at the
+#   driver's sf0.01, where user_id%200 only spans [0, 150));
+# - rpki_validator carries TWO overlapping ROA families so the
+#   max-over-covering-ROAs determinism rule is exercised, not just a
+#   1:1 join: /13s (j<16, origin 71000+j, covers m in [8j, 8j+7]) and
+#   /12s (j<8, origin 72000+j, covers m in [16j, 16j+15]). m < 128 is
+#   covered by both (max picks 72000+m//16); m >= 128 by neither.
+_IRR_N, _ROA13_N, _ROA12_N = 120, 16, 8
+
 _GLOBAL_ORACLE = f"""
 WITH {_STATE_CTES},
-state AS ({_STATE_SELECT})
-SELECT prefix,
-       CAST(16 AS SMALLINT) AS prefix_len,
-       origin_as AS recv_origin_as,
-       bool_and(is_withdrawn) AS is_withdrawn,
-       max(timestamp) AS timestamp,
-       min(first_added_timestamp) AS first_added_timestamp,
-       CAST(count(DISTINCT peer_hash_id) AS BIGINT) AS num_peers,
-       CAST(count(DISTINCT CASE WHEN NOT is_withdrawn THEN peer_hash_id END) AS BIGINT)
-         AS advertising_peers,
-       CAST(count(DISTINCT CASE WHEN is_withdrawn THEN peer_hash_id END) AS BIGINT)
-         AS withdrawn_peers
-FROM state
-WHERE origin_as <> 23456
-GROUP BY prefix, origin_as
+state AS ({_STATE_SELECT}),
+grib AS (
+  SELECT prefix,
+         CAST(16 AS SMALLINT) AS prefix_len,
+         origin_as AS recv_origin_as,
+         bool_and(is_withdrawn) AS is_withdrawn,
+         max(timestamp) AS timestamp,
+         min(first_added_timestamp) AS first_added_timestamp,
+         CAST(count(DISTINCT peer_hash_id) AS BIGINT) AS num_peers,
+         CAST(count(DISTINCT CASE WHEN NOT is_withdrawn THEN peer_hash_id END) AS BIGINT)
+           AS advertising_peers,
+         CAST(count(DISTINCT CASE WHEN is_withdrawn THEN peer_hash_id END) AS BIGINT)
+           AS withdrawn_peers,
+         CAST(string_split(prefix, '.')[2] AS BIGINT) AS m
+  FROM state
+  WHERE origin_as <> 23456
+  GROUP BY prefix, origin_as
+),
+irr AS (
+  SELECT '10.' || CAST(k AS VARCHAR) || '.0.0' AS iprefix,
+         CAST(64000 + k AS BIGINT) AS irr_origin_as,
+         CASE WHEN k % 2 = 0 THEN 'RADB' ELSE 'RIPE' END AS irr_source
+  FROM UNNEST(generate_series(0, {_IRR_N - 1})) AS t(k)
+),
+roa AS (
+  SELECT 8 * j AS lo_oct, 8 * j + 7 AS hi_oct,
+         CAST(71000 + j AS BIGINT) AS roa_as
+  FROM UNNEST(generate_series(0, {_ROA13_N - 1})) AS a(j)
+  UNION ALL
+  SELECT 16 * j, 16 * j + 15, CAST(72000 + j AS BIGINT)
+  FROM UNNEST(generate_series(0, {_ROA12_N - 1})) AS b(j)
+),
+rpki AS (
+  SELECT g.prefix, g.recv_origin_as, max(r.roa_as) AS rpki_origin_as
+  FROM grib g JOIN roa r ON g.m BETWEEN r.lo_oct AND r.hi_oct
+  GROUP BY 1, 2
+)
+SELECT g.prefix, g.prefix_len, g.recv_origin_as, g.is_withdrawn, g.timestamp,
+       g.first_added_timestamp, g.num_peers, g.advertising_peers,
+       g.withdrawn_peers,
+       i.irr_origin_as, i.irr_source, p.rpki_origin_as
+FROM grib g
+LEFT JOIN irr i ON i.iprefix = g.prefix
+LEFT JOIN rpki p ON p.prefix = g.prefix AND p.recv_origin_as = g.recv_origin_as
 """
 
 
 @register(
     "q_bmp_global_rib",
     oracle=_GLOBAL_ORACLE,
-    survey_ref="A5/A10/P2 end-to-end (2_aggregations.sql:181-275 update_global_ip_rib)",
-    doc="global RIB consolidation over the real pipeline state vs SQL oracle",
+    survey_ref="A5/A10/P2/J7/J8 end-to-end (2_aggregations.sql:181-275 "
+               "update_global_ip_rib including the IRR UPDATE :242-247 "
+               "and RPKI containment UPDATE :260-265)",
+    doc="global RIB consolidation PLUS IRR equi-join + RPKI containment "
+        "enrichment over the real pipeline state vs SQL oracle "
+        "(extended r12: the irr_origin_as/irr_source/rpki_origin_as "
+        "columns are hash-gated through the full update path)",
 )
 def q_bmp_global_rib(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
@@ -558,13 +604,40 @@ def q_bmp_global_rib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.global_rib import update_global_ip_rib
 
     state, _ = _run_pipeline(spark, sf_dir)
+    info_route = spark.range(_IRR_N).select(
+        F.concat(F.lit("10."), F.col("id").cast("string"), F.lit(".0.0"))
+         .alias("prefix"),
+        (F.col("id") + 64000).cast("long").alias("origin_as"),
+        F.when(F.col("id") % 2 == 0, F.lit("RADB")).otherwise(F.lit("RIPE"))
+         .alias("source"),
+        F.concat(F.lit("net-"), F.col("id").cast("string")).alias("descr"))
+
+    def roa_family(n: int, span: int, base_as: int, plen: int) -> DataFrame:
+        # v4 ROA rows in the loader's shape (sources/lookups.py:130):
+        # bounds as (hi=0, lo=addr32) two-long pairs; 10.X.0.0 base
+        base = F.lit(167772160) + F.col("id") * span * 65536
+        return spark.range(n).select(
+            F.concat(F.lit("10."), (F.col("id") * span).cast("string"),
+                     F.lit(".0.0")).alias("prefix"),
+            F.lit(0).cast("long").alias("start_hi"),
+            base.cast("long").alias("start_lo"),
+            F.lit(0).cast("long").alias("end_hi"),
+            (base + span * 65536 - 1).cast("long").alias("end_lo"),
+            F.lit(plen).cast("int").alias("prefix_len"),
+            F.lit(16).cast("int").alias("prefix_len_max"),
+            (F.col("id") + base_as).cast("long").alias("origin_as"))
+
+    rpki = roa_family(_ROA13_N, 8, 71000, 13) \
+        .unionByName(roa_family(_ROA12_N, 16, 72000, 12))
     out = update_global_ip_rib(
         spark.createDataFrame([], TABLE_SCHEMAS["global_ip_rib"]), state,
+        info_route=info_route, rpki=rpki,
         now=dt.datetime(2030, 1, 1),
         max_interval=dt.timedelta(days=36500))
     return out.select("prefix", "prefix_len", "recv_origin_as", "is_withdrawn",
                       "timestamp", "first_added_timestamp", "num_peers",
-                      "advertising_peers", "withdrawn_peers")
+                      "advertising_peers", "withdrawn_peers",
+                      "irr_origin_as", "irr_source", "rpki_origin_as")
 
 
 # ---------------------------------------------------------------------------

@@ -1759,10 +1759,15 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.dedup import connected_components
 
-    c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
-    pairs = minhash_lsh_pairs(c, "doc_id", "text",
-                              num_hashes=_NUM_HASHES, bands=_BANDS,
-                              shingle_n=_SHINGLE_N)
+    # lower() only feeds the shingles — n_chars and the quality-rep
+    # length rank must measure the RAW text, matching the oracle's
+    # length(c.text) (lower() can change string length for some
+    # Unicode code points, a latent cross-engine mismatch and possibly
+    # a different quality representative)
+    c = _corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        c.withColumn("__lt", F.lower(F.col("text"))), "doc_id", "__lt",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N)
     comp = connected_components(pairs)  # (id, component=min id)
     mem = comp.join(
         c.select(F.col("doc_id").alias("id"),

@@ -1026,6 +1026,33 @@ def test_incremental_fingerprint_optimize_cadence(spark, tmp_path):
     assert store.read("img_pairs").count() == before
 
 
+def test_validate_cadence_rejects_bad_values(spark):
+    """Malformed cadences must fail BEFORE any batch work — never
+    post-commit inside _maybe_optimize. Floats and bools are caller
+    typos (2.5 must not silently become cadence 2), and 'auto' with a
+    non-integer spark.sql.shuffle.partitions (vendor/AQE 'auto'
+    strings) must be rejected at validation time."""
+    import types
+
+    import pytest
+
+    from obmp_psql_spark.operators.dedup import _validate_cadence
+
+    for ok in (None, 0, 2, "auto"):
+        _validate_cadence(ok)
+    for bad in (2.5, True, "weekly", [2]):
+        with pytest.raises(ValueError):
+            _validate_cadence(bad)
+    # 'auto' + store: resolve the partitions conf up front. The live
+    # session validates this conf on set, so fake the vendor/AQE
+    # deployment whose runtime hands back a non-integer string.
+    _validate_cadence("auto", types.SimpleNamespace(spark=spark))
+    bad_conf = types.SimpleNamespace(
+        conf=types.SimpleNamespace(get=lambda k, d=None: "auto"))
+    with pytest.raises(ValueError, match="shuffle.partitions"):
+        _validate_cadence("auto", types.SimpleNamespace(spark=bad_conf))
+
+
 def test_incremental_minhash_optimize_cadence(spark, tmp_path):
     """The MinHash streaming index gets the same cadence knob: results
     identical to the uncompacted run, fewer band files, replay no-op."""
