@@ -159,12 +159,17 @@ def main() -> None:
     # noise-suspect and excluded from the judged min-of-N when
     # qualified draws exist
     draws: dict[str, list[dict]] = {n: [] for n in head}
+    # EVERY query timing carries (1-min load at draw start, process-
+    # tree CPU-seconds): a cross-round wall delta on untouched code is
+    # only interpretable with a load stamp, and cpu_s separates "the
+    # query did more work" from "the host was busy" (round-11's
+    # q_stream_session_window 2.77x was unexplainable without these)
+    query_meta: dict[str, dict] = {}
     t_all = time.perf_counter()
     for name in selected:
         spec = specs[name]
-        is_head = name in draws
-        if is_head:
-            cpu0 = _tree_cpu_seconds()
+        load0 = round(os.getloadavg()[0], 2)
+        cpu0 = _tree_cpu_seconds()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -173,10 +178,14 @@ def main() -> None:
         # release is timed as part of the query that created them
         release_build_artifacts()
         timings[name] = round(time.perf_counter() - t0, 3)
-        if is_head:
+        query_meta[name] = {
+            "load_at_draw": load0,
+            "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+        }
+        if name in draws:
             draws[name].append({
                 "wall_s": timings[name],
-                "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+                "cpu_s": query_meta[name]["cpu_s"],
                 "load_at_draw": ambient0,
             })
     # total = one pass over every query (the cross-round comparison
@@ -216,6 +225,29 @@ def main() -> None:
         # per-draw instantaneous stamping judged the slow cold-JIT
         # draw as the only "qualified" one for exactly this reason)
         ambient_blk, redraw_waited = _wait_ambient(REDRAW_WAIT_MAX_S)
+        # streaming-tier redraw: q_stream_* walls are fixed-trigger /
+        # state-store-commit dominated, so host noise shows up 1:1 in
+        # their single draw. Any streaming query whose first draw ran
+        # under load > gate gets ONE redraw in this load-qualified
+        # block; the recorded timing is the min, with both draws kept
+        # in query_meta so the judged number's provenance is explicit.
+        for name in [n for n in selected if n.startswith("q_stream_")
+                     and query_meta[n]["load_at_draw"] > HEADLINE_LOAD_GATE]:
+            cpu0 = _tree_cpu_seconds()
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir) \
+                .write.format("noop").mode("overwrite").save()
+            release_build_artifacts()
+            rd = {"wall_s": round(time.perf_counter() - t0, 3),
+                  "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+                  "load_at_draw": ambient_blk}
+            meta = query_meta[name]
+            meta["redraw"] = rd
+            if rd["wall_s"] < timings[name]:
+                meta["first_draw_wall_s"] = timings[name]
+                timings[name] = rd["wall_s"]
+                meta["cpu_s"] = rd["cpu_s"]
+                meta["load_at_draw"] = ambient_blk
         for name in head:
             cold[name] = timings[name]  # first cold build, kept for the JSON
             # min-of-3: across-process JIT variance on the cold build
@@ -272,6 +304,10 @@ def main() -> None:
     # (qualified=False marks a headline that never saw a quiet host)
     if headline_meta:
         out["headlines"] = headline_meta
+    # per-query provenance (full record only — too big for the compact
+    # line): load at draw + cpu_s for every timing, redraw details for
+    # any load-requalified streaming query
+    out["query_meta"] = query_meta
     # methodology is self-documenting: every query in `queries` is a
     # single run EXCEPT the names in min_of_n_queries, whose first
     # (cold-JIT) run is preserved in timings_cold — cross-round
@@ -370,7 +406,8 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact = {k: v for k, v in out.items()
+               if k not in ("queries", "query_meta")}
     compact["full_timings"] = os.path.basename(local_path)
     compact["queries"] = {}
     budget = 1700 - len(json.dumps(compact, separators=(",", ":")))

@@ -269,7 +269,7 @@ def incremental_fingerprint_pairs(
     batch_id: int, bits: int = 63, bands: int = 7,
     max_hamming: int = 3, bands_table: str = "img_bands",
     pairs_table: str = "img_pairs",
-    max_bucket_size: int | str | None = None,
+    max_bucket_size: int | str | None = "auto",
     optimize_every: int | str | None = "auto",
 ) -> None:
     """Streaming near-duplicate detection over ANY <=63-bit integer
@@ -639,7 +639,7 @@ def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     bits: int = 32, bands: int = 4, max_hamming: int = 3,
     min_tokens: int | None = None,
-    max_bucket_size: int | str | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the fingerprint (pigeonhole
     — any pair within ``max_hamming`` < ``bands`` bits shares at
@@ -664,10 +664,11 @@ def simhash_neardup_pairs(
       than the cap before the self-join. A pair lost this way is
       still found if any of its other bands lands in a small bucket;
       pairs ONLY matching through a mega-bucket are dropped, exactly
-      like stop-shingle removal. ``"auto"`` derives the cap from the
-      occupancy census (finding 31) like every fingerprint-family
-      operator. None (default) keeps exact pigeonhole semantics for
-      oracle parity."""
+      like stop-shingle removal. ``"auto"`` (the default — fixed caps
+      collapse recall at scale in every measured modality, findings
+      30-36) derives the cap from the occupancy census (finding 31)
+      like every fingerprint-family operator. Pass None for exact
+      pigeonhole semantics (oracle-parity gates)."""
     if min_tokens is not None:
         ntoks = F.size(F.split(
             F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
@@ -794,7 +795,7 @@ def _overcap_bucket_keys(bands_df: DataFrame, max_bucket_size, w: int,
 def fingerprint_neardup_pairs(
     fp: DataFrame, id_col: str, fp_col: str,
     bits: int = 32, bands: int = 4, max_hamming: int = 3,
-    max_bucket_size: int | str | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Banded near-dup pairs over ANY precomputed <=63-bit integer
     fingerprint column (SimHash text fingerprints, dHash image
@@ -837,7 +838,7 @@ def fingerprint_neardup_pairs(
 def frameset_neardup_pairs(
     fp: DataFrame, set_col: str, frame_col: str, fp_col: str,
     bits: int = 63, bands: int = 7, max_hamming: int = 3,
-    max_bucket_size: int | str | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs between SETS of fingerprints — the video
     form of ``fingerprint_neardup_pairs``: each video is a set of
@@ -894,7 +895,7 @@ def incremental_frameset_pairs(
     batch_id: int, bits: int = 63, bands: int = 7,
     max_hamming: int = 3, bands_table: str = "vid_bands",
     pairs_table: str = "vid_pairs",
-    max_bucket_size: int | str | None = None,
+    max_bucket_size: int | str | None = "auto",
     optimize_every: int | str | None = "auto",
 ) -> None:
     """Streaming video near-duplicate detection: maintain the

@@ -104,7 +104,7 @@ LSH_AUTO_CAP_MULT = 4
 def lsh_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     dims: int = 64, n_planes: int = 8, k: int = 5,
-    max_bucket_size: int | str | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors among same-bucket vectors.
     The bucket join is an equi-join (hash, skew-aware); recall rises
@@ -124,10 +124,12 @@ def lsh_topk(
     cluster, whose members are precisely the similar vectors).
     Unlike ``simhash_neardup_pairs``' drop-the-bucket cap there is
     no second band to catch a dropped vector here, so sharding, not
-    dropping, is the right bound. ``"auto"`` sizes the cap from a
-    one-row census as max(LSH_AUTO_CAP_FLOOR, ceil(sqrt(
-    LSH_AUTO_CAP_MULT * N))) — see the policy comment above. None
-    (default) keeps exact bucket-join semantics for oracle parity."""
+    dropping, is the right bound. ``"auto"`` (the default — fixed
+    caps collapse recall at scale in every measured modality, SURVEY
+    findings 30-36) sizes the cap from a one-row census as
+    max(LSH_AUTO_CAP_FLOOR, ceil(sqrt(LSH_AUTO_CAP_MULT * N))) — see
+    the policy comment above. Pass None for exact bucket-join
+    semantics (oracle-parity gates)."""
     base = df.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),

@@ -75,9 +75,20 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row percentile-cut aggregate broadcast into the outlier flag —
     # the scalar-subquery pattern
     "q_embed_outliers": "broadcast 1-row percentile-cut aggregate",
-    # q_stream_pca shares q_pca_project's 1-row model broadcast but
-    # needs NO entry: its pipeline materializes via localCheckpoint,
-    # so the returned plan is a checkpoint scan with no join at all
+    # shares q_pca_project's 1-row model broadcast; visible since the
+    # plan audit dumps gate pipelines PRE-materialization (r12) — the
+    # broadcast side is the d x k eigenvector matrix, one row
+    "q_stream_pca": "broadcast 1-row PCA model (d x k eigenvectors)",
+    # gate-construction artifact, visible pre-materialization (r12):
+    # the fixture's peer batch carries a CONSTANT router_hash_id
+    # ('rt0'), so Catalyst folds the router-backfill equi-join's key
+    # into a build-side filter ('rt0' = hash_id) and the remaining
+    # condition-less join degenerates to a BNLJ over the <=1-row
+    # filtered router dim. With heterogeneous router keys (any real
+    # deployment) the same code plans a BroadcastHashJoin — verified
+    # by the plan gate on prepare_peer in test_scale_plans.py.
+    "q_bmp_peer_state": "constant-key fold of the 1-router backfill join",
+    "q_bmp_peer_events": "constant-key fold of the 1-router backfill join",
 }
 
 

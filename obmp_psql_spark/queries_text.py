@@ -525,7 +525,8 @@ _bucket_sql = " + ".join(
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark)
-    return similarity.lsh_topk(e, dims=_DIMS, n_planes=_PLANES, k=5) \
+    return similarity.lsh_topk(e, dims=_DIMS, n_planes=_PLANES, k=5,
+                               max_bucket_size=None) \
         .select("query_id", "neighbor_id", "cos", "rank")
 
 
@@ -829,7 +830,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_neardup_pairs
     c = _corpus(spark, sf_dir)
     return simhash_neardup_pairs(c, "doc_id", "text", bits=_SIM_BITS,
-                                 bands=4, max_hamming=3) \
+                                 bands=4, max_hamming=3,
+                                 max_bucket_size=None) \
         .select(F.col("id_a").cast("long").alias("id_a"),
                 F.col("id_b").cast("long").alias("id_b"), "hamming")
 
@@ -3786,7 +3788,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.4x at 77k fps); the capped policies keep 7 bands —
     # band redundancy is what a drop-cap trades against
     exact = fingerprint_neardup_pairs(
-        fpd, "img_id", "dhash", bits=60, bands=4, max_hamming=3)
+        fpd, "img_id", "dhash", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=None)
     capped = fingerprint_neardup_pairs(
         fpd, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
         max_bucket_size=_IMG_CAP)
@@ -3867,7 +3870,8 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unchanged by compaction, so the oracle needs no knowledge of
         # it — but a compaction that corrupted the index or broke the
         # replay guard would hash-mismatch here
-        kw = dict(bits=63, bands=7, max_hamming=3, optimize_every=2)
+        kw = dict(bits=63, bands=7, max_hamming=3, optimize_every=2,
+                  max_bucket_size=None)
         incremental_fingerprint_pairs(store, b1, "img_id", "dhash",
                                       batch_id=0, **kw)
         incremental_fingerprint_pairs(store, b2, "img_id", "dhash",
@@ -3989,7 +3993,8 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpd = spark.read.parquet(aux)
     # minimum pigeonhole banding for the exact side (finding 34)
     exact = fingerprint_neardup_pairs(
-        fpd, "aud_id", "afp", bits=60, bands=4, max_hamming=3)
+        fpd, "aud_id", "afp", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=None)
     auto = fingerprint_neardup_pairs(
         fpd, "aud_id", "afp", bits=63, bands=7, max_hamming=3,
         max_bucket_size="auto")
@@ -4121,7 +4126,7 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpd = spark.read.parquet(aux)
     return frameset_neardup_pairs(
         fpd, "vid_id", "frame_index", "dhash",
-        bits=60, bands=4, max_hamming=3) \
+        bits=60, bands=4, max_hamming=3, max_bucket_size=None) \
         .select("id_a", "id_b", "min_hamming",
                 F.col("n_hit_frames").cast("long").alias("n_hit_frames"))
 
@@ -4176,7 +4181,8 @@ def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate runs uncapped at minimum pigeonhole banding (finding
         # 34) = lossless exact parity with the batch operator; the
         # int cadence exercises a mid-stream compaction commit
-        kw = dict(bits=60, bands=4, max_hamming=3, optimize_every=2)
+        kw = dict(bits=60, bands=4, max_hamming=3, optimize_every=2,
+                  max_bucket_size=None)
         incremental_frameset_pairs(
             store, b1, "vid_id", "frame_index", "dhash",
             batch_id=0, **kw)

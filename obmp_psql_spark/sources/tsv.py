@@ -45,18 +45,22 @@ def _coerce(raw: Column, dtype: T.DataType) -> Column:
 
 
 def parse_tsv(raw: DataFrame, msg_type: str | T.StructType,
-              value_col: str = "value") -> DataFrame:
+              value_col: str = "value",
+              keep: tuple[str, ...] = ()) -> DataFrame:
     """Split tab-separated payload rows into the typed message schema
     by position. ``raw`` is e.g. the Kafka value (bytes/string).
     ``msg_type`` is a MESSAGE_SCHEMAS key, or a StructType directly
-    for ad-hoc wire formats."""
+    for ad-hoc wire formats. ``keep`` carries source columns (e.g.
+    the Kafka record key) through the projection — referencing them
+    on the parsed frame via the parent plan's attributes fails
+    analysis on streaming relations."""
     schema = msg_type if isinstance(msg_type, T.StructType) \
         else MESSAGE_SCHEMAS[msg_type]
     fields = F.split(F.col(value_col).cast("string"), "\t")
     return raw.select(*[
         _coerce(fields.getItem(i), f.dataType).alias(f.name)
         for i, f in enumerate(schema.fields)
-    ])
+    ], *[F.col(c) for c in keep])
 
 
 def split_dead_letter(parsed: DataFrame,

@@ -216,23 +216,50 @@ class BmpStreamingIngest:
         "l3vpn": l3vpn_batch,
     }
 
-    def start_kafka_stream(self, msg_type: str, bootstrap_servers: str,
-                           checkpoint_dir: str, **kafka_opts):
-        """Production entry point: Kafka topic -> parse_tsv -> the
-        same foreachBatch handler as the file stream (S1 + S2 + T8).
-        Requires the spark-sql-kafka connector on the classpath."""
-        from ..sources.kafka import read_stream
+    def start_kafka_shaped_stream(self, msg_type: str, raw: DataFrame,
+                                  checkpoint_dir: str,
+                                  available_now: bool = False,
+                                  trigger_interval: str = "1 second"):
+        """Everything AFTER the connector ``load()``: a streaming
+        DataFrame with Kafka's record schema (key BINARY, value
+        BINARY, topic STRING, timestamp, ...) -> decode_kafka_records
+        -> the same foreachBatch handler as every other source. The
+        production ``start_kafka_stream`` delegates here; tests drive
+        the identical path from a file-source stand-in exposing the
+        same columns, so the TSV decode + dedup + merge chain has
+        executed E2E evidence even without the connector jar
+        (ConsumerRunnable.java:253-308 is the reference shape)."""
+        from ..sources.kafka import decode_kafka_records
 
         handler = self.HANDLERS[msg_type].__get__(self)
-        typed = read_stream(self.spark, msg_type, bootstrap_servers,
-                            **kafka_opts).drop("kafka_key")
+        typed = decode_kafka_records(raw, msg_type).drop("kafka_key")
+        trigger = {"availableNow": True} if available_now \
+            else {"processingTime": trigger_interval}
         return (
             typed.writeStream
             .foreachBatch(handler)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(processingTime="1 second")
+            .trigger(**trigger)
             .start()
         )
+
+    def start_kafka_stream(self, msg_type: str, bootstrap_servers: str,
+                           checkpoint_dir: str, **kafka_opts):
+        """Production entry point: Kafka topic -> parse_tsv -> the
+        same foreachBatch handler as the file stream (S1 + S2 + T8).
+        Requires the spark-sql-kafka connector on the classpath —
+        the ``load()`` inside read_stream is the only line of this
+        path without in-container executed evidence."""
+        from ..sources.kafka import reader_options
+
+        raw = (
+            self.spark.readStream.format("kafka")
+            .options(**reader_options(msg_type, bootstrap_servers,
+                                      **kafka_opts))
+            .load()
+        )
+        return self.start_kafka_shaped_stream(
+            msg_type, raw, checkpoint_dir)
 
     def start_file_stream(self, msg_type: str, source_dir: str,
                           checkpoint_dir: str, available_now: bool = True,

@@ -677,7 +677,8 @@ def test_fingerprint_banding_pigeonhole_complete(spark):
     ]
     df = spark.createDataFrame(fps, "img_id long, dhash long")
     got = {(r.id_a, r.id_b, r.hamming) for r in fingerprint_neardup_pairs(
-        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3).collect()}
+        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
+        max_bucket_size=None).collect()}
     want = set()
     for (ia, fa), (ib, fb) in itertools.combinations(fps, 2):
         h = bin(fa ^ fb).count("1")
@@ -694,9 +695,11 @@ def test_fingerprint_banding_pigeonhole_complete(spark):
                   (10, base ^ (7 << 60))]           # all three high bits
     df4 = spark.createDataFrame(fps4, "img_id long, dhash long")
     got4 = {(r.id_a, r.id_b, r.hamming) for r in fingerprint_neardup_pairs(
-        df4, "img_id", "dhash", bits=60, bands=4, max_hamming=3).collect()}
+        df4, "img_id", "dhash", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=None).collect()}
     got7 = {(r.id_a, r.id_b, r.hamming) for r in fingerprint_neardup_pairs(
-        df4, "img_id", "dhash", bits=63, bands=7, max_hamming=3).collect()}
+        df4, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
+        max_bucket_size=None).collect()}
     want4 = set()
     for (ia, fa), (ib, fb) in itertools.combinations(fps4, 2):
         h = bin(fa ^ fb).count("1")
@@ -821,7 +824,8 @@ def test_noise_video_and_frameset_pairs(spark):
     got = {(r.id_a, r.id_b): (r.min_hamming, r.n_hit_frames)
            for r in frameset_neardup_pairs(
                h, "vid_id", "frame_index", "dhash",
-               bits=63, bands=7, max_hamming=3).collect()}
+               bits=63, bands=7, max_hamming=3,
+               max_bucket_size=None).collect()}
     # independent recomputation: any frame pair within hamming 3
     want = {}
     vids_set = sorted({v for v, _ in rows})
@@ -872,7 +876,8 @@ def test_auto_bucket_cap_policy(spark):
         max_bucket_size="auto").collect()}
     assert auto == manual
     uncapped = {(r.id_a, r.id_b) for r in fingerprint_neardup_pairs(
-        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3).collect()}
+        df, "img_id", "dhash", bits=63, bands=7, max_hamming=3,
+        max_bucket_size=None).collect()}
     assert auto < uncapped  # the mega-bucket really was chopped
 
     # incremental twin: two batches with the auto cap accumulate the
@@ -948,7 +953,7 @@ def test_incremental_frameset_pairs_matches_batch(spark, tmp_path):
     rows += [(100, 0, base ^ (0x2A << 36)), (100, 1, base ^ (0x15 << 45)),
              (101, 0, (base ^ (0x2A << 36)) ^ 1), (101, 1, base ^ (0x15 << 45))]
     df = spark.createDataFrame(rows, "vid_id long, frame_index int, dhash long")
-    kw = dict(bits=60, bands=4, max_hamming=3)
+    kw = dict(bits=60, bands=4, max_hamming=3, max_bucket_size=None)
     want = {(r.id_a, r.id_b, r.min_hamming, r.n_hit_frames)
             for r in frameset_neardup_pairs(
                 df, "vid_id", "frame_index", "dhash", **kw).collect()}
@@ -973,7 +978,7 @@ def test_incremental_frameset_pairs_matches_batch(spark, tmp_path):
         incremental_frameset_pairs(
             capped, df.filter(f"vid_id % 2 = {b}"), "vid_id",
             "frame_index", "dhash", batch_id=b,
-            max_bucket_size="auto", **kw)
+            **{**kw, "max_bucket_size": "auto"})
     got_cap = {(r.id_a, r.id_b) for r in capped.read("vid_pairs").collect()}
     assert got_cap <= {p[:2] for p in want}
 
@@ -995,7 +1000,7 @@ def test_incremental_fingerprint_optimize_cadence(spark, tmp_path):
     base = 0x155555555555555
     fps = [(i, base ^ (i % 3)) for i in range(64)]
     df = spark.createDataFrame(fps, "img_id long, dhash long")
-    kw = dict(bits=63, bands=7, max_hamming=3)
+    kw = dict(bits=63, bands=7, max_hamming=3, max_bucket_size=None)
 
     def files(root):
         return len(glob.glob(str(root) + "/**/*.parquet", recursive=True))
@@ -1108,7 +1113,7 @@ def test_auto_optimize_cadence_default_on(spark, tmp_path):
     base = 0x155555555555555
     fps = [(i, base ^ (i % 3)) for i in range(64)]
     df = spark.createDataFrame(fps, "img_id long, dhash long")
-    kw = dict(bits=63, bands=7, max_hamming=3)
+    kw = dict(bits=63, bands=7, max_hamming=3, max_bucket_size=None)
 
     def files(root):
         return len(glob.glob(str(root) + "/**/*.parquet", recursive=True))
@@ -1198,3 +1203,23 @@ def test_auto_cap_expr_matches_python_twin(spark):
                          _auto_cap_expr("__nfp", w).alias("cap")).collect()}
         for n in ns:
             assert got[n] == auto_cap_value(n, bits, bands), (n, bits, bands)
+
+
+def test_capped_operators_default_to_auto():
+    """Findings 30-36: fixed caps collapse recall at scale in every
+    measured modality, so the N-adaptive 'auto' cap is the default on
+    every banded candidate-join operator. Gates that need exact
+    semantics opt OUT with an explicit max_bucket_size=None/int —
+    never the other way around."""
+    import inspect
+
+    from obmp_psql_spark.operators import dedup, similarity
+
+    for fn in (dedup.fingerprint_neardup_pairs,
+               dedup.frameset_neardup_pairs,
+               dedup.simhash_neardup_pairs,
+               dedup.incremental_fingerprint_pairs,
+               dedup.incremental_frameset_pairs,
+               similarity.lsh_topk):
+        d = inspect.signature(fn).parameters["max_bucket_size"].default
+        assert d == "auto", f"{fn.__name__} default is {d!r}, not 'auto'"

@@ -104,6 +104,7 @@ def test_registry_has_no_unplanned_cross_joins(spark):
     whitelist in ``plans.audit`` (bounded-by-construction broadcast
     sides: IVF centroids, probe sets, 1-row watermark). Fails when a
     future query sneaks in an accidental cross join."""
+    import obmp_psql_spark.queries_bmp as qb
     from obmp_psql_spark.plans.audit import (
         BNLJ_WHITELIST, cross_join_violations, formatted_plan)
     from obmp_psql_spark.registry import all_specs
@@ -111,6 +112,10 @@ def test_registry_has_no_unplanned_cross_joins(spark):
     from .conftest import SF_SMALL
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # PRE-materialization plans for the gate tier (same switch the
+    # PLANS.md dump uses): the audit must see the ingest pipelines'
+    # real joins, not the post-localCheckpoint read
+    qb.PLAN_AUDIT = True
     try:
         specs = all_specs()
         violations: list[str] = []
@@ -125,6 +130,7 @@ def test_registry_has_no_unplanned_cross_joins(spark):
         # produces a BNLJ, or it should be removed
         assert set(BNLJ_WHITELIST) <= seen_bnlj
     finally:
+        qb.PLAN_AUDIT = False
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
@@ -769,3 +775,44 @@ def test_aqe_floor_keeps_gate_scale_parallelism(spark):
     # the initial parallelism survives
     assert without_floor <= 8
     assert with_floor >= 2 * without_floor
+
+
+def test_prepare_peer_backfill_join_is_hash_join(spark):
+    """The router-backfill join in prepare_peer must plan as a
+    broadcast HASH join when router keys are heterogeneous (any real
+    deployment). The BNLJ the plan audit whitelists for the peer
+    gates is a fixture artifact: a CONSTANT router_hash_id lets
+    Catalyst fold the join key into a build-side filter — this pins
+    that the fold, not the join shape, is what the gates see."""
+    import datetime as dt
+
+    from obmp_psql_spark.ingest import prepare_peer
+    from obmp_psql_spark.schemas import MESSAGE_SCHEMAS, TABLE_SCHEMAS
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = MESSAGE_SCHEMAS["peer"]
+    rows = [dict(
+        action="up", hash=f"p{n}", router_hash=f"rt{n % 3}", peer_rd="",
+        is_ipv4=True, peer_ip="0.0.0.0", name="", peer_bgp_id="0.0.0.0",
+        peer_asn=65000 + n, is_l3vpn=False, is_pre_policy=False,
+        local_ip="10.0.0.1", local_bgp_id="10.0.0.1", local_port=179,
+        local_holddown=90, local_asn=64999, peer_port=4000 + n,
+        peer_holddown=90, advertised_cap="", received_cap="",
+        bmp_down_reason=0, bgp_error_code=0, bgp_error_subcode=0,
+        bgp_error_text="", is_loc_rib=True, is_loc_rib_filtered=False,
+        table_name="", timestamp=t0) for n in range(6)]
+    batch = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in s.fields) for r in rows], s)
+    routers = spark.createDataFrame(
+        [(f"rt{n}", f"router-{n}", f"198.51.100.{n}")
+         + (None,) * (len(TABLE_SCHEMAS["routers"].fields) - 3)
+         for n in range(3)],
+        TABLE_SCHEMAS["routers"])
+    out = prepare_peer(batch, routers, geo_ip=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the backfill actually lands: LocRib 0.0.0.0 peers take the
+    # router's name/ip
+    got = {r.hash_id: (r.name, r.peer_bgp_id) for r in out.collect()}
+    assert got["p4"] == ("router-1", "198.51.100.1")

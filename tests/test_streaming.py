@@ -173,3 +173,90 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert rows[0] == 1
     # wave-3 watermark (10:35) finalized the wave-2 window [30,35)
     assert rows.get(30) == 1
+
+
+# ---------------------------------------------------------------------------
+# S1/T4 executed evidence: the post-load() Kafka path over a stand-in
+# ---------------------------------------------------------------------------
+
+def test_kafka_reader_options_wiring():
+    """Pins the connector option map without the jar: topic name
+    derivation, offset reset default, and the int->str threading of
+    maxOffsetsPerTrigger (Kafka options must be strings — an int
+    silently misconfigures some connector versions)."""
+    from obmp_psql_spark.sources.kafka import TOPIC_PREFIX, reader_options
+
+    o = reader_options("unicast_prefix", "k1:9092,k2:9092",
+                       max_offsets_per_trigger=1234)
+    assert o["subscribe"] == TOPIC_PREFIX + "unicast_prefix" \
+        == "openbmp.parsed.unicast_prefix"
+    assert o["kafka.bootstrap.servers"] == "k1:9092,k2:9092"
+    assert o["startingOffsets"] == "earliest"
+    assert o["maxOffsetsPerTrigger"] == "1234"
+    assert all(isinstance(v, str) for v in o.values())
+    o2 = reader_options("peer", "b:9092", starting_offsets="latest")
+    assert o2["subscribe"] == "openbmp.parsed.peer"
+    assert o2["startingOffsets"] == "latest"
+
+
+def test_kafka_shaped_stream_e2e(spark, tmp_path):
+    """The ENTIRE post-load() Kafka path executes: records with the
+    connector's schema (key/value BINARY, topic, partition, offset,
+    timestamp) -> decode_kafka_records (TSV parse + typed coercion)
+    -> foreachBatch dedup+merge into the txn store. Driven from a
+    file-source stand-in, which is byte-for-byte the same plan the
+    connector stream feeds — only load() itself differs. Restart on
+    the same checkpoint replays nothing (T8)."""
+    src_dir = str(tmp_path / "krecords")
+    ckpt = str(tmp_path / "kckpt")
+    store_dir = str(tmp_path / "kstore")
+
+    from obmp_psql_spark.sources.tsv import to_tsv
+
+    def as_records(rows):
+        return to_tsv(msgs(spark, "unicast_prefix", rows),
+                      "unicast_prefix").select(
+            F.encode(F.lit("p1"), "UTF-8").alias("key"),
+            F.encode(F.col("value"), "UTF-8").alias("value"),
+            F.lit("openbmp.parsed.unicast_prefix").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).cast("int").alias("timestampType"),
+        )
+
+    def run_wave():
+        raw = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema).parquet(src_dir)
+        q = ing.start_kafka_shaped_stream("unicast_prefix", raw, ckpt,
+                                          available_now=True)
+        q.awaitTermination()
+
+    as_records([
+        upx("add", "r1", "p1", "attrA", ts(0)),
+        upx("add", "r2", "p1", "attrB", ts(0)),
+        # within-key duplicate: dedup-latest keeps the newest
+        upx("add", "r2", "p1", "attrC", ts(2)),
+    ]).coalesce(1).write.mode("append").parquet(src_dir)
+    store = ParquetStateStore(spark, store_dir)
+    ing = BmpStreamingIngest(spark, store)
+    run_wave()
+
+    # second wave over the SAME checkpoint: withdraw merges against
+    # the committed state from wave 1
+    as_records([upx("del", "r1", "p1", "", ts(3))]) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+    run_wave()
+
+    rib = {r.hash_id: r for r in store.read("ip_rib").collect()}
+    assert set(rib) == {"r1", "r2"}
+    assert rib["r1"].is_withdrawn is True
+    assert rib["r1"].base_attr_hash_id == "attrA"  # withdraw kept attrs
+    assert rib["r2"].is_withdrawn is False
+    assert rib["r2"].base_attr_hash_id == "attrC"  # in-batch dedup-latest
+    assert rib["r2"].origin_as == 65001  # typed coercion survived TSV
+
+    # restart over the same checkpoint: no new records, no state change
+    run_wave()
+    assert store.read("ip_rib").count() == 2
+    assert store.read("ip_rib_log").count() == 1  # only the withdraw logged

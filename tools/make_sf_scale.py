@@ -49,6 +49,8 @@ def main() -> None:
     only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-copy (sf100) union exceeds the default parser depth (1000)
+    con.execute("SET max_expression_depth TO 25000")
 
     for t in (only or TABLES):
         src = f"{SRC}/{t}.parquet"
