@@ -100,19 +100,40 @@ def _cached_pipeline(tag: str, spark: SparkSession, sf_dir: str, build):
             return dfs
         except Exception:
             _PIPELINE_CACHE.pop(key, None)
-    # gate pipelines shuffle <=100k-row micro-batches; 8 post-shuffle
-    # partitions beat 32 by a consistent ~10% (fewer task launches and
-    # state/checkpoint files; AQE still coalesces below this). A
-    # production deployment sizes shuffle partitions to batch volume —
-    # same knob, other direction.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_gate_shuffle_partitions(sf_dir)))
     try:
         dfs = tuple(df.localCheckpoint() for df in build())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _PIPELINE_CACHE[key] = dfs
     return dfs
+
+
+# Size post-shuffle partitions to the INPUT VOLUME, not a constant.
+# At gate scale (<=100k-row micro-batches) 8 partitions beat 32 by a
+# consistent ~10% (fewer task launches and state/checkpoint files;
+# AQE still coalesces below this). But the knob is a scale bug when
+# fixed: the sf100 decade probe (finding 40) measured the two-batch
+# merge at alpha 1.34 in its THIRD decade because 100M rows / 8
+# partitions = 12.5M-row sort-merge partitions that spill every pass.
+# ~32 MB of source parquet per post-shuffle partition keeps sorts
+# in-memory across every measured decade; the floor preserves the
+# gate-scale win and the cap bounds small-file explosion.
+GATE_PARTITION_BYTES = 32 << 20
+GATE_PARTITION_FLOOR = 8
+GATE_PARTITION_CAP = 256
+
+
+def _gate_shuffle_partitions(sf_dir: str) -> int:
+    import os
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return GATE_PARTITION_FLOOR
+    return max(GATE_PARTITION_FLOOR,
+               min(GATE_PARTITION_CAP, -(-size // GATE_PARTITION_BYTES)))
 
 
 def _run_pipeline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

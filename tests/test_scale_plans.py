@@ -816,3 +816,31 @@ def test_prepare_peer_backfill_join_is_hash_join(spark):
     # router's name/ip
     got = {r.hash_id: (r.name, r.peer_bgp_id) for r in out.collect()}
     assert got["p4"] == ("router-1", "198.51.100.1")
+
+
+def test_gate_shuffle_partitions_scale_with_input(tmp_path):
+    """The gate pipelines size post-shuffle partitions to the source
+    volume (finding 40: a fixed 8 gave 12.5M-row spilling sorts at
+    sf100). Floor preserves the measured gate-scale win; cap bounds
+    small-file explosion; a missing file degrades to the floor."""
+    from obmp_psql_spark.queries_bmp import (
+        GATE_PARTITION_BYTES,
+        GATE_PARTITION_CAP,
+        GATE_PARTITION_FLOOR,
+        _gate_shuffle_partitions,
+    )
+
+    assert _gate_shuffle_partitions(str(tmp_path / "nope")) \
+        == GATE_PARTITION_FLOOR
+
+    def fake(nbytes):
+        d = tmp_path / f"sf_{nbytes}"
+        d.mkdir()
+        with open(d / "events.parquet", "wb") as fh:
+            fh.truncate(nbytes)
+        return str(d)
+
+    assert _gate_shuffle_partitions(fake(1 << 20)) == GATE_PARTITION_FLOOR
+    assert _gate_shuffle_partitions(fake(80 * GATE_PARTITION_BYTES)) == 80
+    assert _gate_shuffle_partitions(fake(10_000 * GATE_PARTITION_BYTES)) \
+        == GATE_PARTITION_CAP
