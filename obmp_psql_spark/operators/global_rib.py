@@ -142,13 +142,19 @@ def enrich_rpki(global_rib: DataFrame, rpki: DataFrame,
     )
     matched = containment_join128(
         probes, "__fam", "__hi", "__lo", roas,
-        broadcast=True,
+        broadcast=True,  # the ROA dim is bounded (~500k rows real-world)
         extra_pred=(F.col("prefix_len") >= F.col("roa_len"))
                    & (F.col("prefix_len") <= F.col("roa_len_max")),
     ).groupBy("prefix", "recv_origin_as") \
      .agg(F.max("__rpki_as").alias("__rpki_new"))
+    # NO forced broadcast of `matched`: it is bounded by the ELIGIBLE
+    # RIB SLICE, not by the ROA dim — after a full sync (start_time
+    # None / far past) that is the whole global rib, and a forced
+    # broadcast of a table-sized aggregate is the scale killer the
+    # IRR join already avoids (same AQE size-gate reasoning as
+    # enrich_irr; test_scale_plans.py pins both).
     return (
-        global_rib.join(F.broadcast(matched), ["prefix", "recv_origin_as"], "left")
+        global_rib.join(matched, ["prefix", "recv_origin_as"], "left")
         .withColumn("rpki_origin_as",
                     F.coalesce(F.col("__rpki_new"), F.col("rpki_origin_as")))
         .drop("__rpki_new")

@@ -844,3 +844,47 @@ def test_gate_shuffle_partitions_scale_with_input(tmp_path):
     assert _gate_shuffle_partitions(fake(80 * GATE_PARTITION_BYTES)) == 80
     assert _gate_shuffle_partitions(fake(10_000 * GATE_PARTITION_BYTES)) \
         == GATE_PARTITION_CAP
+
+
+def test_enrich_rpki_matched_join_is_size_gated(spark):
+    """enrich_rpki must not force-broadcast the MATCHED aggregate:
+    it is bounded by the eligible rib slice (the whole global rib
+    after a full sync), not by the ROA dim. The only forced broadcast
+    in the plan is the bounded ROA band table inside the containment
+    join; the final left join must fall back to a shuffle join when
+    the matched side is over threshold."""
+    import datetime as dt
+
+    from obmp_psql_spark.operators import global_rib as G
+    from obmp_psql_spark.schemas import TABLE_SCHEMAS
+
+    glob = spark.createDataFrame(
+        [("10.%d.0.0" % i, 16, 65000 + i, False, dt.datetime(2024, 1, 1),
+          dt.datetime(2024, 1, 1), 1, 1, 0, None, None, None, None,
+          167772160 + i * 65536, 167772160 + i * 65536 + 65535, 0,
+          167772160 + i * 65536) for i in range(200)],
+        TABLE_SCHEMAS["global_ip_rib"])
+    rpki = spark.createDataFrame(
+        [("10.%d.0.0" % i, 0, 167772160 + i * 65536, 0,
+          167772160 + i * 65536 + 65535, 16, 24, 71000 + i)
+         for i in range(200)],
+        "prefix string, start_hi long, start_lo long, end_hi long, "
+        "end_lo long, prefix_len int, prefix_len_max int, origin_as long")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = G.enrich_rpki(glob, rpki, None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one forced broadcast: the exploded ROA band table
+        assert plan.count("BroadcastExchange") == 1
+        # the matched-aggregate left join shuffles instead
+        import re
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*LeftOuter",
+                         plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    got = {r.prefix: r.rpki_origin_as for r in out.collect()}
+    assert got["10.7.0.0"] == 71007 and len(got) == 200
