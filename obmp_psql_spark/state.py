@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -197,6 +198,11 @@ class Transaction:
         self.actions: list[dict] = []
         self.meta: dict[str, str] = {}
         self._staged_dirs: list[str] = []
+        # staging methods may run CONCURRENTLY (independent tables of
+        # one txn overlap their Spark write jobs — see
+        # streaming.pipeline._stage_concurrently); the lock guards the
+        # action/staged-dir metadata, never the write itself
+        self._lock = threading.Lock()
 
     def replace(self, table: str, df: DataFrame,
                 write_options: dict | None = None) -> None:
@@ -210,10 +216,11 @@ class Transaction:
         for k, v in (write_options or {}).items():
             w = w.option(k, v)
         w.parquet(d)
-        self._staged_dirs.append(d)
-        self.actions.append({"table": table, "kind": "replace",
-                             "dir": self.store._rel(d),
-                             "has_files": _has_parquet(d)})
+        with self._lock:
+            self._staged_dirs.append(d)
+            self.actions.append({"table": table, "kind": "replace",
+                                 "dir": self.store._rel(d),
+                                 "has_files": _has_parquet(d)})
 
     def append(self, table: str, df: DataFrame,
                partition_by: str | None = None) -> None:
@@ -240,11 +247,12 @@ class Transaction:
             # wins in the snapshot): a second writer appending with a
             # DIFFERENT column would silently re-cluster optimize()
             # on whichever column landed last — refuse instead
-            recorded = (self.store.snapshot().tables.get(table)
-                        or {}).get("partition_col")
-            for a in self.actions:  # earlier appends in this txn
-                if a["table"] == table and a.get("partition_col"):
-                    recorded = a["partition_col"]
+            with self._lock:
+                recorded = (self.store.snapshot().tables.get(table)
+                            or {}).get("partition_col")
+                for a in self.actions:  # earlier appends in this txn
+                    if a["table"] == table and a.get("partition_col"):
+                        recorded = a["partition_col"]
             if recorded is not None and recorded != partition_by:
                 raise ValueError(
                     f"append to {table!r} partitioned by "
@@ -260,16 +268,18 @@ class Transaction:
             df = (df.repartitionByRange(F.col(partition_by))
                   .sortWithinPartitions(partition_by))
         df.write.mode("overwrite").parquet(d)
-        self._staged_dirs.append(d)
-        act["has_files"] = _has_parquet(d)
-        self.actions.append(act)
+        with self._lock:
+            self._staged_dirs.append(d)
+            act["has_files"] = _has_parquet(d)
+            self.actions.append(act)
 
     def drop_appends(self, table: str, dirs: list[str]) -> None:
         """Metadata-only retention: remove whole committed append
         dirs from the snapshot (files reclaimed by GC/vacuum). The
         Timescale drop_chunks equivalent — O(1) per expired chunk."""
-        self.actions.append({"table": table, "kind": "drop_appends",
-                             "dirs": sorted(dirs)})
+        with self._lock:
+            self.actions.append({"table": table, "kind": "drop_appends",
+                                 "dirs": sorted(dirs)})
 
     def replace_bucketed(self, table: str, df: DataFrame,
                          key_cols: list[str], n_buckets: int,
@@ -292,11 +302,13 @@ class Transaction:
         for k, v in (write_options or {}).items():
             w = w.option(k, v)
         w.parquet(d)
-        self._staged_dirs.append(d)
-        self.actions.append({
-            "table": table, "kind": "replace_bucketed",
-            "dir": self.store._rel(d), "n_buckets": n_buckets,
-            "key_cols": list(key_cols), "present": _present_buckets(d)})
+        with self._lock:
+            self._staged_dirs.append(d)
+            self.actions.append({
+                "table": table, "kind": "replace_bucketed",
+                "dir": self.store._rel(d), "n_buckets": n_buckets,
+                "key_cols": list(key_cols),
+                "present": _present_buckets(d)})
 
     def merge_buckets(self, table: str, df: DataFrame,
                       key_cols: list[str], n_buckets: int,
@@ -320,13 +332,14 @@ class Transaction:
         df.withColumn("_bucket", bucket_of(key_cols, n_buckets)) \
             .repartition(max(len(touched), 1), "_bucket") \
             .write.partitionBy("_bucket").mode("overwrite").parquet(d)
-        self._staged_dirs.append(d)
-        self.actions.append({
-            "table": table, "kind": "merge_buckets",
-            "dir": self.store._rel(d), "n_buckets": n_buckets,
-            "key_cols": list(key_cols),
-            "touched": sorted(int(b) for b in touched),
-            "present": _present_buckets(d)})
+        with self._lock:
+            self._staged_dirs.append(d)
+            self.actions.append({
+                "table": table, "kind": "merge_buckets",
+                "dir": self.store._rel(d), "n_buckets": n_buckets,
+                "key_cols": list(key_cols),
+                "touched": sorted(int(b) for b in touched),
+                "present": _present_buckets(d)})
 
     def set_meta(self, key: str, value: str) -> None:
         """Commit-scoped metadata (e.g. a job watermark) — becomes

@@ -798,3 +798,47 @@ def test_snapshot_diff_null_keys(spark):
     assert got["k2"]["change"] == "removed"
     # k3 unchanged -> dropped
     assert "k3" not in got
+
+
+def test_concurrent_staging_commits_atomically(spark, tmp_path):
+    """The log append and state replace of one micro-batch stage from
+    parallel threads (streaming.pipeline._stage_concurrently): both
+    actions land in ONE commit, results identical to sequential
+    staging, and a failing thunk aborts the whole txn with nothing
+    visible and no orphaned staged dirs in the snapshot."""
+    from obmp_psql_spark.streaming.pipeline import _stage_concurrently
+
+    store = TxnStateStore(spark, str(tmp_path))
+    with store.transaction("conc", 0) as txn:
+        _stage_concurrently(
+            lambda: txn.replace("t1", df(spark, [("a", 1), ("b", 2)])),
+            lambda: txn.append("t2", df(spark, [("c", 3)])),
+        )
+    v = store.snapshot().version
+    assert as_dict(store, "t1") == {"a": 1, "b": 2}
+    assert as_dict(store, "t2") == {"c": 3}
+    # one commit carried both actions
+    rec = json.load(open(os.path.join(
+        str(tmp_path), _LOG_DIR, f"{v:020d}.json")))
+    assert {a["table"] for a in rec["actions"]} == {"t1", "t2"}
+
+    # failure in one thunk: the other completes, then the exception
+    # aborts the txn — nothing new becomes visible
+    def boom():
+        raise RuntimeError("staging failed")
+
+    with pytest.raises(RuntimeError, match="staging failed"):
+        with store.transaction("conc", 1) as txn:
+            _stage_concurrently(
+                lambda: txn.replace("t1", df(spark, [("x", 9)])),
+                boom,
+            )
+    assert store.snapshot().version == v
+    assert as_dict(store, "t1") == {"a": 1, "b": 2}
+
+    # many small concurrent appends: metadata list stays consistent
+    with store.transaction("conc", 2) as txn:
+        _stage_concurrently(*[
+            (lambda i=i: txn.append("t3", df(spark, [(f"k{i}", i)])))
+            for i in range(6)])
+    assert as_dict(store, "t3") == {f"k{i}": i for i in range(6)}
