@@ -172,7 +172,8 @@ def test_simhash_degenerate_bucket_cap(spark):
                                 bands=4, max_hamming=6,
                                 max_bucket_size=64)
     uncapped = simhash_neardup_pairs(small, "doc_id", "text", bits=32,
-                                     bands=4, max_hamming=6)
+                                     bands=4, max_hamming=6,
+                                     max_bucket_size=None)
     assert {(r.id_a, r.id_b) for r in got.collect()} \
         == {(r.id_a, r.id_b) for r in uncapped.collect()} != set()
 

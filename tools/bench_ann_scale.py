@@ -77,7 +77,8 @@ def main() -> None:
         planes = LSH_PLANES[tag]
         if tag != "200k":
             timed(f"lsh {planes} planes uncapped", r,
-                  lambda: S.lsh_topk(v, dims=64, n_planes=planes, k=5))
+                  lambda: S.lsh_topk(v, dims=64, n_planes=planes, k=5,
+                                     max_bucket_size=None))
         if tag != "2k":
             timed(f"lsh {planes} planes cap {LSH_CAP}", r,
                   lambda: S.lsh_topk(v, dims=64, n_planes=planes, k=5,

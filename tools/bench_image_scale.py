@@ -77,7 +77,8 @@ def main() -> None:
         # ground truth at minimum pigeonhole banding (finding 34):
         # identical pair set to the 7-band join, 64x lower occupancy
         true_pairs, true_planted = counts(fingerprint_neardup_pairs(
-            fp, "img_id", "dhash", bits=60, bands=4, max_hamming=3))
+            fp, "img_id", "dhash", bits=60, bands=4, max_hamming=3,
+            max_bucket_size=None))
         kept_fixed, planted_fixed = counts(fingerprint_neardup_pairs(
             fp, "img_id", "dhash", max_bucket_size=4, **kw))
         t0 = time.time()

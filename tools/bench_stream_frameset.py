@@ -89,8 +89,9 @@ def main() -> None:
     inc_pairs = {(r.id_a, r.id_b) for r in
                  store.read("vid_pairs").select("id_a", "id_b").collect()}
     exact = {(r.id_a, r.id_b) for r in frameset_neardup_pairs(
-        fp, "vid_id", "frame_index", "dhash",
-        bits=60, bands=4, max_hamming=3).select("id_a", "id_b").collect()}
+        fp, "vid_id", "frame_index", "dhash", bits=60, bands=4,
+        max_hamming=3, max_bucket_size=None)
+        .select("id_a", "id_b").collect()}
     results["pairs_accumulated"] = len(inc_pairs)
     results["pairs_exact_uncapped"] = len(exact)
     results["accumulated_subset_of_exact"] = inc_pairs <= exact

@@ -77,7 +77,7 @@ def main() -> None:
         # ground truth: minimum pigeonhole banding, uncapped (lossless)
         true_pairs, true_planted = counts(frameset_neardup_pairs(
             fp, "vid_id", "frame_index", "dhash",
-            bits=60, bands=4, max_hamming=3))
+            bits=60, bands=4, max_hamming=3, max_bucket_size=None))
         kw = dict(bits=63, bands=7, max_hamming=3)
         kept_fixed, planted_fixed = counts(frameset_neardup_pairs(
             fp, "vid_id", "frame_index", "dhash",
