@@ -41,7 +41,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUCKET_ROWS = 50_000  # constant bucket size; count scales with state
-SCALES = [200_000, 2_000_000, 20_000_000]
+# override with CHURN_SCALES=200000,200000000 for targeted decades
+SCALES = [int(x) for x in os.environ.get(
+    "CHURN_SCALES", "200000,2000000,20000000").split(",")]
 T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
 
 
