@@ -203,6 +203,7 @@ def main() -> None:
     headline_reruns = 0
     redraw_waited = 0
     headline_meta: dict[str, dict] = {}
+    foreign_load = None
     if not names:
         from obmp_psql_spark.queries_bmp import _PIPELINE_CACHE
 
@@ -227,11 +228,20 @@ def main() -> None:
         ambient_blk, redraw_waited = _wait_ambient(REDRAW_WAIT_MAX_S)
         # streaming-tier redraw: q_stream_* walls are fixed-trigger /
         # state-store-commit dominated, so host noise shows up 1:1 in
-        # their single draw. Any streaming query whose first draw ran
-        # under load > gate gets ONE redraw in this load-qualified
-        # block; the recorded timing is the min, with both draws kept
-        # in query_meta so the judged number's provenance is explicit.
-        for name in [n for n in selected if n.startswith("q_stream_")
+        # their single draw. The per-query load stamps can't gate this
+        # — during the 150+-query pass the 1-min average is dominated
+        # by the bench's OWN work, so stamp > gate matches nearly
+        # every streaming query and redraws them all (round-12
+        # ADVICE: extra wall for nothing on a foreign-quiet host).
+        # Gate instead on evidence of FOREIGN load: the pre-pass
+        # ambient (idle-waited, so residual > gate means a busy host)
+        # or the post-pass quiet-block ambient (our tree is idle, so
+        # anything above the gate is foreign). Self-load decays by
+        # the quiet block; foreign load persists.
+        foreign_load = (ambient0 > HEADLINE_LOAD_GATE
+                        or ambient_blk > HEADLINE_LOAD_GATE)
+        for name in [n for n in selected if foreign_load
+                     and n.startswith("q_stream_")
                      and query_meta[n]["load_at_draw"] > HEADLINE_LOAD_GATE]:
             # cold redraw: clear the shared pipeline memo first, same
             # as cold_run — a cached query would otherwise "redraw" as
@@ -295,6 +305,12 @@ def main() -> None:
         "git_head": git_head,
         "metric": "bench_total_wall",
         "value": total,
+        # `value` is the FIRST full pass over every query; redrawn
+        # q_stream_* / min-of-N headline entries in `queries` may be
+        # lower than their first-pass draw (kept in query_meta
+        # first_draw_wall_s / headlines.draws), so sum(queries) does
+        # not reconcile with `value` by design (round-12 ADVICE)
+        "total_is_first_pass_only": True,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -304,6 +320,11 @@ def main() -> None:
         "idle_waited_s": idle_waited,
         "redraw_waited_s": redraw_waited,
     }
+    if foreign_load is not None:
+        # False => streaming redraws were skipped: no foreign-load
+        # evidence pre-pass or in the quiet block, so first draws
+        # stand (self-load stamps alone don't justify the extra wall)
+        out["stream_redraw_foreign_load"] = foreign_load
     # per-headline provenance: the chosen draw's wall/cpu/load plus
     # every draw taken, so a cross-round delta is readable at a glance
     # (qualified=False marks a headline that never saw a quiet host)
@@ -379,6 +400,58 @@ def main() -> None:
             round_n = max(done) + (1 if tracked else 0)
         else:
             round_n = 0
+    # cross-round regression surfacing (round-12 verdict #7): compare
+    # this pass's per-query walls against the previous round's record
+    # and emit a `regressions` block for any >1.3x slower move, with
+    # both rounds' (load_at_draw, cpu_s) provenance and a noise/real
+    # verdict — wall inflates with ambient load, tree-CPU barely
+    # moves, so cpu_ratio also >1.3 reads "the query did more work"
+    # (real) while wall-only moves read "the host was busy" (noise).
+    if not names:
+        prev_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r{int(round_n) - 1:02d}.json")
+        regressions = []
+        if os.path.exists(prev_path):
+            try:
+                with open(prev_path) as fh:
+                    prev = json.load(fh)
+            except Exception:
+                prev = {}
+            prev_q = prev.get("queries", {})
+            prev_meta = prev.get("query_meta", {})
+            for name, cur_wall in timings.items():
+                pv = prev_q.get(name)
+                if not pv or cur_wall <= 1.3 * pv:
+                    continue
+                pm = prev_meta.get(name, {})
+                cm = query_meta.get(name, {})
+                cpu_ratio = (round(cm["cpu_s"] / pm["cpu_s"], 2)
+                             if cm.get("cpu_s") and pm.get("cpu_s")
+                             and pm["cpu_s"] > 0 else None)
+                # the /proc tree sampler is only trustworthy well
+                # above its tick granularity (negative deltas observed
+                # on ~0.1 s queries — SURVEY finding 43): below 2
+                # cpu-seconds a ratio can't separate work from jitter
+                cpu_small = (cpu_ratio is None
+                             or min(cm["cpu_s"], pm["cpu_s"]) < 2.0)
+                regressions.append({
+                    "query": name,
+                    "prev_wall_s": pv, "wall_s": cur_wall,
+                    "wall_ratio": round(cur_wall / pv, 2),
+                    "prev_load_at_draw": pm.get("load_at_draw"),
+                    "load_at_draw": cm.get("load_at_draw"),
+                    "prev_cpu_s": pm.get("cpu_s"),
+                    "cpu_s": cm.get("cpu_s"),
+                    "cpu_ratio": cpu_ratio,
+                    "verdict": ("small-cpu" if cpu_small
+                                else "real" if cpu_ratio > 1.3
+                                else "noise"),
+                })
+            out["regressions_vs"] = os.path.basename(prev_path)
+            out["regressions"] = sorted(
+                regressions, key=lambda r: -r["wall_ratio"])
+
     # a BENCH_QUERIES subset is a scratch run — never let it clobber
     # the committed full-registry artifact for the round
     stem = "BENCH_SUBSET" if names else "BENCH_LOCAL"
@@ -412,7 +485,9 @@ def main() -> None:
         fh.write("\n")
 
     compact = {k: v for k, v in out.items()
-               if k not in ("queries", "query_meta")}
+               if k not in ("queries", "query_meta", "regressions")}
+    if "regressions" in out:
+        compact["n_regressions"] = len(out["regressions"])
     compact["full_timings"] = os.path.basename(local_path)
     compact["queries"] = {}
     budget = 1700 - len(json.dumps(compact, separators=(",", ":")))

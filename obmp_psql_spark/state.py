@@ -198,6 +198,12 @@ class Transaction:
         self.actions: list[dict] = []
         self.meta: dict[str, str] = {}
         self._staged_dirs: list[str] = []
+        # table -> partition_by reserved at CHECK time, so two
+        # concurrent appends to the same table with different chunk
+        # columns can't both pass the conflict guard while neither has
+        # recorded its action yet (the action lands only after the
+        # Spark write, in a later lock section)
+        self._part_reservations: dict[str, str] = {}
         # staging methods may run CONCURRENTLY (independent tables of
         # one txn overlap their Spark write jobs — see
         # streaming.pipeline._stage_concurrently); the lock guards the
@@ -253,12 +259,17 @@ class Transaction:
                 for a in self.actions:  # earlier appends in this txn
                     if a["table"] == table and a.get("partition_col"):
                         recorded = a["partition_col"]
-            if recorded is not None and recorded != partition_by:
-                raise ValueError(
-                    f"append to {table!r} partitioned by "
-                    f"{partition_by!r}, but the table's recorded "
-                    f"chunk column is {recorded!r} — one chunk "
-                    f"column per table")
+                # concurrent appends: an in-flight append's column is
+                # visible here even though its action record lands
+                # only after its Spark write finishes
+                recorded = recorded or self._part_reservations.get(table)
+                if recorded is not None and recorded != partition_by:
+                    raise ValueError(
+                        f"append to {table!r} partitioned by "
+                        f"{partition_by!r}, but the table's recorded "
+                        f"chunk column is {recorded!r} — one chunk "
+                        f"column per table")
+                self._part_reservations[table] = partition_by
             act["partition_col"] = partition_by
             act["partitions"] = sorted(
                 r[0] for r in df.select(
@@ -550,6 +561,23 @@ class TxnStateStore:
             for _, _, fnames in os.walk(root):
                 n += sum(f.endswith(".parquet") for f in fnames)
         return n
+
+    def table_rows(self, table: str) -> int:
+        """Footer-only live row count for ONE table (the single-table
+        slice of ``table_info``): parquet footer ``num_rows`` summed
+        over live files — O(files) metadata reads, no data scan. Cost
+        input for the churn-census sink-shape choice (a lakehouse
+        catalog serves this from its manifest)."""
+        import pyarrow.parquet as pq
+
+        rows = 0
+        for root in self.current_paths(table):
+            for dirpath, _, fnames in os.walk(root):
+                for f in fnames:
+                    if f.endswith(".parquet"):
+                        rows += pq.ParquetFile(
+                            os.path.join(dirpath, f)).metadata.num_rows
+        return rows
 
     def table_info(self) -> list[dict]:
         """Operational stats per table — the ``show_table_info`` ops

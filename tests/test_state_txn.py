@@ -549,6 +549,29 @@ def test_append_partition_col_conflict_refused(spark, tmp_path):
             txn.append("u", df(spark, [("k2", 2)]), partition_by="v")
 
 
+def test_concurrent_append_partition_col_conflict(spark, tmp_path):
+    """Round-12 ADVICE: the chunk-column guard must hold when two
+    appends to the SAME table run concurrently
+    (streaming.pipeline._stage_concurrently) — the column is reserved
+    under the lock at CHECK time, not when the action record lands
+    after the Spark write, so the second checker fails
+    deterministically instead of both sliding through the
+    check-then-act window while neither has recorded its action."""
+    from obmp_psql_spark.streaming.pipeline import _stage_concurrently
+
+    store = TxnStateStore(spark, str(tmp_path / "cc"))
+    with pytest.raises(ValueError, match="chunk column"):
+        with store.transaction() as txn:
+            _stage_concurrently(
+                lambda: txn.append("t", df(spark, [("a", 1)]),
+                                   partition_by="k"),
+                lambda: txn.append("t", df(spark, [("b", 2)]),
+                                   partition_by="v"),
+            )
+    # the failed txn aborted: nothing became visible
+    assert "t" not in store.snapshot().tables
+
+
 def test_table_info_reports_layout_rows_and_appends(spark, tmp_path):
     """show_table_info equivalent (5_functions.sql:13-35): footer-only
     stats must agree with actual content across flat, chunked-append
