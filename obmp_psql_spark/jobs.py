@@ -64,10 +64,51 @@ class JobRunner:
 
     GLOBAL_KEY = ["prefix", "recv_origin_as"]
 
+    # Auto sink-shape: measured, and the measurement OVERRULED the
+    # plan. The r12 extrapolation (incremental meets full at churn ≈
+    # 21.6M rows = 10.8% of a 200M-row rib, BENCH_churn_r12.json)
+    # fitted its per-churn-row slope on CONCENTRATED churn, where
+    # each extra key drags a whole 50k-row bucket through read+write
+    # — a per-KEY cost that SATURATES once every bucket is touched,
+    # not an unbounded per-row cost. Direct arm measurement
+    # (BENCH_churn_auto.json: 2M and 20M rib, churn 0.5%→100% of the
+    # key space, uniform and concentrated) found NO crossover:
+    # incremental won every probed point (e.g. 20M rib / 4M uniform
+    # churn touching all 400 buckets: 16.5 s vs 35.5 s full),
+    # because the full rebuild re-consolidates the base rib that the
+    # watermark slice-scan skips and re-enriches every row where the
+    # incremental path enriches the slice — measured even at TOTAL
+    # key-space replay (churn == rib rows, every bucket):
+    # incremental 27.6 s vs full 54.5 s.
+    # So "auto" resolves to the incremental merge on cost grounds at
+    # every batch shape, recording the census in commit metadata;
+    # full_sync=True stays the EXPLICIT semantic resync (the
+    # slice-only aggregate drifts per-prefix counts until a rebuild
+    # — the same reason the reference schedules sync_global_ip_rib
+    # as its own cron, 2_aggregations.sql:280-353), not a
+    # performance lever.
+    @staticmethod
+    def churn_census(per_bucket_rows: list, n_buckets: int,
+                     rib_rows: int) -> dict:
+        """Churn-locality census for one consolidation cycle:
+        ``per_bucket_rows`` is the collected (bucket, rows) aggregate
+        over the materialized watermark slice — the bucket-pruning
+        job the incremental merge needs anyway, grouped instead of
+        distinct, so the shape data is free. Recorded in commit
+        metadata for observability; see the class comment for why
+        the cost-optimal pick is the incremental merge at every
+        measured batch shape."""
+        churn_rows = sum(r["rows"] for r in per_bucket_rows)
+        touched = sorted(r["b"] for r in per_bucket_rows)
+        return {"churn_rows": churn_rows, "rib_rows": rib_rows,
+                "touched_buckets": touched, "n_buckets": n_buckets,
+                "bucket_fraction": round(len(touched) / n_buckets, 4),
+                "full_sync": False}
+
     def run_global_rib(self, now: dt.datetime | None = None,
                        max_interval: dt.timedelta = dt.timedelta(hours=2),
                        buckets: int | None = None,
-                       full_sync: bool = False) -> None:
+                       full_sync: bool | str = False) -> None:
         """update_global_ip_rib equivalent with persisted watermark
         (2_aggregations.sql:181-275).
 
@@ -77,11 +118,26 @@ class JobRunner:
         partial bucket merge. The reference's UPDATE ... WHERE
         timestamp >= start does exactly this row-pruned work inside
         Postgres; at 100 TB the bucketed merge keeps the job O(churn)
-        instead of O(global table)."""
+        instead of O(global table).
+
+        ``full_sync``: True forces the full rebuild — the EXPLICIT
+        semantic resync (slice-only aggregates drift per-prefix
+        counts until a rebuild; the reference schedules
+        sync_global_ip_rib as its own cron for the same reason).
+        False (default) takes the incremental path. ``"auto"`` takes
+        the incremental path too — direct arm measurement found no
+        churn shape where the rebuild is cheaper (class comment) —
+        and additionally records the churn-locality census in the
+        commit metadata (``global_rib_sink_shape``)."""
         now = now or dt.datetime.utcnow()
         spec = self.store.bucket_spec("global_ip_rib")
         n = buckets or (spec[1] if spec else None)
-        if full_sync:
+        if full_sync == "auto" and n is None:
+            # no bucketed layout to arbitrate: the monolithic
+            # incremental path consolidates only the watermark slice
+            # and is never costlier than the full rebuild — take it
+            full_sync = False
+        if full_sync is True:
             # sync_global_ip_rib (2_aggregations.sql:280-353): rebuild
             # from the whole RIB, ignoring the watermark; layout kept
             out = G.update_global_ip_rib(
@@ -138,8 +194,16 @@ class JobRunner:
         # and the enrichment passes
         fresh = G.consolidate(self.store.read("ip_rib"), start) \
             .localCheckpoint()
-        touched = [r[0] for r in fresh.select(
-            bucket_of(self.GLOBAL_KEY, n).alias("b")).distinct().collect()]
+        # churn census = the bucket-pruning aggregate the merge needs
+        # anyway, grouped instead of distinct so it also yields the
+        # churn row count — one job, no extra scan
+        per_bucket = fresh.groupBy(
+            bucket_of(self.GLOBAL_KEY, n).alias("b")) \
+            .agg(F.count(F.lit(1)).alias("rows")).collect()
+        if full_sync == "auto":
+            census = self.churn_census(
+                per_bucket, n, self.store.table_rows("ip_rib"))
+        touched = [r["b"] for r in per_bucket]
         cur = self.store.read_buckets("global_ip_rib", touched)
         out = G.merge_global(cur, fresh)
         out = G.enrich_irr(out, self.store.read("info_route"), start)
@@ -148,6 +212,11 @@ class JobRunner:
             txn.merge_buckets("global_ip_rib", out, self.GLOBAL_KEY,
                               n, touched)
             txn.set_meta("watermark_global_ip_rib", now.isoformat())
+            if full_sync == "auto":
+                txn.set_meta(
+                    "global_rib_sink_shape",
+                    f"incremental:churn={census['churn_rows']}"
+                    f"/rib={census['rib_rows']}")
 
     def run_peer_rib_counts(self, now: dt.datetime | None = None) -> None:
         """update_peer_rib_counts (15-min snapshot, A7)."""

@@ -18,22 +18,31 @@ from .registry import register
 from .session import normalize_ts
 
 
-def _with_stream_partitions(fn, n: int = 8):
-    """Run a streaming gate query with a smaller state-partition
+def _with_stream_partitions(fn, n: int | None = None):
+    """Run a streaming gate query with a volume-derived state-partition
     count. `spark.sql.shuffle.partitions` fixes the number of state
     store instances per stateful operator for the LIFETIME of a
     checkpoint; the default 32 costs 4x-32x in per-batch state-store
     commit overhead at gate scale (measured: the stream-stream join
     fell from ~9s to ~2.4s at 8 partitions, identical results). Each
-    gate run creates a FRESH checkpoint, so the setting is safe here;
-    a production deployment sizes this to expected key cardinality
-    up front, for exactly the same reason in the other direction."""
+    gate run creates a FRESH checkpoint, so deriving per run is safe.
+
+    The count comes from the SAME sizing law as the batch gates
+    (`_gate_shuffle_partitions`: clamp(source bytes / 32 MB, 8, 256))
+    — finding 40 applied to streaming state: a fixed 8 is the
+    measured best at gate scale (≤2 MB source → the floor, so gate
+    behavior is unchanged), but at a 100× tier it would funnel all
+    state commits through 8 instances; a production deployment sizes
+    this to expected key cardinality up front for the same reason.
+    Pass ``n`` to pin explicitly."""
     import functools
 
     @functools.wraps(fn)
     def wrapped(spark, sf_dir):
+        from .queries_bmp import _gate_shuffle_partitions
+        parts = n if n is not None else _gate_shuffle_partitions(sf_dir)
         old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         try:
             return fn(spark, sf_dir)
         finally:

@@ -130,6 +130,59 @@ def test_global_rib_bucketed_incremental_matches_monolithic(spark, tmp_path):
         (["prefix", "recv_origin_as"], 8)
 
 
+def test_global_rib_auto_sink_shape_census(spark, tmp_path):
+    """``full_sync="auto"``: the incremental merge runs at EVERY
+    batch shape (direct arm measurement found no churn shape where
+    the full rebuild is cheaper — BENCH_churn_auto.json falsified
+    the r12 crossover extrapolation; see JobRunner class comment),
+    and the churn-locality census is recorded in commit metadata.
+    full_sync=True stays the explicit semantic resync."""
+    store = ParquetStateStore(spark, str(tmp_path / "auto"))
+    rib, _ = apply_unicast_prefix(empty(spark, "ip_rib"), msgs(
+        spark, "unicast_prefix",
+        [upx("add", f"h{i}", f"p{i % 2}", f"a{i}", ts(0, i),
+             prefix=f"10.{i}.0.0") for i in range(40)]))
+    store.overwrite("ip_rib", rib)
+    store.overwrite("info_route", empty(spark, "info_route"))
+    store.overwrite("rpki_validator", empty(spark, "rpki_validator"))
+    jr = JobRunner(store)
+    jr.run_global_rib(now=ts(10), buckets=8)  # establish the layout
+
+    # concentrated churn: 1 of 40 keys (one bucket)
+    upd, _ = apply_unicast_prefix(store.read("ip_rib"), msgs(
+        spark, "unicast_prefix",
+        [upx("add", "h1", "p1", "aC", ts(20), prefix="10.1.0.0")]))
+    store.overwrite("ip_rib", upd)
+    jr.run_global_rib(now=ts(25), full_sync="auto")
+    shape = store.get_meta("global_rib_sink_shape")
+    assert shape.startswith("incremental:churn=1/"), shape
+
+    # uniform replay-shaped churn: every key updates — STILL the
+    # incremental merge (the measured cost law), census recorded
+    upd, _ = apply_unicast_prefix(store.read("ip_rib"), msgs(
+        spark, "unicast_prefix",
+        [upx("add", f"h{i}", f"p{i % 2}", f"aU{i}", ts(30, i),
+             prefix=f"10.{i}.0.0") for i in range(40)]))
+    store.overwrite("ip_rib", upd)
+    jr.run_global_rib(now=ts(35), full_sync="auto")
+    shape = store.get_meta("global_rib_sink_shape")
+    assert shape.startswith("incremental:churn=40/"), shape
+    assert store.bucket_spec("global_ip_rib") == \
+        (["prefix", "recv_origin_as"], 8)
+
+    # census shape data: one aggregate yields rows + touched buckets
+    rows = lambda pairs: [{"b": b, "rows": r} for b, r in pairs]  # noqa: E731
+    c = JobRunner.churn_census(rows([(0, 5), (3, 15)]), 8, 1000)
+    assert c["churn_rows"] == 20 and c["touched_buckets"] == [0, 3]
+    assert c["bucket_fraction"] == 0.25 and c["rib_rows"] == 1000
+    assert c["full_sync"] is False  # measured: no cost crossover
+
+    # the explicit resync override still rebuilds and keeps layout
+    jr.run_global_rib(now=ts(40), full_sync=True)
+    assert store.bucket_spec("global_ip_rib") == \
+        (["prefix", "recv_origin_as"], 8)
+
+
 def test_retention_drops_whole_expired_chunks(spark, tmp_path):
     """Hour-partitioned log appends expire via metadata-only chunk
     drops (no data rewrite), with chunk-granularity boundaries —

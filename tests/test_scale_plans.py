@@ -847,6 +847,37 @@ def test_gate_shuffle_partitions_scale_with_input(tmp_path):
         == GATE_PARTITION_CAP
 
 
+def test_stream_partitions_derive_from_volume(spark, tmp_path):
+    """The streaming gates' state-partition count follows the same
+    sizing law as the batch gates (finding 40 applied to streaming
+    state): floor 8 at gate scale (unchanged behavior), growing with
+    source bytes; an explicit n pins it."""
+    from obmp_psql_spark.queries_bmp import GATE_PARTITION_BYTES
+    from obmp_psql_spark.queries_stream import _with_stream_partitions
+
+    seen = {}
+
+    def probe(spark_, sf_dir):
+        seen["parts"] = spark_.conf.get("spark.sql.shuffle.partitions")
+
+    def fake(nbytes):
+        d = tmp_path / f"sf_{nbytes}"
+        d.mkdir(exist_ok=True)
+        with open(d / "events.parquet", "wb") as fh:
+            fh.truncate(nbytes)
+        return str(d)
+
+    _with_stream_partitions(probe)(spark, fake(1 << 20))
+    assert seen["parts"] == "8"
+    big = fake(40 * GATE_PARTITION_BYTES)
+    _with_stream_partitions(probe)(spark, big)
+    assert seen["parts"] == "40"
+    _with_stream_partitions(probe, n=8)(spark, big)
+    assert seen["parts"] == "8"
+    # the wrapper restored the session conf
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "40"
+
+
 def test_enrich_rpki_matched_join_is_size_gated(spark):
     """enrich_rpki must not force-broadcast the MATCHED aggregate:
     it is bounded by the eligible rib slice (the whole global rib
