@@ -79,8 +79,10 @@ def probes_at(spark, sf_dir, keep_one_in):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if keep_one_in > 1:
         ev = ev.filter(F.col("event_id") % keep_one_in == 0)
-    # deterministic v4 address spread over the full space
-    addr = ((F.col("user_id") * 2654435761) + F.col("event_id")) % (1 << 32)
+    # deterministic v4 address spread over the full space (xxhash64 +
+    # pmod: a plain Knuth multiply overflows int64 under ANSI mode at
+    # sf100's 1e10-range user_ids)
+    addr = F.pmod(F.xxhash64("user_id", "event_id"), F.lit(1 << 32))
     return ev.select(
         F.col("event_id").alias("probe_id"),
         F.lit(4).alias("pfamily"),
