@@ -98,6 +98,16 @@ def _tree_cpu_seconds() -> float:
     return total / tick
 
 
+def _cpu_delta(cpu0: float) -> float | None:
+    """Tree-CPU spent since ``cpu0``, or None when the sample is
+    unusable: the /proc scan is not atomic, so a worker reaped
+    mid-scan can be counted both directly and via its reaper's
+    cutime in ONE sample — observed as a negative delta on short
+    queries (SURVEY finding 43). None beats a lie."""
+    d = _tree_cpu_seconds() - cpu0
+    return round(d, 3) if d >= 0 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from obmp_psql_spark.registry import all_specs
@@ -180,7 +190,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         query_meta[name] = {
             "load_at_draw": load0,
-            "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+            "cpu_s": _cpu_delta(cpu0),
         }
         if name in draws:
             draws[name].append({
@@ -216,7 +226,7 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save()
             release_build_artifacts()
             return {"wall_s": round(time.perf_counter() - t0, 3),
-                    "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+                    "cpu_s": _cpu_delta(cpu0),
                     "load_at_draw": ambient}
 
         # the judged cold-draw block runs AFTER the full 154-query
@@ -254,7 +264,7 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save()
             release_build_artifacts()
             rd = {"wall_s": round(time.perf_counter() - t0, 3),
-                  "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+                  "cpu_s": _cpu_delta(cpu0),
                   "load_at_draw": ambient_blk}
             meta = query_meta[name]
             meta["redraw"] = rd
@@ -352,7 +362,9 @@ def main() -> None:
         # would lose the whole record after all timed work completed
         out["headline_cpu_s_per_kmsg"] = {
             n: round(1000.0 * headline_meta[n]["cpu_s"] / max(n_msgs, 1), 3)
-            for n in head if headline_meta.get(n)}
+            for n in head
+            if headline_meta.get(n)
+            and headline_meta[n].get("cpu_s") is not None}
     # headline vs BASELINE.md: the reference sustains ~2.8k msg/s into
     # ip_rib; q_bmp_rib_merge pushes one synthesized message per
     # events-row through the real two-batch merge pipeline

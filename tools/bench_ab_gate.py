@@ -32,7 +32,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE_LOAD_GATE, _tree_cpu_seconds, _wait_ambient  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE_LOAD_GATE,
+    _cpu_delta,
+    _tree_cpu_seconds,
+    _wait_ambient,
+)
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -76,7 +81,7 @@ def main() -> None:
         release_build_artifacts()
         wall = round(time.perf_counter() - t0, 3)
         return {"wall_s": wall,
-                "cpu_s": round(_tree_cpu_seconds() - cpu0, 3),
+                "cpu_s": _cpu_delta(cpu0),
                 "load_at_draw": ambient, "idle_waited_s": waited}
 
     arms: dict[str, list[dict]] = {"fixed8": [], "adaptive": []}
@@ -86,7 +91,9 @@ def main() -> None:
                 (lambda sf_dir: 8) if arm == "fixed8" else stock_fn
             d = cold_draw("q_bmp_rib_merge")
             d["msgs_per_sec"] = round(n_msgs / d["wall_s"])
-            d["cpu_s_per_kmsg"] = round(1000.0 * d["cpu_s"] / n_msgs, 3)
+            d["cpu_s_per_kmsg"] = (
+                round(1000.0 * d["cpu_s"] / n_msgs, 3)
+                if d["cpu_s"] is not None else None)
             arms[arm].append(d)
             print(f"draw {i+1} {arm}: {d}", flush=True)
     qb._gate_shuffle_partitions = stock_fn
@@ -98,7 +105,7 @@ def main() -> None:
         print(f"l3vpn draw {i+1}: {d}", flush=True)
 
     def stats(ds: list[dict], key: str) -> dict:
-        vals = sorted(d[key] for d in ds)
+        vals = sorted(d[key] for d in ds if d.get(key) is not None)
         q = [d for d in ds if d["load_at_draw"] <= HEADLINE_LOAD_GATE]
         return {"min": vals[0], "max": vals[-1],
                 "median": vals[len(vals) // 2],
