@@ -73,6 +73,26 @@ def bucket_of(key_cols: list[str], n_buckets: int):
     return F.pmod(F.hash(*key_cols), F.lit(n_buckets))
 
 
+# Constant-SIZE buckets, count grows with state — the law every churn
+# probe runs under (BENCH_churn*: 50k-row buckets at probe scale) and
+# the shape real deployments size to (~1 GB of parquet per bucket so a
+# partial merge's per-bucket read/write stays a few tasks). The target
+# here is rows because the state store sizes layouts before writing;
+# at ip_rib's ~100 B/row, 10M rows ≈ 1 GB.
+BUCKET_TARGET_ROWS = 10_000_000
+BUCKET_COUNT_FLOOR = 4
+
+
+def suggest_buckets(n_rows: int,
+                    target_rows: int = BUCKET_TARGET_ROWS) -> int:
+    """Volume-derived bucket count (finding 44's sizing discipline
+    applied to the layout knob): ceil(rows / target) with a floor.
+    Callers that know their batch shape can still pass an explicit
+    count to replace_bucketed/BmpStreamingIngest — this is the
+    default-sizing law, not a cap."""
+    return max(BUCKET_COUNT_FLOOR, -(-max(n_rows, 0) // target_rows))
+
+
 def _present_buckets(staged_dir: str) -> list[int]:
     """Bucket ids that actually received files in a staged bucketed
     write (empty buckets write no directory)."""

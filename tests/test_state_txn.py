@@ -549,6 +549,24 @@ def test_append_partition_col_conflict_refused(spark, tmp_path):
             txn.append("u", df(spark, [("k2", 2)]), partition_by="v")
 
 
+def test_suggest_buckets_sizing_law():
+    """Constant-size buckets, count grows with state (the churn-probe
+    law): ceil(rows/target) with a floor; explicit counts remain the
+    caller's override."""
+    from obmp_psql_spark.state import (
+        BUCKET_COUNT_FLOOR,
+        BUCKET_TARGET_ROWS,
+        suggest_buckets,
+    )
+
+    assert suggest_buckets(0) == BUCKET_COUNT_FLOOR
+    assert suggest_buckets(BUCKET_TARGET_ROWS) == BUCKET_COUNT_FLOOR
+    assert suggest_buckets(100 * BUCKET_TARGET_ROWS) == 100
+    assert suggest_buckets(100 * BUCKET_TARGET_ROWS + 1) == 101
+    # probe-scale override: 50k-row buckets like bench_churn
+    assert suggest_buckets(2_000_000, target_rows=50_000) == 40
+
+
 def test_concurrent_append_partition_col_conflict(spark, tmp_path):
     """Round-12 ADVICE: the chunk-column guard must hold when two
     appends to the SAME table run concurrently
