@@ -432,6 +432,23 @@ def main() -> None:
                 prev = {}
             prev_q = prev.get("queries", {})
             prev_meta = prev.get("query_meta", {})
+            # pass-level CPU drift: host state (cache pressure,
+            # frequency, steal) shifts a WHOLE pass's tree-CPU by a
+            # common factor — the first r13 record labeled 11
+            # unrelated sub-3s queries "real" on a uniform 1.3-1.6x
+            # cpu inflation. Normalize per-query cpu ratios by the
+            # median ratio across all comparable queries so "real"
+            # means "moved relative to its own pass".
+            drifts = sorted(
+                query_meta[n]["cpu_s"] / prev_meta[n]["cpu_s"]
+                for n in timings
+                if query_meta.get(n, {}).get("cpu_s")
+                and prev_meta.get(n, {}).get("cpu_s")
+                and min(query_meta[n]["cpu_s"],
+                        prev_meta[n]["cpu_s"]) >= 2.0)
+            pass_cpu_drift = (drifts[len(drifts) // 2] if drifts
+                              else 1.0)
+            out["pass_cpu_drift_vs_prev"] = round(pass_cpu_drift, 3)
             for name, cur_wall in timings.items():
                 pv = prev_q.get(name)
                 if not pv or cur_wall <= 1.3 * pv:
@@ -447,6 +464,11 @@ def main() -> None:
                 # cpu-seconds a ratio can't separate work from jitter
                 cpu_small = (cpu_ratio is None
                              or min(cm["cpu_s"], pm["cpu_s"]) < 2.0)
+                # redraw-policy asymmetry: a prev value that was a
+                # redraw-qualified min compared against a single
+                # self-loaded first draw is methodology, not a move
+                redraw_asym = ("redraw" in pm
+                               and "redraw" not in cm)
                 regressions.append({
                     "query": name,
                     "prev_wall_s": pv, "wall_s": cur_wall,
@@ -456,8 +478,10 @@ def main() -> None:
                     "prev_cpu_s": pm.get("cpu_s"),
                     "cpu_s": cm.get("cpu_s"),
                     "cpu_ratio": cpu_ratio,
-                    "verdict": ("small-cpu" if cpu_small
-                                else "real" if cpu_ratio > 1.3
+                    "verdict": ("redraw-policy" if redraw_asym
+                                else "small-cpu" if cpu_small
+                                else "real"
+                                if cpu_ratio / pass_cpu_drift > 1.3
                                 else "noise"),
                 })
             out["regressions_vs"] = os.path.basename(prev_path)
