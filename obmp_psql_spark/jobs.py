@@ -94,8 +94,9 @@ class JobRunner:
         ``per_bucket_rows`` is the collected (bucket, rows) aggregate
         over the materialized watermark slice — the bucket-pruning
         job the incremental merge needs anyway, grouped instead of
-        distinct, so the shape data is free. Recorded in commit
-        metadata for observability; see the class comment for why
+        distinct, so the shape data is free. The churn/rib row
+        counts and bucket coverage land in the commit metadata
+        (``global_rib_sink_shape``); see the class comment for why
         the cost-optimal pick is the incremental merge at every
         measured batch shape."""
         churn_rows = sum(r["rows"] for r in per_bucket_rows)
@@ -107,7 +108,7 @@ class JobRunner:
 
     def run_global_rib(self, now: dt.datetime | None = None,
                        max_interval: dt.timedelta = dt.timedelta(hours=2),
-                       buckets: int | None = None,
+                       buckets: int | str | None = None,
                        full_sync: bool | str = False) -> None:
         """update_global_ip_rib equivalent with persisted watermark
         (2_aggregations.sql:181-275).
@@ -115,7 +116,11 @@ class JobRunner:
         ``buckets`` (or an already-bucketed table): incremental merge
         path — consolidate only the watermark slice, read only the
         state buckets its keys touch, re-enrich that subset, commit a
-        partial bucket merge. The reference's UPDATE ... WHERE
+        partial bucket merge. ``buckets="auto"`` sizes the count by
+        the constant-bucket law (``state.suggest_buckets`` over the
+        current global table's footer rows; an already-bucketed table
+        keeps its committed count — bucket count is layout, changed
+        only by an explicit migration). The reference's UPDATE ... WHERE
         timestamp >= start does exactly this row-pruned work inside
         Postgres; at 100 TB the bucketed merge keeps the job O(churn)
         instead of O(global table).
@@ -131,13 +136,22 @@ class JobRunner:
         commit metadata (``global_rib_sink_shape``)."""
         now = now or dt.datetime.utcnow()
         spec = self.store.bucket_spec("global_ip_rib")
+        if buckets == "auto":
+            from .state import suggest_buckets
+            buckets = (spec[1] if spec else
+                       suggest_buckets(
+                           self.store.table_rows("global_ip_rib")))
         n = buckets or (spec[1] if spec else None)
         if full_sync == "auto" and n is None:
             # no bucketed layout to arbitrate: the monolithic
             # incremental path consolidates only the watermark slice
             # and is never costlier than the full rebuild — take it
             full_sync = False
-        if full_sync is True:
+        # any truthy value except the "auto" sentinel forces the
+        # rebuild (callers pass 1 / numpy bools; `is True` would
+        # silently demote them to the incremental path and the
+        # documented drift-reset would never run)
+        if full_sync and full_sync != "auto":
             # sync_global_ip_rib (2_aggregations.sql:280-353): rebuild
             # from the whole RIB, ignoring the watermark; layout kept
             out = G.update_global_ip_rib(
@@ -216,7 +230,9 @@ class JobRunner:
                 txn.set_meta(
                     "global_rib_sink_shape",
                     f"incremental:churn={census['churn_rows']}"
-                    f"/rib={census['rib_rows']}")
+                    f"/rib={census['rib_rows']}"
+                    f"/buckets={len(census['touched_buckets'])}"
+                    f"of{census['n_buckets']}")
 
     def run_peer_rib_counts(self, now: dt.datetime | None = None) -> None:
         """update_peer_rib_counts (15-min snapshot, A7)."""

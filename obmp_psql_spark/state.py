@@ -393,6 +393,10 @@ class TxnStateStore:
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         self._snap = _Snapshot()
         self._replayed = 0  # commits consumed by self._snap
+        # (table, snapshot version) -> footer row count, so repeated
+        # table_rows calls (e.g. one per auto consolidation cycle)
+        # don't re-walk every live file's footer between commits
+        self._rows_cache: dict[tuple[str, int], int] = {}
 
     # -- paths ---------------------------------------------------------
     def _rel(self, path: str) -> str:
@@ -587,9 +591,15 @@ class TxnStateStore:
         slice of ``table_info``): parquet footer ``num_rows`` summed
         over live files — O(files) metadata reads, no data scan. Cost
         input for the churn-census sink-shape choice (a lakehouse
-        catalog serves this from its manifest)."""
+        catalog serves this from its manifest). Memoized per
+        (table, snapshot version): live files only change at a
+        commit, so repeated calls between commits — one per auto
+        consolidation cycle — cost a dict lookup, not a re-walk."""
         import pyarrow.parquet as pq
 
+        key = (table, self.snapshot().version)
+        if key in self._rows_cache:
+            return self._rows_cache[key]
         rows = 0
         for root in self.current_paths(table):
             for dirpath, _, fnames in os.walk(root):
@@ -597,6 +607,7 @@ class TxnStateStore:
                     if f.endswith(".parquet"):
                         rows += pq.ParquetFile(
                             os.path.join(dirpath, f)).metadata.num_rows
+        self._rows_cache[key] = rows
         return rows
 
     def table_info(self) -> list[dict]:

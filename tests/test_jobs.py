@@ -177,10 +177,25 @@ def test_global_rib_auto_sink_shape_census(spark, tmp_path):
     assert c["bucket_fraction"] == 0.25 and c["rib_rows"] == 1000
     assert c["full_sync"] is False  # measured: no cost crossover
 
-    # the explicit resync override still rebuilds and keeps layout
-    jr.run_global_rib(now=ts(40), full_sync=True)
+    # the explicit resync override still rebuilds and keeps layout;
+    # truthy non-bool values force the rebuild too (pre-r13 contract)
+    jr.run_global_rib(now=ts(40), full_sync=1)
     assert store.bucket_spec("global_ip_rib") == \
         (["prefix", "recv_origin_as"], 8)
+
+    # buckets="auto": an already-bucketed table keeps its committed
+    # count (layout changes only by explicit migration)...
+    jr.run_global_rib(now=ts(45), buckets="auto")
+    assert store.bucket_spec("global_ip_rib") == \
+        (["prefix", "recv_origin_as"], 8)
+    # ...and a fresh table gets the suggest_buckets law (floor here)
+    s2 = ParquetStateStore(spark, str(tmp_path / "auto2"))
+    s2.overwrite("ip_rib", store.read("ip_rib"))
+    s2.overwrite("info_route", empty(spark, "info_route"))
+    s2.overwrite("rpki_validator", empty(spark, "rpki_validator"))
+    JobRunner(s2).run_global_rib(now=ts(10), buckets="auto")
+    assert s2.bucket_spec("global_ip_rib") == \
+        (["prefix", "recv_origin_as"], 4)
 
 
 def test_retention_drops_whole_expired_chunks(spark, tmp_path):

@@ -107,6 +107,9 @@ def main() -> None:
     def stats(ds: list[dict], key: str) -> dict:
         vals = sorted(d[key] for d in ds if d.get(key) is not None)
         q = [d for d in ds if d["load_at_draw"] <= HEADLINE_LOAD_GATE]
+        if not vals:  # every sample unusable (e.g. all cpu_s None)
+            return {"min": None, "max": None, "median": None,
+                    "qualified_draws": len(q), "n": 0}
         return {"min": vals[0], "max": vals[-1],
                 "median": vals[len(vals) // 2],
                 "qualified_draws": len(q), "n": len(vals)}
