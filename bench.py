@@ -58,14 +58,60 @@ def _wait_ambient(max_wait_s: int) -> tuple[float, int]:
     return round(os.getloadavg()[0], 2), waited
 
 
+# cgroup CPU counter (r13 verdict #4): the container's cgroup keeps
+# ONE monotonic usage counter maintained by the kernel scheduler —
+# reaped children are accounted exactly once at the instant they run,
+# so the /proc tree walk's double-count race (a worker counted both
+# directly and via its reaper's cutime in one non-atomic scan —
+# SURVEY finding 43) cannot happen and deltas are never negative.
+# Probe order: pure cgroup-v2 root, hybrid-layout unified mount, then
+# v1 cpuacct. Scope trade-off, recorded via `cpu_source` in the
+# artifact: the counter covers the WHOLE container (bench + any
+# sibling process), not just this process tree — acceptable because
+# the bench is the only significant consumer during a pass and every
+# timing already carries a load stamp.
+_CGROUP_CANDIDATES = (
+    ("/sys/fs/cgroup/cpu.stat", "usage_usec"),
+    ("/sys/fs/cgroup/unified/cpu.stat", "usage_usec"),
+    ("/sys/fs/cgroup/cpuacct/cpuacct.usage", None),  # ns, bare value
+)
+
+
+def _find_cgroup_counter() -> tuple[str, str | None] | None:
+    for path, key in _CGROUP_CANDIDATES:
+        try:
+            if _read_cgroup_usec(path, key) > 0:
+                return path, key
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def _read_cgroup_usec(path: str, key: str | None) -> float:
+    with open(path) as fh:
+        data = fh.read()
+    if key is None:  # cpuacct.usage: one nanosecond total
+        return int(data) / 1e3
+    for line in data.splitlines():
+        k, _, v = line.partition(" ")
+        if k == key:
+            return int(v)
+    raise ValueError(f"{key} not in {path}")
+
+
+_CGROUP_COUNTER = _find_cgroup_counter()
+
+
 def _tree_cpu_seconds() -> float:
-    """CPU seconds (utime+stime) of this process and ALL live
-    descendants — the local-mode JVM and its Python workers included —
-    summed from /proc/<pid>/stat. os.times() can't see the long-lived
-    JVM child (children times accrue only on reap), and the judged
-    headline's real cost lives there. CPU-seconds per message is far
+    """CPU seconds spent by the container since boot (cgroup counter;
+    monotonic, reaped children included exactly once), falling back to
+    a /proc/<pid>/stat tree walk over this process's live descendants
+    when no cgroup counter is readable. The JVM and its Python/Arrow
+    workers are covered either way; CPU-seconds per message is far
     less sensitive to ambient host load than wall (round-10 verdict
     stretch item)."""
+    if _CGROUP_COUNTER:
+        return _read_cgroup_usec(*_CGROUP_COUNTER) / 1e6
     import glob as _glob
     tick = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
@@ -99,11 +145,11 @@ def _tree_cpu_seconds() -> float:
 
 
 def _cpu_delta(cpu0: float) -> float | None:
-    """Tree-CPU spent since ``cpu0``, or None when the sample is
-    unusable: the /proc scan is not atomic, so a worker reaped
-    mid-scan can be counted both directly and via its reaper's
-    cutime in ONE sample — observed as a negative delta on short
-    queries (SURVEY finding 43). None beats a lie."""
+    """CPU spent since ``cpu0``. With the cgroup counter the delta is
+    exact and never negative. On the /proc fallback the scan is not
+    atomic, so a worker reaped mid-scan can be counted both directly
+    and via its reaper's cutime in ONE sample — observed as a negative
+    delta on short queries (SURVEY finding 43). None beats a lie."""
     d = _tree_cpu_seconds() - cpu0
     return round(d, 3) if d >= 0 else None
 
@@ -255,6 +301,7 @@ def main() -> None:
     headline_reruns = 0
     redraw_waited = 0
     headline_meta: dict[str, dict] = {}
+    heavy_meta: dict[str, dict] = {}
     foreign_load = None
     if not names:
         from obmp_psql_spark.queries_bmp import _PIPELINE_CACHE
@@ -343,6 +390,36 @@ def main() -> None:
             headline_meta[name] = {
                 **best, "qualified": bool(ok), "draws": draws[name]}
 
+        # idle-gated draws for the most expensive registry queries
+        # (r13 verdict #2): the heavy gates (q_bmp_l3vpn_view,
+        # q_semantic_dedup_banded, ...) had only ever been timed
+        # mid-pass at load 7-10 — every number rode the bench's own
+        # 32-thread load and generated a watch item every round.
+        # Min-of-2 cold draws from a fresh quiet block for the top-5
+        # non-headline walls; the committed number becomes the
+        # idle-qualified min (first-pass draw preserved, same policy
+        # as the streaming redraw, so the total still reconciles as
+        # first-pass-only).
+        heavy = sorted((n for n in timings if n not in head),
+                       key=lambda n: -timings[n])[:5]
+        ambient_hv, w = _wait_ambient(REDRAW_WAIT_MAX_S)
+        redraw_waited += w
+        for name in heavy:
+            rds = [cold_run(name, ambient_hv) for _ in range(2)]
+            best = min(rds, key=lambda d: d["wall_s"])
+            meta = query_meta[name]
+            meta["redraw"] = best  # marker the regressions
+            # comparator reads to classify cross-round asymmetry
+            heavy_meta[name] = {
+                **best,
+                "qualified": ambient_hv <= HEADLINE_LOAD_GATE,
+                "draws": rds}
+            if best["wall_s"] < timings[name]:
+                meta.setdefault("first_draw_wall_s", timings[name])
+                timings[name] = best["wall_s"]
+                meta["cpu_s"] = best["cpu_s"]
+                meta["load_at_draw"] = best["load_at_draw"]
+
     import subprocess
     try:
         git_head = subprocess.run(
@@ -382,6 +459,17 @@ def main() -> None:
     # (qualified=False marks a headline that never saw a quiet host)
     if headline_meta:
         out["headlines"] = headline_meta
+    # idle-gated provenance for the top-5 heaviest registry queries
+    # (r13 verdict #2): min-of-2 cold draws from a quiet block, so
+    # the recurring "is q_bmp_l3vpn_view slow or was the host busy"
+    # ambiguity is answered inside the artifact itself
+    if heavy_meta:
+        out["heavy_idle"] = heavy_meta
+    # which CPU counter produced every cpu_s in this record: "cgroup"
+    # deltas are exact and never null; "proc-tree" is the racy
+    # fallback whose negative samples are clamped to null
+    out["cpu_source"] = ("cgroup:" + _CGROUP_COUNTER[0]
+                         if _CGROUP_COUNTER else "proc-tree")
     # per-query provenance (full record only — too big for the compact
     # line): load at draw + cpu_s for every timing, redraw details for
     # any load-requalified streaming query
@@ -466,6 +554,30 @@ def main() -> None:
             out["pass_cpu_drift_vs_prev"] = round(pass_cpu_drift, 3)
             out["pass_cpu_drift_alert"] = bool(
                 pass_cpu_drift > 1.3 or pass_cpu_drift < 1 / 1.3)
+            # drift-normalized full-pass total (r13 verdict #5): the
+            # raw total is first-pass-only at ambient load, so
+            # cross-round totals were load-confounded (r12's 304.8 s
+            # was a globally lucky pass; r13's 350.9 read as +15% on
+            # adjudicated noise). Normalize by the MEDIAN per-query
+            # first-pass wall ratio — host state moves a whole pass
+            # by a common factor; dividing it out leaves only
+            # relative moves. Compare totals across rounds on
+            # total_drift_normalized, never total_raw.
+            def _first_wall(meta: dict, walls: dict, n: str) -> float:
+                return meta.get(n, {}).get("first_draw_wall_s") \
+                    or walls.get(n) or 0.0
+            wall_drifts = sorted(
+                _first_wall(query_meta, timings, n)
+                / _first_wall(prev_meta, prev_q, n)
+                for n in timings
+                if _first_wall(prev_meta, prev_q, n) >= 0.5
+                and _first_wall(query_meta, timings, n) > 0)
+            pass_wall_drift = (wall_drifts[len(wall_drifts) // 2]
+                               if len(wall_drifts) >= 5 else 1.0)
+            out["pass_wall_drift_vs_prev"] = round(pass_wall_drift, 3)
+            out["total_raw"] = total
+            out["total_drift_normalized"] = round(
+                total / pass_wall_drift, 3)
             for name, cur_wall in timings.items():
                 pv = prev_q.get(name)
                 if not pv or cur_wall <= 1.3 * pv:

@@ -136,11 +136,26 @@ class JobRunner:
         commit metadata (``global_rib_sink_shape``)."""
         now = now or dt.datetime.utcnow()
         spec = self.store.bucket_spec("global_ip_rib")
+        if isinstance(buckets, str) and buckets != "auto":
+            # only the exact sentinel is meaningful; a typo ("Auto")
+            # or a numeric string from config would otherwise flow
+            # into bucket_of() and fail late inside Spark or commit a
+            # bogus layout
+            raise ValueError(
+                f"buckets must be an int or the string 'auto', "
+                f"got {buckets!r}")
         if buckets == "auto":
             from .state import suggest_buckets
+            # an already-bucketed table keeps its committed count
+            # (layout changes only by explicit migration); a FRESH
+            # table must size from the SOURCE footprint — the target
+            # global table is empty before the first consolidation,
+            # so sizing from it alone would freeze the floor count
+            # (4) forever regardless of how large the first fold-in is
             buckets = (spec[1] if spec else
                        suggest_buckets(
-                           self.store.table_rows("global_ip_rib")))
+                           max(self.store.table_rows("global_ip_rib"),
+                               self.store.table_rows("ip_rib"))))
         n = buckets or (spec[1] if spec else None)
         if full_sync == "auto" and n is None:
             # no bucketed layout to arbitrate: the monolithic

@@ -396,7 +396,7 @@ class TxnStateStore:
         # (table, snapshot version) -> footer row count, so repeated
         # table_rows calls (e.g. one per auto consolidation cycle)
         # don't re-walk every live file's footer between commits
-        self._rows_cache: dict[tuple[str, int], int] = {}
+        self._rows_cache: dict[str, tuple[int, int]] = {}
 
     # -- paths ---------------------------------------------------------
     def _rel(self, path: str) -> str:
@@ -591,15 +591,17 @@ class TxnStateStore:
         slice of ``table_info``): parquet footer ``num_rows`` summed
         over live files — O(files) metadata reads, no data scan. Cost
         input for the churn-census sink-shape choice (a lakehouse
-        catalog serves this from its manifest). Memoized per
-        (table, snapshot version): live files only change at a
-        commit, so repeated calls between commits — one per auto
-        consolidation cycle — cost a dict lookup, not a re-walk."""
+        catalog serves this from its manifest). Memoized per table at
+        the CURRENT snapshot version only — a stale entry is replaced
+        when the version moves, so a long-running streaming driver
+        calling this once per commit cycle holds one entry per table,
+        not one per (table, commit)."""
         import pyarrow.parquet as pq
 
-        key = (table, self.snapshot().version)
-        if key in self._rows_cache:
-            return self._rows_cache[key]
+        version = self.snapshot().version
+        hit = self._rows_cache.get(table)
+        if hit is not None and hit[0] == version:
+            return hit[1]
         rows = 0
         for root in self.current_paths(table):
             for dirpath, _, fnames in os.walk(root):
@@ -607,7 +609,7 @@ class TxnStateStore:
                     if f.endswith(".parquet"):
                         rows += pq.ParquetFile(
                             os.path.join(dirpath, f)).metadata.num_rows
-        self._rows_cache[key] = rows
+        self._rows_cache[table] = (version, rows)
         return rows
 
     def table_info(self) -> list[dict]:

@@ -198,6 +198,52 @@ def test_global_rib_auto_sink_shape_census(spark, tmp_path):
         (["prefix", "recv_origin_as"], 4)
 
 
+def test_global_rib_auto_buckets_sized_from_source(spark, tmp_path):
+    """First-run buckets="auto" sizes the layout from the SOURCE
+    footprint, not the (empty) target table — a 100M-row first load
+    must not freeze the floor count forever (r13 ADVICE). Bad string
+    values fail fast instead of flowing into bucket_of."""
+    import pytest
+
+    store = _seed_store(spark, tmp_path)
+    jr = JobRunner(store)
+
+    # fake footers: target empty, source huge -> sizing law follows
+    # the source (suggest_buckets(25M) = ceil(25M/10M) = 3 < floor 4;
+    # use 60M -> 6 buckets, above the floor so the assertion bites)
+    real = store.table_rows
+    store.table_rows = lambda t: {"global_ip_rib": 0,
+                                  "ip_rib": 60_000_000}.get(t, real(t))
+    jr.run_global_rib(now=ts(5), buckets="auto")
+    assert store.bucket_spec("global_ip_rib")[1] == 6
+
+    # non-sentinel strings are a config error, caught up front
+    with pytest.raises(ValueError, match="auto"):
+        jr.run_global_rib(now=ts(6), buckets="Auto")
+    with pytest.raises(ValueError, match="auto"):
+        jr.run_global_rib(now=ts(6), buckets="8")
+
+
+def test_table_rows_cache_bounded_per_table(spark, tmp_path):
+    """table_rows memoization keeps ONE entry per table across
+    commits (r13 ADVICE: per-(table, version) keys grew unbounded in
+    a long-running streaming driver)."""
+    store = _seed_store(spark, tmp_path)
+    n0 = store.table_rows("ip_rib")
+    for i in range(3):
+        with store.transaction() as txn:  # bump snapshot version
+            txn.set_meta("tick", str(i))
+        assert store.table_rows("ip_rib") == n0
+    assert len(store._rows_cache) == 1
+    # cache still invalidates when data actually changes
+    store.append("ip_rib_log", store.read("ip_rib_log").limit(1))
+    n1 = store.table_rows("ip_rib_log")
+    with store.transaction() as txn:
+        txn.set_meta("tick", "x")
+    assert store.table_rows("ip_rib_log") == n1
+    assert len(store._rows_cache) <= 2
+
+
 def test_retention_drops_whole_expired_chunks(spark, tmp_path):
     """Hour-partitioned log appends expire via metadata-only chunk
     drops (no data rewrite), with chunk-granularity boundaries —
