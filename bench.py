@@ -587,12 +587,19 @@ def main() -> None:
                 cpu_ratio = (round(cm["cpu_s"] / pm["cpu_s"], 2)
                              if cm.get("cpu_s") and pm.get("cpu_s")
                              and pm["cpu_s"] > 0 else None)
-                # the /proc tree sampler is only trustworthy well
-                # above its tick granularity (negative deltas observed
-                # on ~0.1 s queries — SURVEY finding 43): below 2
-                # cpu-seconds a ratio can't separate work from jitter
+                # below 2 cpu-seconds a ratio is not actionable, for
+                # a reason that changed with the cgroup counter: the
+                # old /proc sampler was untrustworthy there (tick
+                # granularity + reap race — "small-cpu",
+                # unmeasurable); the cgroup counter is exact, but
+                # BENCH_regprobe draws measured ~3x cpu_s swings on
+                # sub-2s queries purely from JVM warm state (JIT,
+                # worker reuse, pass position), so the 1.3x threshold
+                # drowns in jitter — "sub-jitter", measured-but-noisy
                 cpu_small = (cpu_ratio is None
                              or min(cm["cpu_s"], pm["cpu_s"]) < 2.0)
+                small_class = ("sub-jitter" if _CGROUP_COUNTER
+                               else "small-cpu")
                 # redraw-policy asymmetry: a prev value that was a
                 # redraw-qualified min compared against a single
                 # self-loaded first draw is methodology, not a move
@@ -608,7 +615,7 @@ def main() -> None:
                     "cpu_s": cm.get("cpu_s"),
                     "cpu_ratio": cpu_ratio,
                     "verdict": ("redraw-policy" if redraw_asym
-                                else "small-cpu" if cpu_small
+                                else small_class if cpu_small
                                 else "real"
                                 if cpu_ratio / pass_cpu_drift > 1.3
                                 else "noise"),

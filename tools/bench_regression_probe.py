@@ -127,7 +127,19 @@ def main() -> None:
         out["results"][name] = {
             "draws": rows, "best": best, "verdict": verdict}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_regprobe.json"), "w") as fh:
+    path = os.path.join(root, "BENCH_regprobe.json")
+    # cumulative record: merge per-query results so adjudications
+    # from earlier probe runs (different query sets) are preserved
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                old = json.load(fh)
+            merged = old.get("results", {})
+            merged.update(out["results"])
+            out["results"] = merged
+        except Exception:
+            pass
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps({n: r["verdict"] for n, r in out["results"].items()}))
