@@ -1012,7 +1012,10 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = d.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat_ws(" ", pref, pref, F.col("text")).alias("text"))
-    corpus = d.unionByName(aug)
+    # fan_out before the array algebra: the fixture parquet is one
+    # row group -> a 1-task scan would run every fold below serially
+    # (measured 7.8 s wall / 2.4 busy cores at sf0.1 without it)
+    corpus = fan_out(d.unionByName(aug), d.sparkSession)
     norm = norm_of(F.col("text"))
     toks = corpus.select(
         "doc_id", F.split(norm, " ").alias("t"),
@@ -1096,22 +1099,37 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks(F.col("t"), 8).alias("lines"),
         chunks(F.col("t"), 24).alias("paras"),
         *[ngrams(F.col("t"), n).alias(f"ng{n}") for n in range(2, 11)])
-    # stage 2: run-length folds -> raw integer counts
-    stats = arrs.select(
+    # stage 2a: each sort+fold exactly ONCE per array, as a struct
+    # column. The original extracted fields from per-field copies of
+    # the fold expression (dup_fold twice per tag, top_fold twice per
+    # n), and higher-order folds are interpreted with no common-
+    # subexpression elimination — every extra reference re-sorted and
+    # re-folded the array. CollapseProject keeps the split because
+    # the struct columns are non-cheap and referenced twice.
+    folds = arrs.select(
+        "doc_id", "total_chars", "t", "lines", "paras", "ng2",
+        *[dup_fold(F.col(tag)).alias(f"__df_{tag}")
+          for tag in ("lines", "paras")],
+        *[top_fold(F.col(f"ng{n}")).alias(f"__tf_{n}")
+          for n in (2, 3, 4)],
+        *[dup_fold(F.col(f"ng{n}")).alias(f"__df_{n}")
+          for n in range(5, 11)])
+    # stage 2b: extract raw integer counts from the one-shot folds
+    stats = folds.select(
         "doc_id", "total_chars",
         F.size("t").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
-        top_fold(F.col("ng2"))["best"].alias("top_c"),
+        F.col("__tf_2")["best"].alias("top_c"),
         F.size("ng2").cast("long").alias("n_bg"),
         *[x for tag in ("lines", "paras") for x in (
             F.size(tag).cast("long").alias(f"n_{tag}"),
             chars_of(F.col(tag)).alias(f"chars_{tag}"),
-            dup_fold(F.col(tag))["d"].alias(f"dups_{tag}"),
-            dup_fold(F.col(tag))["dc"].alias(f"dupchars_{tag}"))],
+            F.col(f"__df_{tag}")["d"].alias(f"dups_{tag}"),
+            F.col(f"__df_{tag}")["dc"].alias(f"dupchars_{tag}"))],
         *[x for n in (2, 3, 4) for x in (
-            top_fold(F.col(f"ng{n}"))["best"].alias(f"top{n}_c"),
-            top_fold(F.col(f"ng{n}"))["blen"].alias(f"top{n}_len"))],
-        *[dup_fold(F.col(f"ng{n}"))["dc"].alias(f"dup{n}_dc")
+            F.col(f"__tf_{n}")["best"].alias(f"top{n}_c"),
+            F.col(f"__tf_{n}")["blen"].alias(f"top{n}_len"))],
+        *[F.col(f"__df_{n}")["dc"].alias(f"dup{n}_dc")
           for n in range(5, 11)])
     # stage 3: fractions — doubles for the two legacy columns (exact
     # single IEEE division), integer ppm floor-division for the rest
@@ -1460,7 +1478,17 @@ def publish_aux(df: DataFrame, path: str) -> None:
     previous version never loses files under it; older ones are
     reaped best-effort.
     """
-    publish_aux_dir(lambda vdir: df.coalesce(1).write.parquet(vdir), path)
+    # repartition(1), NOT coalesce(1): coalesce collapses every parent
+    # partition into ONE task, so the single writer re-runs the whole
+    # upstream serially — and for a Python-origin plan (createDataFrame
+    # of driver values parallelizes to defaultParallelism slices) that
+    # one task pays one sequential Python-worker round-trip PER PARENT
+    # partition: measured 3.7-4.4 s per 1-row model dump at local[32]
+    # vs 0.5 s with repartition(1), which keeps the upstream parallel
+    # and moves only the aux-dump-sized rows through one shuffle
+    # (guide §2.4: accidental parallelism collapse).
+    publish_aux_dir(lambda vdir: df.repartition(1).write.parquet(vdir),
+                    path)
 
 
 def publish_aux_dir(populate, path: str) -> None:
