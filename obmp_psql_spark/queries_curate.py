@@ -2120,19 +2120,25 @@ def _score_mg(spark: SparkSession, sf_dir: str, sketch: DataFrame,
               toks: DataFrame, name: str) -> DataFrame:
     """Publish the summary and score the three MG guarantees against
     Spark-side exact counts (the DuckDB half is _mg_oracle)."""
+    from .operators.cache import owned_persist
     from .queries_text import _aux, _sf_tag, publish_aux
 
     aux = _aux(name, _sf_tag(sf_dir))
     publish_aux(sketch, aux)
 
     dump = spark.read.parquet(aux)
-    n_total = toks.count()
+    # exact counts feed THREE consumers (n_total, the hh scan, the
+    # guarantee join); un-persisted, each re-ran the full tokenize +
+    # shuffle. The vocab-sized count table is the right thing to
+    # persist at any scale, and n_total == sum(c) by construction —
+    # one corpus pass total instead of three.
+    exact = owned_persist(toks.groupBy(F.col("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")))
+    n_total = int(exact.agg(F.sum("c")).collect()[0][0] or 0)
     mrow = dump.agg(F.sum("est").alias("r"),
                     F.count(F.lit(1)).alias("k")).collect()[0]
     retained, n_kept = int(mrow["r"]), int(mrow["k"])
     slack = n_total - retained
-    exact = toks.groupBy(F.col("term")).agg(
-        F.count(F.lit(1)).cast("long").alias("c"))
     hh_missing = (exact.filter(F.col("c") * (_MG_K + 1) > slack)
                   .join(dump, exact["term"] == dump["item"], "left_anti")
                   .count())

@@ -353,7 +353,11 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup cluster shards. Recall within a block drops to
     ~1/n_shards — the deterministic trade a real pipeline would
     take before switching to sorted-neighborhood (q_fuzzy_sorted)."""
-    t = load_tables(spark, sf_dir, ("part",))["part"]
+    # fan_out at the load site: part.parquet is one row group and the
+    # planner broadcasts the build side, so without the exchange the
+    # whole levenshtein pair scan runs as ONE task (measured 2.4 s of
+    # the query's 3.3 s wall in a single task at sf0.1)
+    t = fan_out(load_tables(spark, sf_dir, ("part",))["part"], spark)
     return fuzzy_blocked_pairs(t, cap=_FUZZY_BLOCK_CAP)
 
 

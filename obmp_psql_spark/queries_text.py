@@ -57,7 +57,12 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("text"), F.lit(" extra trailing tokens appended")).alias("text"),
                 "source")
     )
-    return base.unionByName(clones).unionByName(near)
+    # fan_out here, not per caller: every consumer runs md5/shingle/
+    # signature map work over the text, and the fixture parquet is a
+    # single row group — without the exchange that work lands on the
+    # 3 union-branch tasks (measured: q_dedup_apply's signature stage
+    # ran 8.9 s of task time on 3 tasks at sf0.1)
+    return fan_out(base.unionByName(clones).unionByName(near), spark)
 
 
 # ---------------------------------------------------------------------------
