@@ -848,6 +848,12 @@ def shard_oversized_clusters(assignments: DataFrame,
     LSH_AUTO_CAP_MULT * N))) from a one-row census — within-shard
     pair work stays N^1.5-bounded while the per-shard candidate set
     GROWS with the corpus instead of freezing at a hand-tuned 500."""
+    # the input feeds the size census AND the re-key join (plus the
+    # optional auto census) — persist the O(N)-row (id, cluster)
+    # table once, or an expensive upstream (the k-means assignment
+    # DAG) re-executes per reference: measured ~16 duplicate
+    # broadcast-exchange jobs in one q_semantic_dedup_banded run
+    assignments = owned_persist(assignments)
     sizes = (assignments.groupBy(cluster_col)
              .agg(F.count(F.lit(1)).alias("__sz")))
     if max_cluster_size == "auto":
@@ -919,6 +925,10 @@ def band_oversized_clusters(assignments: DataFrame, vectors: DataFrame,
     is one Arrow matmul per batch over only the oversized clusters'
     rows. Pair budget never increases (blocks only get smaller);
     recall at fixed budget goes up (BENCH_semdedup_band probe)."""
+    # persist the caller's assignment plan (typically the k-means
+    # crossJoin+window DAG): it feeds the size census and the re-key
+    # join, and would re-execute per reference otherwise
+    assignments = owned_persist(assignments)
     sizes = assignments.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("__sz"))
     a = assignments.join(F.broadcast(sizes), cluster_col)
@@ -926,9 +936,10 @@ def band_oversized_clusters(assignments: DataFrame, vectors: DataFrame,
     small = a.filter(F.col("__sz") <= max_cluster_size).select(
         F.col(id_col), widened.alias(cluster_col))
     big = a.filter(F.col("__sz") > max_cluster_size)
-    bigv = big.join(
+    # bigv feeds the centroid means AND the band-code join
+    bigv = owned_persist(big.join(
         vectors.select(F.col(id_col),
-                       as_double(F.col(vec_col)).alias("__v")), id_col)
+                       as_double(F.col(vec_col)).alias("__v")), id_col))
     cents = (bigv.select(cluster_col,
                          F.posexplode("__v").alias("__pos", "__val"))
              .groupBy(cluster_col, "__pos")

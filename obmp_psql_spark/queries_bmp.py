@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from .ingest import apply_unicast_prefix
 from .registry import register
 from .schemas import TABLE_SCHEMAS
-from .session import fan_out, load_tables
+from .session import empty_df, fan_out, load_tables
 
 # deterministic message synthesis from events (ts made unique by
 # adding event_id µs — dedup-latest tiebreaks must not matter)
@@ -141,7 +141,7 @@ def _run_pipeline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         msgs = _messages(spark, sf_dir)
         b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
-        empty = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
+        empty = empty_df(spark, TABLE_SCHEMAS["ip_rib"])
         state1, _ = apply_unicast_prefix(empty, b1)
         # both outputs of the second merge are consumed; materialize
         # the join once so the state and log checkpoints don't each
@@ -672,7 +672,7 @@ def q_bmp_global_rib(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpki = roa_family(_ROA13_N, 8, 71000, 13) \
         .unionByName(roa_family(_ROA12_N, 16, 72000, 12))
     out = update_global_ip_rib(
-        spark.createDataFrame([], TABLE_SCHEMAS["global_ip_rib"]), state,
+        empty_df(spark, TABLE_SCHEMAS["global_ip_rib"]), state,
         info_route=info_route, rpki=rpki,
         now=dt.datetime(2030, 1, 1),
         max_interval=dt.timedelta(days=36500))
@@ -703,15 +703,15 @@ def _dimension_state(spark: SparkSession):
             [tuple(r.get(f.name) for f in s.fields) for r in rows], s)
 
     routers, peers = apply_router(
-        spark.createDataFrame([], TABLE_SCHEMAS["routers"]),
-        spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"]),
+        empty_df(spark, TABLE_SCHEMAS["routers"]),
+        empty_df(spark, TABLE_SCHEMAS["bgp_peers"]),
         as_msgs("router", [dict(
             action="init", hash="rt0", name="",  # empty -> host() fallback
             ip_address="198.51.100.1", description="", term_code=0,
             term_reason="", term_data="", init_data="",
             bgp_id="198.51.100.1", collector_hash="c0", timestamp=t0)]))
     peers, _, _ = apply_peer(
-        peers, spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"]), routers,
+        peers, empty_df(spark, TABLE_SCHEMAS["ip_rib"]), routers,
         as_msgs("peer", [dict(
             action="up", hash=f"p{n}", router_hash="rt0", peer_rd="",
             is_ipv4=True, peer_ip=f"192.0.2.{n}", name=f"peer-{n}",
@@ -724,7 +724,7 @@ def _dimension_state(spark: SparkSession):
             is_loc_rib_filtered=False, table_name="", timestamp=t0)
             for n in range(10)]))
     attrs = apply_base_attribute(
-        spark.createDataFrame([], TABLE_SCHEMAS["base_attrs"]),
+        empty_df(spark, TABLE_SCHEMAS["base_attrs"]),
         as_msgs("base_attribute", [dict(
             hash=f"a{k}", peer_hash=f"p{n}", origin="igp",
             as_path=f"{65000 + n} {100 + k}", as_path_len=2,
@@ -808,7 +808,7 @@ def _run_l3vpn_pipeline(spark: SparkSession, sf_dir: str):
         msgs = _l3vpn_messages(spark, sf_dir)
         b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
-        state = spark.createDataFrame([], TABLE_SCHEMAS["l3vpn_rib"])
+        state = empty_df(spark, TABLE_SCHEMAS["l3vpn_rib"])
         state, _ = apply_l3vpn(state, b1)
         # both outputs are consumed (view gate + chg-stats gate):
         # materialize the merge join once, same as the rib pipeline
@@ -948,16 +948,16 @@ def _run_peer_pipeline(spark: SparkSession, sf_dir: str):
         import datetime as dt
         rschema = MESSAGE_SCHEMAS["router"]
         routers, _ = apply_router(
-            spark.createDataFrame([], TABLE_SCHEMAS["routers"]),
-            spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"]),
+            empty_df(spark, TABLE_SCHEMAS["routers"]),
+            empty_df(spark, TABLE_SCHEMAS["bgp_peers"]),
             spark.createDataFrame(
                 [("init", "rt0", "edge-rtr", "198.51.100.1", "", 0, "", "", "",
                   "198.51.100.1", "c0", dt.datetime(2024, 1, 1))], rschema))
         msgs = _peer_messages(spark, sf_dir)
         b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
-        empty_rib = spark.createDataFrame([], TABLE_SCHEMAS["ip_rib"])
-        peers = spark.createDataFrame([], TABLE_SCHEMAS["bgp_peers"])
+        empty_rib = empty_df(spark, TABLE_SCHEMAS["ip_rib"])
+        peers = empty_df(spark, TABLE_SCHEMAS["bgp_peers"])
         peers, _, log1 = apply_peer(peers, empty_rib, routers, b1)
         peers, _, log2 = apply_peer(peers, empty_rib, routers, b2)
         return peers, log1.unionByName(log2)
@@ -1147,8 +1147,8 @@ def _run_ls_pipeline(spark: SparkSession, sf_dir: str):
 
     def build():
         node_msgs, link_msgs = _ls_messages(spark, sf_dir)
-        nodes = spark.createDataFrame([], TABLE_SCHEMAS["ls_nodes"])
-        lnks = spark.createDataFrame([], TABLE_SCHEMAS["ls_links"])
+        nodes = empty_df(spark, TABLE_SCHEMAS["ls_nodes"])
+        lnks = empty_df(spark, TABLE_SCHEMAS["ls_links"])
         for parity in (0, 1):
             nb = node_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
             lb = link_msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
@@ -1330,7 +1330,7 @@ def q_bmp_ls_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = _ls_prefix_messages(spark, sf_dir)
         b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
         b2 = msgs.filter(F.col("event_id") % 2 == 1).drop("event_id")
-        state = spark.createDataFrame([], TABLE_SCHEMAS["ls_prefixes"])
+        state = empty_df(spark, TABLE_SCHEMAS["ls_prefixes"])
         state, _ = apply_ls_prefix(state, b1)
         state, _ = apply_ls_prefix(state, b2)
         return (state,)
@@ -1484,8 +1484,8 @@ def q_bmp_collector(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("timestamp"),
             F.col("event_id"),
         )
-        collectors = spark.createDataFrame([], TABLE_SCHEMAS["collectors"])
-        routers = spark.createDataFrame([], TABLE_SCHEMAS["routers"])
+        collectors = empty_df(spark, TABLE_SCHEMAS["collectors"])
+        routers = empty_df(spark, TABLE_SCHEMAS["routers"])
         for parity in (0, 1):
             b = msgs.filter(F.col("event_id") % 2 == parity).drop("event_id")
             collectors, routers = apply_collector(collectors, routers, b)

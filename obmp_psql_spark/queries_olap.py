@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .registry import register
-from .session import fan_out, load_tables, normalize_ts
+from .session import empty_df, fan_out, load_tables, normalize_ts
 
 _EV = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 _DEC = "decimal(38,10)"
@@ -61,8 +61,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import pandas as pd  # noqa: E402
 
+from pyspark.sql import types as T  # noqa: E402
 
-@F.pandas_udf("struct<e: long, eps: array<long>>")
+# return types as DataType OBJECTS, not DDL strings: pandas_udf
+# parses a string return type through the active SparkContext at
+# DECORATION (import) time, so a string here would make the module
+# unimportable before a session exists (the driver imports the entry
+# module first)
+_EWMA_RET = T.StructType([
+    T.StructField("e", T.LongType()),
+    T.StructField("eps", T.ArrayType(T.LongType())),
+])
+_HW_RET = T.StructType([
+    T.StructField("fs", T.ArrayType(T.LongType())),
+    T.StructField("ts", T.ArrayType(T.LongType())),
+])
+
+
+@F.pandas_udf(_EWMA_RET)
 def _ewma_scan(init: pd.Series, cs: pd.Series) -> pd.DataFrame:
     """Seeded EWMA prefix scan: e' = (3e + x) div 4, emitting the
     PRE-update e per element (None while unseeded, i.e. e < 0)."""
@@ -83,7 +99,7 @@ def _ewma_scan(init: pd.Series, cs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"e": es, "eps": epss})
 
 
-@F.pandas_udf("struct<fs: array<long>, ts: array<long>>")
+@F.pandas_udf(_HW_RET)
 def _hw_scan(cs_milli: pd.Series) -> pd.DataFrame:
     """Holt-Winters (level+trend) prefix scan in milli-units:
     lev' = (3*(lev+tr) + x) div 4, tr' = (lev' - lev + 7*tr) div 8,
@@ -1459,7 +1475,7 @@ def q_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("minute_epoch") - F.lit(int(lo))) / width)
                 .cast("long") == b)
             state = store.read("ewma_state",
-                               spark.createDataFrame([], state_schema)
+                               empty_df(spark, state_schema)
                                .schema)
             g = (batch.groupBy("peer")
                  .agg(F.sort_array(

@@ -51,6 +51,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .session import empty_df
+
 from .schemas import TABLE_SCHEMAS
 
 _LOG_DIR = "_txn_log"
@@ -510,7 +512,7 @@ class TxnStateStore:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out
         schema = schema or TABLE_SCHEMAS[table]
-        return self.spark.createDataFrame([], schema)
+        return empty_df(self.spark, schema)
 
     def read_buckets(self, table: str, buckets: list[int],
                      schema: T.StructType | None = None) -> DataFrame:
@@ -525,7 +527,7 @@ class TxnStateStore:
         if paths:
             return self.spark.read.parquet(*paths)
         schema = schema or TABLE_SCHEMAS[table]
-        return self.spark.createDataFrame([], schema)
+        return empty_df(self.spark, schema)
 
     def bucket_map(self, table: str) -> dict[int, str]:
         """bucket id -> committed dir (relative); for tests/ops."""
