@@ -19,6 +19,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from .operators import global_rib as G
+from .session import empty_df
 from .operators import rollup as R
 from .state import ParquetStateStore
 
@@ -170,8 +171,8 @@ class JobRunner:
             # sync_global_ip_rib (2_aggregations.sql:280-353): rebuild
             # from the whole RIB, ignoring the watermark; layout kept
             out = G.update_global_ip_rib(
-                self.store.spark.createDataFrame(
-                    [], self.store.read("global_ip_rib").schema),
+                empty_df(self.store.spark,
+                         self.store.read("global_ip_rib").schema),
                 self.store.read("ip_rib"),
                 info_route=self.store.read("info_route"),
                 rpki=self.store.read("rpki_validator"),

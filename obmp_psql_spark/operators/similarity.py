@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .cache import owned_persist
+from ..session import empty_df, tiny_df
 
 
 def as_double(vec: Column) -> Column:
@@ -264,8 +265,8 @@ def cosine_topk_arrow(
             f"or raise max_queries deliberately.")
     spark0 = queries.sparkSession
     if not q_rows:  # empty probe set: empty result, not a numpy axis error
-        return spark0.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank int")
+        return empty_df(
+            spark0, "query_id long, neighbor_id long, cos double, rank int")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -339,7 +340,7 @@ def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int,
                     F.transform("__s", lambda x: x["__m"]).alias("__cv"))
         )
         rows = means.collect()  # k rows: the codebook
-        cents = (spark.createDataFrame(rows, means.schema)
+        cents = (tiny_df(spark, rows, means.schema)
                  .withColumn("__cn", l2norm(F.col("__cv"))))
     return cents
 
@@ -502,8 +503,8 @@ def _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
     )
     head = base.select(F.size("__raw").alias("s")).head()
     if head is None:  # empty corpus: empty result, not a NoneType crash
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc double, rank int")
+        return empty_df(
+            spark, "query_id long, neighbor_id long, adc double, rank int")
     dims = head["s"]
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
@@ -537,7 +538,7 @@ def _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
                      F.col("__sv").alias("__cv")))
     # the seed is m*n_codes rows; pin it driver-side like the Lloyd
     # rounds do so the isin+udf scan doesn't re-run per use
-    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    cents = tiny_df(spark, cents.collect(), cents.schema)
 
     def assign(c):
         """nearest centroid per (vector, subspace) under L2.
@@ -572,7 +573,7 @@ def _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
             .select("__sub", "__cid",
                     F.transform("__s", lambda x: x["__mv"]).alias("__cv"))
         )
-        cents = spark.createDataFrame(means.collect(), means.schema)
+        cents = tiny_df(spark, means.collect(), means.schema)
 
     # encode the corpus: (id, subspace, code) — the stored index.
     # count() fills the persist NOW so the ADC search below scans the
@@ -653,8 +654,8 @@ def incremental_ivf_assignments(
     if not cur.limit(1).count():
         # first batch: n_centroids lowest-id vectors become the codebook
         rows = base.orderBy("__id").limit(n_centroids).collect()
-        seed = spark.createDataFrame(
-            [(i, list(r["__v"])) for i, r in enumerate(rows)], cents_schema)
+        seed = tiny_df(
+            spark, [(i, list(r["__v"])) for i, r in enumerate(rows)], cents_schema)
         cents = seed
     else:
         cents = cur
@@ -1071,8 +1072,8 @@ def incremental_semantic_dedup(
     seed = None
     if not cur.limit(1).count():
         rows = base.orderBy("__id").limit(n_centroids).collect()
-        seed = spark.createDataFrame(
-            [(i, list(r["__v"])) for i, r in enumerate(rows)], cents_schema)
+        seed = tiny_df(
+            spark, [(i, list(r["__v"])) for i, r in enumerate(rows)], cents_schema)
         cents = seed
     else:
         cents = cur

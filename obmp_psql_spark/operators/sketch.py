@@ -75,7 +75,16 @@ def merge_mg_partials(partials: DataFrame, k: int) -> DataFrame:
     (k+1)-th largest merged count is a bounded collect (k+1 rows),
     never the data. Associative — any merge tree yields a summary
     with the same (N - M)/(k+1) guarantee."""
-    merged = partials.groupBy("item").agg(F.sum("est").alias("est"))
+    from .cache import owned_persist
+
+    # The threshold collect below is the first action over ``merged``
+    # and the caller then CONSUMES the returned plan (publish/append);
+    # un-persisted, the full upstream pass (corpus tokenize + MG scan)
+    # executed twice per call. The merged summary is sketch-sized
+    # (<= ~k rows per partition-partial) — the right thing to persist
+    # at any scale.
+    merged = owned_persist(
+        partials.groupBy("item").agg(F.sum("est").alias("est")))
     top = merged.orderBy(F.desc("est"), "item").limit(k + 1).collect()
     m = top[-1]["est"] if len(top) == k + 1 else 0
     return (merged.select("item", (F.col("est") - F.lit(m)).alias("est"))

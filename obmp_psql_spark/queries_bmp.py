@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from .ingest import apply_unicast_prefix
 from .registry import register
 from .schemas import TABLE_SCHEMAS
-from .session import empty_df, fan_out, load_tables
+from .session import empty_df, fan_out, load_tables, tiny_df
 
 # deterministic message synthesis from events (ts made unique by
 # adding event_id µs — dedup-latest tiebreaks must not matter)
@@ -699,8 +699,8 @@ def _dimension_state(spark: SparkSession):
 
     def as_msgs(mtype, rows):
         s = MESSAGE_SCHEMAS[mtype]
-        return spark.createDataFrame(
-            [tuple(r.get(f.name) for f in s.fields) for r in rows], s)
+        return tiny_df(
+            spark, [tuple(r.get(f.name) for f in s.fields) for r in rows], s)
 
     routers, peers = apply_router(
         empty_df(spark, TABLE_SCHEMAS["routers"]),
@@ -950,8 +950,8 @@ def _run_peer_pipeline(spark: SparkSession, sf_dir: str):
         routers, _ = apply_router(
             empty_df(spark, TABLE_SCHEMAS["routers"]),
             empty_df(spark, TABLE_SCHEMAS["bgp_peers"]),
-            spark.createDataFrame(
-                [("init", "rt0", "edge-rtr", "198.51.100.1", "", 0, "", "", "",
+            tiny_df(
+                spark, [("init", "rt0", "edge-rtr", "198.51.100.1", "", 0, "", "", "",
                   "198.51.100.1", "c0", dt.datetime(2024, 1, 1))], rschema))
         msgs = _peer_messages(spark, sf_dir)
         b1 = msgs.filter(F.col("event_id") % 2 == 0).drop("event_id")
@@ -1603,8 +1603,8 @@ def q_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(i["table_name"], i["layout"], i["files"], i["rows"],
                  i["appends"], i["chunks"], i["n_buckets"])
                 for i in store.table_info()]
-        out = spark.createDataFrame(
-            rows, "table_name string, layout string, files long, "
+        out = tiny_df(
+            spark, rows, "table_name string, layout string, files long, "
                   "rows long, appends long, chunks long, n_buckets long")
         return (out,)
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-from .session import fan_out, load_tables, normalize_ts
+from .session import fan_out, load_tables, normalize_ts, tiny_df
 
 _NORM = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
 _EV = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
@@ -2110,10 +2110,24 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      toks, "q_heavy_hitters")
 
 
-def _mg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(_docs(spark, sf_dir), spark)
+def _mg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id+text only, fanned out and persisted: the MG gates make
+    two to four tokenize passes over the same corpus (per-batch
+    sketches, the exact-count side of the guarantee gate) — one scan
+    plus one round-robin exchange instead of one per pass."""
+    from .operators.cache import owned_persist
+
+    return owned_persist(
+        fan_out(_docs(spark, sf_dir).select("doc_id", "text"), spark))
+
+
+def _mg_tokens_of(d: DataFrame) -> DataFrame:
     return (d.select(F.explode(F.split(_norm_col(), " ")).alias("term"))
             .filter(F.length("term") > 0))
+
+
+def _mg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mg_tokens_of(_mg_docs(spark, sf_dir))
 
 
 def _score_mg(spark: SparkSession, sf_dir: str, sketch: DataFrame,
@@ -2180,30 +2194,25 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketch import incremental_mg_update, mg_from_store
     from .queries_bmp import _cached_pipeline
 
-    toks = _mg_tokens(spark, sf_dir)
-
     def build():
         import tempfile
 
         from .state import TxnStateStore
 
-        d = fan_out(_docs(spark, sf_dir), spark)
+        # one persisted fanned corpus feeds every batch tokenize AND
+        # the exact-count gate side (was: one scan + fan_out exchange
+        # per batch)
+        d = _mg_docs(spark, sf_dir)
         store = TxnStateStore(spark, tempfile.mkdtemp(prefix="mgsketch_"))
         for b in range(3):
-            batch_toks = (d.filter(F.col("doc_id") % 3 == b)
-                          .select(F.explode(F.split(_norm_col(), " "))
-                                  .alias("term"))
-                          .filter(F.length("term") > 0))
+            batch_toks = _mg_tokens_of(d.filter(F.col("doc_id") % 3 == b))
             incremental_mg_update(store, batch_toks, "term", _MG_K,
                                   batch_id=b)
         # replay batch 1: must no-op (txn counter), not double-count
-        replay = (d.filter(F.col("doc_id") % 3 == 1)
-                  .select(F.explode(F.split(_norm_col(), " "))
-                          .alias("term"))
-                  .filter(F.length("term") > 0))
+        replay = _mg_tokens_of(d.filter(F.col("doc_id") % 3 == 1))
         incremental_mg_update(store, replay, "term", _MG_K, batch_id=1)
         sketch = mg_from_store(store, _MG_K)
-        return (_score_mg(spark, sf_dir, sketch, toks,
+        return (_score_mg(spark, sf_dir, sketch, _mg_tokens_of(d),
                           "q_stream_heavy_hitters"),)
 
     (out,) = _cached_pipeline("streammg", spark, sf_dir, build)
@@ -2269,7 +2278,7 @@ def _qs_score(spark: SparkSession, sf_dir: str, ests: list,
 
     aux = _aux(name, _sf_tag(sf_dir))
     publish_aux(
-        spark.createDataFrame(ests, "q_ppm long, est double"), aux)
+        tiny_df(spark, ests, "q_ppm long, est double"), aux)
     pairs = [(int(r["q_ppm"]), float(r["est"]))
              for r in spark.read.parquet(aux).collect()]
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
@@ -2287,8 +2296,8 @@ def _qs_score(spark: SparkSession, sf_dir: str, ests: list,
         err = 0 if r_lt <= target <= r_le \
             else min(abs(r_lt - target), abs(r_le - target))
         out.append((q, est, err * 1_000_000 // n, err * _QS_K <= 3 * n))
-    return spark.createDataFrame(
-        out, "q_ppm long, est double, rank_err_ppm long, ok boolean") \
+    return tiny_df(
+        spark, out, "q_ppm long, est double, rank_err_ppm long, ok boolean") \
         .orderBy("q_ppm")
 
 
@@ -2354,8 +2363,14 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from .state import TxnStateStore
 
-        ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"],
-                     spark)
+        from .operators.cache import owned_persist
+
+        # event_id+value only, fanned and persisted: four batch
+        # passes (3 + replay) read one cached exchange instead of
+        # re-scanning + re-shuffling the source per batch
+        ev = owned_persist(fan_out(
+            load_tables(spark, sf_dir, ("events",))["events"]
+            .select("event_id", "value"), spark))
         store = TxnStateStore(spark, tempfile.mkdtemp(prefix="qsketch_"))
         for b in range(3):
             batch = (ev.filter(F.col("event_id") % 3 == b)
@@ -2368,9 +2383,10 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             store, ev.filter(F.col("event_id") % 3 == 1)
             .select(F.col("value").cast("double").alias("v"))
             .filter(F.col("v").isNotNull()), "v", _QS_K, batch_id=1)
+        from pyspark.sql.types import StructType
         return (store.read("quantile_partials",
-                           schema=spark.createDataFrame(
-                               [], "value double, weight double").schema),)
+                           schema=StructType.fromDDL(
+                               "value double, weight double")),)
 
     (partials,) = _cached_pipeline("qsketch", spark, sf_dir, build)
     ests = quantile_estimates(partials, list(_QS_TARGETS))
@@ -2570,8 +2586,8 @@ def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                          schema=hist0.schema).collect()
         ref_n = sum(r["cnt"] for r in ref)
         ref_map = {int(r["bin"]): int(r["cnt"]) for r in ref}
-        grid = spark.createDataFrame(
-            [(b, bin, ref_map.get(bin, 0))
+        grid = tiny_df(
+            spark, [(b, bin, ref_map.get(bin, 0))
              for b in (1, 2) for bin in range(10)],
             "batch_id int, bin long, ref_cnt long")
         hist = (src.filter(F.col("b") > 0)

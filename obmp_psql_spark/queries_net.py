@@ -17,7 +17,7 @@ from .functions import net
 from .operators.lpm import (containment_join, containment_join128,
                             lpm_join, lpm_join128)
 from .registry import register
-from .session import load_tables
+from .session import load_tables, tiny_df
 
 # 2001:db8:: upper 64 bits; 2^64 and 2^48 as DuckDB-side literals
 _V6DOC = 2306139568115548160  # 0x20010db8_00000000
@@ -161,8 +161,8 @@ def q_lpm_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prefix",
                     F.concat_ws("/", F.col("pfx_host"), F.col("mask_len")))
         .unionByName(
-            spark.createDataFrame([("10.0.0.0", 8, -1, "10.0.0.0/8")],
-                                  "pfx_host string, mask_len int, p_partkey long, prefix string"))
+            tiny_df(spark, [("10.0.0.0", 8, -1, "10.0.0.0/8")],
+                    "pfx_host string, mask_len int, p_partkey long, prefix string"))
     )
     start, end = net.ipv4_prefix_bounds(F.col("prefix"))
     geo = (
@@ -290,8 +290,8 @@ def q_lpm_geo_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("prefix", F.concat_ws("/", F.col("pfx_host"), F.col("mask_len")))
         .unionByName(
-            spark.createDataFrame([("10.0.0.0", 8, -1, "10.0.0.0/8")],
-                                  "pfx_host string, mask_len int, p_partkey long, prefix string"))
+            tiny_df(spark, [("10.0.0.0", 8, -1, "10.0.0.0/8")],
+                    "pfx_host string, mask_len int, p_partkey long, prefix string"))
     )
     s4, e4 = net.ipv4_prefix_bounds(F.col("prefix"))
     geo4 = (
@@ -310,8 +310,8 @@ def q_lpm_geo_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (F.col("p_partkey") % 256).cast("int"),
                             (F.col("p_partkey") % 4).cast("int")),
         )).alias("cidr"), F.col("p_partkey"))
-        .unionByName(spark.createDataFrame([("2001:db8::/32", -2)],
-                                           "cidr string, p_partkey long"))
+        .unionByName(tiny_df(spark, [("2001:db8::/32", -2)],
+                             "cidr string, p_partkey long"))
         .withColumn("__v", net.ipv6_to_longs(net.host(F.col("cidr"))))
         .withColumn("mask_len", net.masklen(F.col("cidr")).cast("int"))
     )

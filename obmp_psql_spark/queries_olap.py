@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .registry import register
-from .session import empty_df, fan_out, load_tables, normalize_ts
+from .session import empty_df, fan_out, load_tables, normalize_ts, tiny_df
 
 _EV = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 _DEC = "decimal(38,10)"
@@ -928,8 +928,8 @@ def q_er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     u[0], u[1], u[2],
                     math.floor(av / (av + bv) * 1000000.0 + 0.5),
                     math.floor(math.log2(pm / pu) * 1000000.0 + 0.5)))
-    return spark.createDataFrame(
-        out,
+    return tiny_df(
+        spark, out,
         schema="g1 int, g2 int, g3 int, n_pairs bigint, "
                "lam_micro bigint, m1_micro bigint, m2_micro bigint, "
                "m3_micro bigint, u1_micro bigint, u2_micro bigint, "

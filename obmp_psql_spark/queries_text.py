@@ -25,7 +25,7 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .registry import register
-from .session import fan_out, load_tables
+from .session import fan_out, load_tables, tiny_df
 
 # ---------------------------------------------------------------------------
 # shared corpus augmentation: exact clones (+10000) and near-clones
@@ -2377,8 +2377,8 @@ def _bpe_train_run(spark: SparkSession, sf_dir: str):
                 F.when(F.size("s") <= 1, F.col("s")).otherwise(fold)
                  .alias("s")
             ).localCheckpoint()
-        merge_df = spark.createDataFrame(
-            merges, "step int, lhs string, rhs string, n long")
+        merge_df = tiny_df(
+            spark, merges, "step int, lhs string, rhs string, n long")
         return merge_df, words
 
     return _cached_pipeline("bpe", spark, sf_dir, build)
@@ -2925,8 +2925,8 @@ def _publish_and_project(spark: SparkSession, e: DataFrame,
     """Publish a fitted 2-component model and return the projection
     plan both engines score (the Spark half of _pca_project_oracle)."""
     aux = _aux(name, _sf_tag(sf_dir))
-    model = spark.createDataFrame(
-        [(mean, comps[0], comps[1])],
+    model = tiny_df(
+        spark, [(mean, comps[0], comps[1])],
         "mean array<double>, w1 array<double>, w2 array<double>")
     publish_aux(model, aux)
     w = spark.read.parquet(aux)
@@ -3113,8 +3113,8 @@ def _train_quality_scores(spark: SparkSession, sf_dir: str,
         w = logreg_train(trained, ["x0", "x1", "x2", "x3"], "label",
                          iters=6, lr=8.0)
         publish_aux(
-            spark.createDataFrame(
-                [tuple(w)], "w0 double, w1 double, w2 double, w3 double"),
+            tiny_df(
+                spark, [tuple(w)], "w0 double, w1 double, w2 double, w3 double"),
             aux)
     wdf = spark.read.parquet(aux)
     return (base.crossJoin(F.broadcast(wdf))
