@@ -50,11 +50,18 @@ def _split_strs(c: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def split_merge_outputs(j: DataFrame, state_cols: list[Column],
-                        changed: Column, log_cols: list[Column],
+def split_merge_outputs(j: DataFrame, state_cols: list,
+                        changed, log_cols: list,
                         materialize_join=None
                         ) -> tuple[DataFrame, DataFrame]:
     """Derive (new_state, log) from a merge join.
+
+    ``state_cols``/``log_cols`` are Column objects or SQL expression
+    strings (``"<expr> AS <name>"``); ``changed`` likewise. The
+    string form exists because per-column Column construction costs
+    ~8-10 py4j round-trips per column — a parsed selectExpr is one
+    call for the whole projection (driver plan-construction time,
+    guide §7.3).
 
     Without ``materialize_join`` the two outputs are independent
     plans over ``j`` — fine when only one is consumed, but a sink
@@ -66,13 +73,29 @@ def split_merge_outputs(j: DataFrame, state_cols: list[Column],
     natively. On a cluster sink, substitute a staging-dir write for
     localCheckpoint; the cost model is the same (one join, one
     materialization, two cheap scans)."""
+    as_strings = state_cols and isinstance(state_cols[0], str)
     if materialize_join is None:
+        if as_strings:
+            return (j.selectExpr(*state_cols),
+                    j.filter(changed).selectExpr(*log_cols))
         return j.select(*state_cols), j.filter(changed).select(*log_cols)
-    combined = materialize_join(j.select(
-        F.struct(*state_cols).alias("__state"),
-        # when() yields NULL unless `changed` is TRUE — same rows as
-        # filter(changed) under SQL three-valued logic
-        F.when(changed, F.struct(*log_cols)).alias("__log")))
+    if as_strings:
+        # named_struct keeps the field names from the "... AS name"
+        # suffixes; CASE WHEN yields NULL unless `changed` is TRUE —
+        # same rows as filter(changed) under SQL three-valued logic
+        def _named(exprs):
+            return "named_struct(" + ", ".join(
+                f"'{e.rsplit(' AS ', 1)[1].strip('`')}', "
+                f"{e.rsplit(' AS ', 1)[0]}" for e in exprs) + ")"
+        combined = materialize_join(j.selectExpr(
+            f"{_named(state_cols)} AS __state",
+            f"CASE WHEN {changed} THEN {_named(log_cols)} END AS __log"))
+    else:
+        combined = materialize_join(j.select(
+            F.struct(*state_cols).alias("__state"),
+            # when() yields NULL unless `changed` is TRUE — same rows
+            # as filter(changed) under SQL three-valued logic
+            F.when(changed, F.struct(*log_cols)).alias("__log")))
     return (combined.select("__state.*"),
             combined.filter(F.col("__log").isNotNull()).select("__log.*"))
 
@@ -193,58 +216,58 @@ def apply_unicast_prefix(state: DataFrame, batch: DataFrame,
         & (F.col("src.hash_id") == F.col("tgt.hash_id")),
         "full_outer",
     )
-    has_src = F.col("src.hash_id").isNotNull()
-    has_tgt = F.col("tgt.hash_id").isNotNull()
-    matched = has_src & has_tgt
+    # string-SQL projections, parsed JVM-side in one selectExpr call —
+    # see split_merge_outputs on why (py4j construction cost)
+    has_src = "src.hash_id IS NOT NULL"
+    has_tgt = "tgt.hash_id IS NOT NULL"
+    matched = f"({has_src} AND {has_tgt})"
 
-    def pick(col: str) -> Column:
-        return F.when(has_src, F.col(f"src.{col}")).otherwise(F.col(f"tgt.{col}"))
+    def pick(col: str) -> str:
+        return f"CASE WHEN {has_src} THEN src.`{col}` ELSE tgt.`{col}` END"
 
-    keep_on_withdraw = lambda col: F.when(  # noqa: E731
-        matched & F.col("src.is_withdrawn"), F.col(f"tgt.{col}")
-    ).otherwise(pick(col))
+    def keep_on_withdraw(col: str) -> str:
+        return (f"CASE WHEN {matched} AND src.is_withdrawn "
+                f"THEN tgt.`{col}` ELSE {pick(col)} END")
 
     state_cols = [
-        pick("hash_id").alias("hash_id"),
-        pick("peer_hash_id").alias("peer_hash_id"),
-        keep_on_withdraw("base_attr_hash_id").alias("base_attr_hash_id"),
-        pick("is_ipv4").alias("is_ipv4"),
-        keep_on_withdraw("origin_as").alias("origin_as"),
-        pick("prefix").alias("prefix"),
-        pick("prefix_len").alias("prefix_len"),
-        pick("timestamp").alias("timestamp"),
-        F.when(has_tgt, F.col("tgt.first_added_timestamp"))
-         .otherwise(F.col("src.timestamp")).alias("first_added_timestamp"),
-        pick("is_withdrawn").alias("is_withdrawn"),
-        pick("path_id").alias("path_id"),
-        pick("labels").alias("labels"),
-        pick("is_pre_policy").alias("is_pre_policy"),
-        pick("is_adj_rib_in").alias("is_adj_rib_in"),
-        pick("prefix_start").alias("prefix_start"),
-        pick("prefix_end").alias("prefix_end"),
-        pick("prefix_base_hi").alias("prefix_base_hi"),
-        pick("prefix_base_lo").alias("prefix_base_lo"),
+        f"{pick('hash_id')} AS hash_id",
+        f"{pick('peer_hash_id')} AS peer_hash_id",
+        f"{keep_on_withdraw('base_attr_hash_id')} AS base_attr_hash_id",
+        f"{pick('is_ipv4')} AS is_ipv4",
+        f"{keep_on_withdraw('origin_as')} AS origin_as",
+        f"{pick('prefix')} AS prefix",
+        f"{pick('prefix_len')} AS prefix_len",
+        f"{pick('timestamp')} AS timestamp",
+        f"CASE WHEN {has_tgt} THEN tgt.first_added_timestamp "
+        f"ELSE src.timestamp END AS first_added_timestamp",
+        f"{pick('is_withdrawn')} AS is_withdrawn",
+        f"{pick('path_id')} AS path_id",
+        f"{pick('labels')} AS labels",
+        f"{pick('is_pre_policy')} AS is_pre_policy",
+        f"{pick('is_adj_rib_in')} AS is_adj_rib_in",
+        f"{pick('prefix_start')} AS prefix_start",
+        f"{pick('prefix_end')} AS prefix_end",
+        f"{pick('prefix_base_hi')} AS prefix_base_hi",
+        f"{pick('prefix_base_lo')} AS prefix_base_lo",
     ]
 
-    changed = matched & (
-        (F.col("src.is_withdrawn") != F.col("tgt.is_withdrawn"))
-        | (
-            (~F.col("src.is_withdrawn"))
-            # plain != replicates Postgres NULL semantics: NULL attr
-            # on either side -> condition NULL -> no log row
-            & (F.col("src.base_attr_hash_id") != F.col("tgt.base_attr_hash_id"))
-        )
+    changed = (
+        f"{matched} AND (src.is_withdrawn != tgt.is_withdrawn "
+        # plain != replicates Postgres NULL semantics: NULL attr
+        # on either side -> condition NULL -> no log row
+        f"OR ((NOT src.is_withdrawn) AND "
+        f"src.base_attr_hash_id != tgt.base_attr_hash_id))"
     )
     log_cols = [
-        F.col("src.is_withdrawn").alias("is_withdrawn"),
-        F.col("src.prefix").alias("prefix"),
-        F.col("src.prefix_len").alias("prefix_len"),
-        F.when(F.col("src.is_withdrawn"), F.col("tgt.base_attr_hash_id"))
-         .otherwise(F.col("src.base_attr_hash_id")).alias("base_attr_hash_id"),
-        F.col("src.peer_hash_id").alias("peer_hash_id"),
-        F.when(F.col("src.is_withdrawn"), F.col("tgt.origin_as"))
-         .otherwise(F.col("src.origin_as")).alias("origin_as"),
-        F.col("src.timestamp").alias("timestamp"),
+        "src.is_withdrawn AS is_withdrawn",
+        "src.prefix AS prefix",
+        "src.prefix_len AS prefix_len",
+        "CASE WHEN src.is_withdrawn THEN tgt.base_attr_hash_id "
+        "ELSE src.base_attr_hash_id END AS base_attr_hash_id",
+        "src.peer_hash_id AS peer_hash_id",
+        "CASE WHEN src.is_withdrawn THEN tgt.origin_as "
+        "ELSE src.origin_as END AS origin_as",
+        "src.timestamp AS timestamp",
     ]
     return split_merge_outputs(j, state_cols, changed, log_cols,
                                materialize_join)
@@ -361,21 +384,22 @@ def apply_peer(
     src = s.alias("src")
     tgt = peers.alias("tgt")
     j = src.join(tgt, F.col("src.hash_id") == F.col("tgt.hash_id"), "full_outer")
-    has_src = F.col("src.hash_id").isNotNull()
-    has_tgt = F.col("tgt.hash_id").isNotNull()
-    matched = has_src & has_tgt
 
+    # string-SQL projection, one selectExpr call — see
+    # split_merge_outputs on why (py4j construction cost)
+    has_src = "src.hash_id IS NOT NULL"
+    has_tgt = "tgt.hash_id IS NOT NULL"
     cols = []
     for f in peers.schema.fields:
         c = f.name
         if c in _PEER_SET_COLS:
-            expr = F.when(has_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))
+            e = f"CASE WHEN {has_src} THEN src.`{c}` ELSE tgt.`{c}` END"
         else:
             # insert-only columns (incl. geo_ip_start: not in the
             # ON CONFLICT SET list, PeerQuery.java:33-39)
-            expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
-        cols.append(expr.alias(c))
-    new_peers = j.select(*cols)
+            e = f"CASE WHEN {has_tgt} THEN tgt.`{c}` ELSE src.`{c}` END"
+        cols.append(f"{e} AS `{c}`")
+    new_peers = j.selectExpr(*cols)
 
     # peer_event_log: one row per applied message (t_bgp_peers fires
     # BEFORE INSERT and UPDATE); down events log err/reason fields,
@@ -451,10 +475,13 @@ def apply_router(
     src = latest.alias("src")
     tgt = routers.alias("tgt")
     j = src.join(tgt, F.col("src.hash_id") == F.col("tgt.hash_id"), "full_outer")
-    has_src = F.col("src.hash_id").isNotNull()
-    has_tgt = F.col("tgt.hash_id").isNotNull()
-    matched = has_src & has_tgt
-    up = F.col("src.state") == "up"
+
+    # string-SQL projection, one selectExpr call — see
+    # split_merge_outputs on why (py4j construction cost)
+    has_src = "src.hash_id IS NOT NULL"
+    has_tgt = "tgt.hash_id IS NOT NULL"
+    matched = f"({has_src} AND {has_tgt})"
+    up = "src.state = 'up'"
 
     unconditional = ("timestamp", "state", "bgp_id", "term_reason_code",
                      "term_reason_text", "collector_hash_id", "geo_ip_start")
@@ -463,25 +490,24 @@ def apply_router(
     for f in routers.schema.fields:
         c = f.name
         if c == "conn_count":
-            old = F.coalesce(F.col("tgt.conn_count"), F.lit(0))
-            expr = F.when(has_src, F.greatest(F.lit(0), old + F.col("src.__delta"))) \
-                    .otherwise(old)
+            old = "coalesce(tgt.conn_count, 0)"
+            e = (f"CASE WHEN {has_src} THEN "
+                 f"greatest(0, {old} + src.__delta) ELSE {old} END")
         elif c in unconditional:
-            expr = F.when(has_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))
+            e = f"CASE WHEN {has_src} THEN src.`{c}` ELSE tgt.`{c}` END"
         elif c in keep_unless_up:
-            expr = F.when(matched & up, F.col(f"src.{c}")) \
-                    .when(matched, F.col(f"tgt.{c}")) \
-                    .when(has_src, F.col(f"src.{c}")) \
-                    .otherwise(F.col(f"tgt.{c}"))
+            e = (f"CASE WHEN {matched} AND {up} THEN src.`{c}` "
+                 f"WHEN {matched} THEN tgt.`{c}` "
+                 f"WHEN {has_src} THEN src.`{c}` ELSE tgt.`{c}` END")
         else:
-            expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
-        cols.append(expr.alias(c))
-    new_routers = j.select(*cols)
+            e = f"CASE WHEN {has_tgt} THEN tgt.`{c}` ELSE src.`{c}` END"
+        cols.append(f"{e} AS `{c}`")
+    new_routers = j.selectExpr(*cols)
 
     # peer-down cascade: first connection only (old conn_count <= 0)
     cascade = j.filter(
-        has_src & F.col("src.__conn_ts").isNotNull()
-        & (F.coalesce(F.col("tgt.conn_count"), F.lit(0)) <= 0)
+        f"{has_src} AND src.__conn_ts IS NOT NULL "
+        f"AND coalesce(tgt.conn_count, 0) <= 0"
     ).select(F.col("src.hash_id").alias("__rh"), F.col("src.__conn_ts").alias("__rts"))
     new_peers = (
         peers.join(F.broadcast(cascade), peers["router_hash_id"] == F.col("__rh"), "left")
@@ -515,18 +541,18 @@ def apply_collector(
     src = latest.drop("__cascade").alias("src")
     tgt = collectors.alias("tgt")
     j = src.join(tgt, F.col("src.hash_id") == F.col("tgt.hash_id"), "full_outer")
-    has_src = F.col("src.hash_id").isNotNull()
-    has_tgt = F.col("tgt.hash_id").isNotNull()
     set_cols = ("state", "timestamp", "routers", "router_count")
     cols = []
     for f in collectors.schema.fields:
         c = f.name
         if c in set_cols:
-            expr = F.when(has_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))
+            e = ("CASE WHEN src.hash_id IS NOT NULL "
+                 f"THEN src.`{c}` ELSE tgt.`{c}` END")
         else:
-            expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
-        cols.append(expr.alias(c))
-    new_collectors = j.select(*cols)
+            e = ("CASE WHEN tgt.hash_id IS NOT NULL "
+                 f"THEN tgt.`{c}` ELSE src.`{c}` END")
+        cols.append(f"{e} AS `{c}`")
+    new_collectors = j.selectExpr(*cols)
 
     # started/stopped -> all of this collector's routers marked down
     # (CollectorQuery.java:76-79, no timestamp guard)

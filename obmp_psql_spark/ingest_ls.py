@@ -54,40 +54,46 @@ def conditional_rib_merge(
         c = F.col(f"src.{k}") == F.col(f"tgt.{k}")
         cond = c if cond is None else (cond & c)
     j = src.join(tgt, cond, "full_outer")
-    has_src = F.col(f"src.{policy.keys[0]}").isNotNull()
-    has_tgt = F.col(f"tgt.{policy.keys[0]}").isNotNull()
-    matched = has_src & has_tgt
-    wd = F.col("src.is_withdrawn")
+    # Projections are built as SQL strings and parsed JVM-side in ONE
+    # selectExpr call: the previous per-column when/otherwise Column
+    # chains cost ~8-10 py4j round-trips per column (~2 ms each on
+    # this host), which made plan CONSTRUCTION a multi-second driver
+    # stall per merge (guide §7.3 — driver-side work shows up as
+    # "nothing running"). Semantics unchanged: CASE WHEN mirrors
+    # F.when's null fall-through exactly.
+    k0 = policy.keys[0]
+    has_src = f"src.`{k0}` IS NOT NULL"
+    has_tgt = f"tgt.`{k0}` IS NOT NULL"
+    matched = f"({has_src} AND {has_tgt})"
+    wd = "src.is_withdrawn"
 
     cols = []
     for f_ in state.schema.fields:
         c = f_.name
         if c in policy.always or c in policy.keys:
-            expr = F.when(has_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))
+            e = f"CASE WHEN {has_src} THEN src.`{c}` ELSE tgt.`{c}` END"
         elif c in policy.keep_on_withdraw:
-            expr = (
-                F.when(matched & wd, F.col(f"tgt.{c}"))
-                .when(has_src, F.col(f"src.{c}"))
-                .otherwise(F.col(f"tgt.{c}"))
-            )
+            e = (f"CASE WHEN {matched} AND {wd} THEN tgt.`{c}` "
+                 f"WHEN {has_src} THEN src.`{c}` ELSE tgt.`{c}` END")
         else:  # never updated after insert (incl. first_added_timestamp)
-            expr = F.when(has_tgt, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
-        cols.append(expr.alias(c))
+            e = f"CASE WHEN {has_tgt} THEN tgt.`{c}` ELSE src.`{c}` END"
+        cols.append(f"{e} AS `{c}`")
 
-    changed = matched & (
-        (F.col("src.is_withdrawn") != F.col("tgt.is_withdrawn"))
-        | ((~wd) & (F.col("src.base_attr_hash_id") != F.col("tgt.base_attr_hash_id")))
+    changed = (
+        f"{matched} AND (src.is_withdrawn != tgt.is_withdrawn "
+        f"OR ((NOT {wd}) AND "
+        f"src.base_attr_hash_id != tgt.base_attr_hash_id))"
     )
     log_cols = []
     for f_ in state.schema.fields:
         c = f_.name
         if c in policy.log_always_old:
-            expr = F.col(f"tgt.{c}")
+            e = f"tgt.`{c}`"
         elif c in policy.log_old_on_withdraw:
-            expr = F.when(wd, F.col(f"tgt.{c}")).otherwise(F.col(f"src.{c}"))
+            e = f"CASE WHEN {wd} THEN tgt.`{c}` ELSE src.`{c}` END"
         else:
-            expr = F.col(f"src.{c}")
-        log_cols.append(expr.alias(c))
+            e = f"src.`{c}`"
+        log_cols.append(f"{e} AS `{c}`")
     from .ingest import split_merge_outputs
     return split_merge_outputs(j, cols, changed, log_cols,
                                materialize_join)

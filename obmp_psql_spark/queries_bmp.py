@@ -42,26 +42,27 @@ def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # message): restore source parallelism over the single-row-group
     # fixture, like the Kafka source's N partitions would
     ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
-    return ev.select(
-        F.when(F.col("value") < 5, "del").otherwise("add").alias("action"),
-        F.concat(F.lit("h"), F.col("user_id").cast("string"), F.lit("-"),
-                 (F.col("event_id") % 5).cast("string")).alias("hash"),
-        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string")).alias("peer_hash"),
-        F.when(F.col("value") < 5, F.lit(""))
-         .otherwise(F.concat(F.lit("a"), (F.col("event_id") % 20).cast("string")))
-         .alias("base_attr_hash"),
-        F.lit(True).alias("is_ipv4"),
-        (65000 + F.col("user_id") % 50).cast("long").alias("origin_asn"),
-        F.concat(F.lit("10."), (F.col("user_id") % 200).cast("string"),
-                 F.lit(".0.0")).alias("prefix"),
-        F.lit(16).cast("short").alias("prefix_len"),
-        (F.col("value") < 5).alias("is_withdrawn"),
-        F.lit(0).cast("long").alias("path_id"),
-        F.lit("").alias("labels"),
-        F.lit(False).alias("is_pre_policy"),
-        F.lit(True).alias("is_adj_rib_in"),
-        F.timestamp_micros(F.unix_micros("ts") + F.col("event_id")).alias("timestamp"),
-        F.col("event_id"),
+    # string-SQL projection, one selectExpr call — identical
+    # expressions to the previous Column chains, parsed JVM-side
+    # (py4j construction cost, see ingest.split_merge_outputs)
+    return ev.selectExpr(
+        "CASE WHEN value < 5 THEN 'del' ELSE 'add' END AS action",
+        "concat('h', CAST(user_id AS STRING), '-', "
+        "CAST(event_id % 5 AS STRING)) AS hash",
+        "concat('p', CAST(user_id % 10 AS STRING)) AS peer_hash",
+        "CASE WHEN value < 5 THEN '' ELSE "
+        "concat('a', CAST(event_id % 20 AS STRING)) END AS base_attr_hash",
+        "true AS is_ipv4",
+        "CAST(65000 + user_id % 50 AS LONG) AS origin_asn",
+        "concat('10.', CAST(user_id % 200 AS STRING), '.0.0') AS prefix",
+        "CAST(16 AS SHORT) AS prefix_len",
+        "(value < 5) AS is_withdrawn",
+        "CAST(0 AS LONG) AS path_id",
+        "'' AS labels",
+        "false AS is_pre_policy",
+        "true AS is_adj_rib_in",
+        "timestamp_micros(unix_micros(ts) + event_id) AS timestamp",
+        "event_id",
     )
 
 

@@ -132,7 +132,9 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass only; the join back is a hash join on the already-shuffled
     digest key. Suffix arrays need a global sort; this needs one
     hash shuffle."""
-    d = fan_out(_docs(spark, sf_dir), spark)
+    # persisted fanned corpus: the digest scan and the winnow pass
+    # below both read it (was: one scan + fan_out exchange each)
+    d = _mg_docs(spark, sf_dir)
     toks = F.split(_norm_col(), " ")
     k = _SPAN_K
     # docs shorter than k tokens have no windows (mirrors the oracle's
@@ -151,14 +153,21 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )).alias("h"),
         )
     )
-    dup = (w.groupBy("h")
-           .agg(F.countDistinct("doc_id").alias("__nd"))
-           .filter(F.col("__nd") > 1)
-           .select("h", F.lit(1).alias("__dup")))
-    per = (w.join(dup, "h", "left")
+    # one digest pass instead of two: the tokenize+md5 window scan is
+    # the expensive stage, and the previous dup-side aggregate + join
+    # re-executed it (event log: two ~40 task-second scans per run).
+    # (h, doc_id) counts carry everything needed — rows are distinct
+    # pairs, so the per-h row count IS the distinct-doc count, and the
+    # per-doc window totals are sums of c. Shuffles move deduped pairs
+    # (map-side combined), never the raw window rows.
+    from pyspark.sql import Window as _W
+    pairs = w.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("__c"))
+    nd = F.count(F.lit(1)).over(_W.partitionBy("h"))
+    per = (pairs.withColumn("__nd", nd)
            .groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_windows"),
-                F.count("__dup").alias("n_dup_windows"))
+           .agg(F.sum("__c").alias("n_windows"),
+                F.sum(F.when(F.col("__nd") > 1, F.col("__c"))
+                      .otherwise(F.lit(0))).alias("n_dup_windows"))
            .filter(F.col("n_dup_windows") > 0))
     # consolidated winnow surface (r10): distinct rolling-min k-gram
     # fingerprints per doc — winnow_fingerprints already dedups

@@ -58,6 +58,18 @@ def get_spark(app_name: str = _APP, extra_conf: dict | None = None) -> SparkSess
     return spark
 
 
+# (session id, sf_dir) -> {table name: DataFrame}. A *plan* memo, not a
+# data cache: the returned DataFrames are immutable lazy plans and every
+# action over them still scans the parquet inputs. Building the plan
+# costs ~0.1-1 s of py4j/py-side work (read.parquet footer + schema
+# probe + ts normalization + temp view), and nearly every registered
+# query pays it at least once per bench pass — ~45 s across a 153-query
+# pass before this memo. Keyed by id(spark) like _cached_pipeline; a
+# dead session is detected by the conf probe below and its entry
+# rebuilt under the new session's id.
+_TABLE_CACHE: dict = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the driver-generated parquet tables and register temp views.
 
@@ -67,15 +79,25 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
-    # The caller may hand us a session we didn't build (the driver
-    # does); events.ts is TIMESTAMP(NANOS) which Spark only reads
-    # with this runtime conf.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (id(spark), sf_dir)
+    try:
+        # The caller may hand us a session we didn't build (the driver
+        # does); events.ts is TIMESTAMP(NANOS) which Spark only reads
+        # with this runtime conf. Doubles as a liveness probe for the
+        # memo: a dead session throws here and drops its entry.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        _TABLE_CACHE.pop(key, None)
+        raise
+    cached = _TABLE_CACHE.setdefault(key, {})
     out = {}
     for name in names or all_names:
-        path = f"{sf_dir}/{name}.parquet"
-        df = normalize_ts(spark.read.parquet(path))
-        df.createOrReplaceTempView(name)
+        df = cached.get(name)
+        if df is None:
+            path = f"{sf_dir}/{name}.parquet"
+            df = normalize_ts(spark.read.parquet(path))
+            df.createOrReplaceTempView(name)
+            cached[name] = df
         out[name] = df
     return out
 

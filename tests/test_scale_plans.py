@@ -526,7 +526,15 @@ def test_doc_repetition_zero_shuffle_and_runlength_parity(spark, tmp_path):
 
     out = q_doc_repetition(spark, sf)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # narrow at any corpus size
+    # narrow at any corpus size: no keyed (hash/range) exchange — the
+    # fold never shuffles bigram data. The r14 fan_out adds exactly one
+    # round-robin exchange to restore scan parallelism over the
+    # single-row-group fixture; that one is allowed.
+    import re
+    keyed = [ln for ln in plan.splitlines()
+             if "Exchange" in ln and "RoundRobinPartitioning" not in ln]
+    assert keyed == [], keyed
+    assert len(re.findall(r"\bExchange\b", plan)) <= 1
 
     rows = out.collect()
     got = {r.doc_id: (r.n_tokens, round(r.distinct_token_frac, 6),
