@@ -46,6 +46,10 @@ BNLJ_WHITELIST: dict[str, str] = {
     # 1-row aggregate (high-watermark) broadcast for the relative
     # retention window — the scalar-subquery pattern
     "q_retention_purge": "broadcast 1-row watermark aggregate",
+    # r14 bitset rewrite: the (n_wedges) and (n_triangles) global
+    # aggregates are each exactly one row; the final combine is a
+    # 1-row x 1-row crossJoin
+    "q_triangle_count": "crossJoin of two 1-row global aggregates",
     # two 1-row cohort-total aggregates broadcast onto the fixed
     # 10-row bin grid — the scalar-subquery pattern, bounded by the
     # grid not the data

@@ -837,28 +837,30 @@ def lpa_rounds(sym: DataFrame, iters: int,
     """Synchronous LPA rounds over a symmetric (src, dst) edge list:
     per round one hash join with the O(nodes) label vector, one
     (node, label) count aggregate (map-side combinable), one per-node
-    window top-1 with the deterministic (count DESC, label ASC)
+    min_by top-1 with the deterministic (count DESC, label ASC)
     tie-break. ``cap`` applies the cap_in_edges supernode guard once
     up front (checkpointed so the cap window never re-runs per
     round). Returns (node, community)."""
-    from pyspark.sql import Window as W
-
     if cap is not None:
         # supernode skew guard: every round's vote fan-in bounded by
         # the deterministic in-neighbor cap (see cap_in_edges)
         sym = cap_in_edges(sym, cap).localCheckpoint()
     labels = sym.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
-    w = W.partitionBy("node").orderBy(F.col("c").desc(),
-                                      F.col("label").asc())
     for _ in range(iters):
         votes = (sym.join(labels, sym["src"] == labels["node"])
                  .select(F.col("dst").alias("node"), "label")
                  .groupBy("node", "label")
                  .agg(F.count(F.lit(1)).cast("long").alias("c")))
-        labels = (votes.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select("node", "label"))
+        # top-1 via min_by instead of a row_number window: (node,
+        # label) is unique in votes, so the (-c, label) struct order
+        # has no ties and picks exactly the window's (c DESC, label
+        # ASC) winner — HashAggregate with map-side partial min, no
+        # per-round sort (r14, guide §2.4: same key, fewer passes)
+        labels = votes.groupBy("node").agg(
+            F.min_by("label", F.struct((-F.col("c")).alias("k1"),
+                                       F.col("label").alias("k2")))
+            .alias("label"))
     return labels.select("node", F.col("label").cast("long")
                          .alias("community"))
 
@@ -1959,23 +1961,49 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = deg.select(F.col("node").alias("v"), F.col("deg").alias("degb"))
     ka = F.col("dega") * 1_000_000 + F.col("u")
     kb = F.col("degb") * 1_000_000 + F.col("v")
-    orient = (und.join(da, "u").join(db, "v")
-              .select(F.when(ka < kb, F.col("u")).otherwise(F.col("v"))
-                      .alias("s"),
-                      F.when(ka < kb, F.col("v")).otherwise(F.col("u"))
-                      .alias("t"),
-                      F.when(ka < kb, kb).otherwise(ka).alias("kt")))
-    e1 = orient.select(F.col("s").alias("ws"), F.col("t").alias("a"),
-                       F.col("kt").alias("k1"))
-    e2 = orient.select(F.col("s").alias("ws"), F.col("t").alias("b"),
-                       F.col("kt").alias("k2"))
-    wedge = (e1.join(e2, "ws").filter(F.col("k1") < F.col("k2"))
-             .select("a", "b"))
-    closing = orient.select(F.col("s").alias("a"), F.col("t").alias("b"),
-                            F.lit(1).alias("closed"))
-    return (wedge.join(closing, ["a", "b"], "left")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_wedges"),
-                 F.count("closed").cast("long").alias("n_triangles")))
+    # persisted: consumed by the bitset dim, the wedge count and the
+    # edge-level intersection scan below — un-persisted, each subtree
+    # re-ran the events scan + two distincts (3 scans in the profile)
+    from .operators.cache import owned_persist
+    orient = owned_persist(
+        und.join(da, "u").join(db, "v")
+        .select(F.when(ka < kb, F.col("u")).otherwise(F.col("v"))
+                .alias("s"),
+                F.when(ka < kb, F.col("v")).otherwise(F.col("u"))
+                .alias("t")))
+    # r14: wedges are never materialized. The node universe is the
+    # fixed _PR_NODES-id domain, so each node's oriented out-neighbor
+    # SET fits a words*64-bit bitset; closed wedges at s with far
+    # endpoint pair {t, u} correspond 1:1 to u in N+(s) & N+(t) over
+    # oriented edges (s, t) — each triangle {x<y<z} (k-order) counted
+    # exactly once, at its x-wedge, same as the wedge join counted it.
+    # n_wedges is sum C(outdeg, 2) — what the kt-ordered self-join
+    # row count computed by enumeration. The O(sum deg^2) wedge
+    # blowup (13.6M rows at sf0.1) is replaced by two <=_PR_NODES-row
+    # bitset dims and one edge-level scan (guide §8: decide with
+    # small rows, move nothing heavy).
+    words = (_PR_NODES + 63) // 64
+    outb = orient.groupBy(F.col("s").alias("node")).agg(*[
+        F.bit_or(F.expr(
+            f"CASE WHEN t div 64 = {w} THEN "
+            f"shiftleft(1L, CAST(t % 64 AS INT)) ELSE 0L END"))
+        .alias(f"__b{w}") for w in range(words)])
+    wed = (orient.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+                .cast("long").alias("n_wedges")))
+    sb = outb.select(F.col("node").alias("s"),
+                     *[F.col(f"__b{w}").alias(f"__sb{w}")
+                       for w in range(words)])
+    tb = outb.select(F.col("node").alias("t"),
+                     *[F.col(f"__b{w}").alias(f"__tb{w}")
+                       for w in range(words)])
+    per_edge = " + ".join(
+        f"bit_count(__sb{w} & coalesce(__tb{w}, 0L))" for w in range(words))
+    tri = (orient.join(F.broadcast(sb), "s").join(F.broadcast(tb), "t", "left")
+           .selectExpr(f"CAST({per_edge} AS BIGINT) AS __t")
+           .agg(F.coalesce(F.sum("__t"), F.lit(0))
+                .cast("long").alias("n_triangles")))
+    return wed.crossJoin(tri)
 
 
 # ---------------------------------------------------------------------------
@@ -2028,19 +2056,47 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
     src = (F.col("user_id") % _PR_NODES).cast("long")
     dst = ((F.col("user_id") + F.col("event_id")) % _PR_NODES).cast("long")
-    e = (ev.select(src.alias("src"), dst.alias("dst"))
-         .filter(F.col("src") != F.col("dst"))
-         .distinct())
-    mid = e.select(F.col("src").alias("dst"), F.col("dst").alias("d2"))
-    two = (e.join(mid, "dst")
-           .filter(F.col("d2") != F.col("src"))
-           .select("src", F.col("d2").alias("dst")))
-    reach = e.unionAll(two).distinct()
-    one_cnt = e.groupBy("src").agg(F.count(F.lit(1)).cast("long")
-                                   .alias("n_1hop"))
-    reach_cnt = reach.groupBy("src").agg(F.count(F.lit(1)).cast("long")
-                                         .alias("n_reach2"))
-    return one_cnt.join(reach_cnt, "src")
+    from .operators.cache import owned_persist
+    # persisted: the bitset dim and the probe side below both consume
+    # the distinct edge list (was: two events scans + two distincts)
+    e = owned_persist(ev.select(src.alias("src"), dst.alias("dst"))
+                      .filter(F.col("src") != F.col("dst"))
+                      .distinct())
+    # r14: the middle-node self-join materialized ~13.6M (src, d2)
+    # rows at sf0.1 only for a distinct count. Node ids live in the
+    # fixed _PR_NODES domain, so per-node reach SETS fit words*64-bit
+    # bitsets: n_reach2 = popcount(1hop-bits | OR of neighbors'
+    # out-bits, own bit cleared) — the same distinct union, computed
+    # as map-side-combinable bit_or aggregates over the edge list
+    # with one <=_PR_NODES-row broadcast dim (guide §8: decide with
+    # small rows). n_1hop = popcount(1hop-bits) == the distinct-edge
+    # count per src unchanged.
+    words = (_PR_NODES + 63) // 64
+
+    def _word(col: str, w: int) -> str:
+        return (f"CASE WHEN {col} div 64 = {w} THEN "
+                f"shiftleft(1L, CAST({col} % 64 AS INT)) ELSE 0L END")
+
+    outb = (e.groupBy(F.col("src").alias("__node")).agg(*[
+        F.bit_or(F.expr(_word("dst", w))).alias(f"__nb{w}")
+        for w in range(words)])
+        .withColumnRenamed("__node", "dst"))
+    per = (e.join(F.broadcast(outb), "dst", "left")
+           .groupBy("src")
+           .agg(*([F.bit_or(F.expr(_word("dst", w))).alias(f"__one{w}")
+                   for w in range(words)]
+                  + [F.bit_or(F.coalesce(F.col(f"__nb{w}"),
+                                         F.lit(0).cast("long")))
+                     .alias(f"__two{w}") for w in range(words)])))
+    n1 = " + ".join(f"bit_count(__one{w})" for w in range(words))
+    mask = {w: (f"(CASE WHEN src div 64 = {w} THEN "
+                f"~shiftleft(1L, CAST(src % 64 AS INT)) ELSE -1L END)")
+            for w in range(words)}
+    n2 = " + ".join(f"bit_count((__one{w} | __two{w}) & {mask[w]})"
+                    for w in range(words))
+    return per.selectExpr("src",
+                          f"CAST({n1} AS BIGINT) AS n_1hop",
+                          f"CAST({n2} AS BIGINT) AS n_reach2")
 
 
 # ---------------------------------------------------------------------------
