@@ -154,31 +154,49 @@ def _geo_lpm(rows: DataFrame, addr_col: str, geo_ip: DataFrame,
 # unicast_prefix -> ip_rib (+ ip_rib_log)
 # ---------------------------------------------------------------------------
 
+# (gateway, {extra_cols: [Column, ...]}) — the projection below is a
+# pure function of fixed input column NAMES; Column objects are
+# immutable unresolved expression trees, reusable across DataFrames.
+# Building it costs ~0.45 s of py4j round-trips (the v6 parser in
+# _addr_bounds is a large tree) and every BMP pipeline pays it 1-2x
+# per query; memoized per gateway (a restarted JVM rebuilds).
+_PREP_UNICAST_MEMO: tuple | None = None
+
+
+def _prep_unicast_cols(gw, extra_cols: tuple[str, ...]) -> list:
+    global _PREP_UNICAST_MEMO
+    if _PREP_UNICAST_MEMO is None or _PREP_UNICAST_MEMO[0] is not gw:
+        _PREP_UNICAST_MEMO = (gw, {})
+    memo = _PREP_UNICAST_MEMO[1]
+    if extra_cols not in memo:
+        withdrawn = F.col("is_withdrawn") | (F.lower(F.col("action")) == "del")
+        start, end, base_hi, base_lo = _addr_bounds(
+            F.col("prefix"), F.col("prefix_len"), F.col("is_ipv4"))
+        memo[extra_cols] = [
+            F.col("hash").alias("hash_id"),
+            F.col("peer_hash").alias("peer_hash_id"),
+            _nullif_empty(F.col("base_attr_hash")).alias("base_attr_hash_id"),
+            F.col("is_ipv4"),
+            F.col("origin_asn").alias("origin_as"),
+            F.col("prefix"), F.col("prefix_len"), F.col("timestamp"),
+            withdrawn.alias("is_withdrawn"),
+            F.col("path_id"), F.col("labels"),
+            F.col("is_pre_policy"), F.col("is_adj_rib_in"),
+            start.alias("prefix_start"), end.alias("prefix_end"),
+            base_hi.alias("prefix_base_hi"), base_lo.alias("prefix_base_lo"),
+            *[F.col(c) for c in extra_cols],
+        ]
+    return memo[extra_cols]
+
+
 def prepare_unicast_prefix(batch: DataFrame,
                            extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Message rows -> ip_rib row shape, filtered and batch-compressed.
     ``extra_cols`` carries table-variant columns (l3vpn's rd /
     ext_community_list) through the SAME dedup window — one pass, no
     second window + rejoin."""
-    withdrawn = F.col("is_withdrawn") | (F.lower(F.col("action")) == "del")
-    start, end, base_hi, base_lo = _addr_bounds(
-        F.col("prefix"), F.col("prefix_len"), F.col("is_ipv4"))
-    rows = (
-        batch.filter(F.col("prefix_len") <= 128)  # P1
-        .select(
-            F.col("hash").alias("hash_id"),
-            F.col("peer_hash").alias("peer_hash_id"),
-            _nullif_empty(F.col("base_attr_hash")).alias("base_attr_hash_id"),
-            "is_ipv4",
-            F.col("origin_asn").alias("origin_as"),
-            "prefix", "prefix_len", "timestamp",
-            withdrawn.alias("is_withdrawn"),
-            "path_id", "labels", "is_pre_policy", "is_adj_rib_in",
-            start.alias("prefix_start"), end.alias("prefix_end"),
-            base_hi.alias("prefix_base_hi"), base_lo.alias("prefix_base_lo"),
-            *extra_cols,
-        )
-    )
+    cols = _prep_unicast_cols(batch.sparkSession._sc._gateway, extra_cols)
+    rows = batch.filter(F.col("prefix_len") <= 128).select(*cols)  # P1
     return dedup_latest(rows, ["peer_hash_id", "hash_id"],
                         [F.col("timestamp").desc()])
 

@@ -88,24 +88,41 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.array(*[family_min(i) for i in range(num_hashes)])
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """(__id, __h0..__h{n-1}) MinHash signature table: one shingle
+    explode + ONE groupBy computing all ``num_hashes``
+    min(md5(family:shingle)) aggregates JVM-side inside codegen.
+    Split out of ``minhash_bands`` so a caller that needs BOTH the
+    band table and the raw signatures (the estimator-accuracy gate)
+    can compute the expensive aggregate once and share it."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    return sh.groupBy("__id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ])
+
+
 def minhash_bands(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH band table for a document set — the
     sharable MinHash index artifact: ``minhash_lsh_pairs`` self-joins
     it, ``incremental_minhash_pairs`` maintains it as a store table
     across streaming micro-batches. One explode + one groupBy per
-    call; every hash is computed JVM-side inside codegen."""
+    call; every hash is computed JVM-side inside codegen.
+    ``signatures`` supplies a prebuilt (possibly persisted)
+    ``minhash_signatures`` frame so the aggregate isn't recomputed."""
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingle(F.col(text_col), shingle_n)).alias("__s"),
-    )
-    sig = sh.groupBy("__id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ])
+    sig = (signatures if signatures is not None else
+           minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
     return sig.select(
         "__id",
         F.explode(
@@ -358,6 +375,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -379,7 +397,8 @@ def minhash_lsh_pairs(
     Returns columns (id_a, id_b).
     """
     banded = minhash_bands(df, id_col, text_col, num_hashes=num_hashes,
-                           bands=bands, shingle_n=shingle_n)
+                           bands=bands, shingle_n=shingle_n,
+                           signatures=signatures)
     # the band table feeds both sides of the self-join; materialize it
     # once or the full explode + 16-way min-md5 signature aggregation
     # runs twice (at scale the signature table is a build-once artifact;

@@ -71,24 +71,28 @@ def misra_gries(df: DataFrame, col: str, k: int) -> DataFrame:
 def merge_mg_partials(partials: DataFrame, k: int) -> DataFrame:
     """Merge MG partial summaries (``item``, ``est`` rows from any
     number of partition- or batch-level summaries) into one summary:
-    per-key sum, then one subtract-reduce back to ~k keys. The
-    (k+1)-th largest merged count is a bounded collect (k+1 rows),
-    never the data. Associative — any merge tree yields a summary
-    with the same (N - M)/(k+1) guarantee."""
-    from .cache import owned_persist
+    per-key sum, then one subtract-reduce back to ~k keys.
+    Associative — any merge tree yields a summary with the same
+    (N - M)/(k+1) guarantee.
 
-    # The threshold collect below is the first action over ``merged``
-    # and the caller then CONSUMES the returned plan (publish/append);
-    # un-persisted, the full upstream pass (corpus tokenize + MG scan)
-    # executed twice per call. The merged summary is sketch-sized
-    # (<= ~k rows per partition-partial) — the right thing to persist
-    # at any scale.
-    merged = owned_persist(
-        partials.groupBy("item").agg(F.sum("est").alias("est")))
-    top = merged.orderBy(F.desc("est"), "item").limit(k + 1).collect()
-    m = top[-1]["est"] if len(top) == k + 1 else 0
-    return (merged.select("item", (F.col("est") - F.lit(m)).alias("est"))
-            .filter(F.col("est") > 0))
+    The merge itself runs DRIVER-SIDE: the input is sketch metadata
+    (<= ~(k+1) rows per partition- or batch-partial — bounded by the
+    merge tree, never the data), so one collect executes the
+    expensive upstream pass exactly once and the sum/threshold/
+    subtract arithmetic is exact Python longs — bit-identical to the
+    previous distributed per-key sum + (k+1)-th-largest threshold.
+    Replaces a persist + threshold-collect + subtract-scan
+    choreography (3 jobs per call) with one job and a literal frame."""
+    from ..session import tiny_df
+
+    agg: dict = {}
+    for r in partials.select("item", "est").collect():
+        agg[r["item"]] = agg.get(r["item"], 0) + r["est"]
+    top = sorted(agg.values(), reverse=True)
+    m = top[k] if len(top) >= k + 1 else 0
+    rows = sorted((item, est - m) for item, est in agg.items()
+                  if est - m > 0)
+    return tiny_df(partials.sparkSession, rows, "item string, est long")
 
 
 def incremental_mg_update(store, batch_df: DataFrame, col: str, k: int, *,

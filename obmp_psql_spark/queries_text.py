@@ -2586,18 +2586,23 @@ def q_minhash_est_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, shingle) posting table — per-pair cost proportional to the
     two documents' shingle counts, the same bounded unit the
     n-gram-Jaccard operator pays. Integer-ppm arithmetic throughout."""
+    from .operators.cache import owned_persist
+    from .operators.dedup import minhash_signatures
     from .operators.dedup import shingle as mk_shingle
 
     c = _corpus(spark, sf_dir).withColumn("text", F.lower(F.col("text")))
+    # ONE signature build feeds the LSH band table AND both sides of
+    # the estimate self-join; un-persisted/duplicated, the full
+    # shingle explode + 16-way min-md5 aggregate ran three times
+    # (r14, guide §7.2 duplicated subtrees)
+    sig = owned_persist(minhash_signatures(
+        c, "doc_id", "text", num_hashes=_NUM_HASHES, shingle_n=_SHINGLE_N))
     pairs = minhash_lsh_pairs(c, "doc_id", "text",
                               num_hashes=_NUM_HASHES, bands=_BANDS,
-                              shingle_n=_SHINGLE_N)
+                              shingle_n=_SHINGLE_N, signatures=sig)
     sh = c.select(F.col("doc_id").alias("__id"),
                   F.explode(mk_shingle(F.col("text"), _SHINGLE_N))
                    .alias("__s"))
-    sig = sh.groupBy("__id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s"))))
-         .alias(f"__h{i}") for i in range(_NUM_HASHES)])
     agree = sum(
         F.when(F.col(f"a.__h{i}") == F.col(f"b.__h{i}"), 1).otherwise(0)
         for i in range(_NUM_HASHES))
@@ -2607,7 +2612,10 @@ def q_minhash_est_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("id_a", "id_b",
                    (agree * F.lit(1_000_000) / F.lit(_NUM_HASHES))
                    .cast("long").alias("est_ppm")))
-    shd = sh.distinct()
+    # the distinct posting table has three consumers (ssz + both
+    # sides of the exact-intersection join) — persist it or each
+    # re-runs the explode + distinct shuffle
+    shd = owned_persist(sh.distinct())
     ssz = shd.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (pairs
              .join(shd.alias("x"), F.col("id_a") == F.col("x.__id"))
