@@ -329,6 +329,51 @@ def cosine_topk_arrow(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _probe_cosine(base: DataFrame, cand_rows, n: int) -> DataFrame:
+    """(__id, __v, __n, __cid, __cr): per-row top-``n`` centroids by
+    cosine in the (csim DESC, cid ASC) order of the previous window
+    top-k, computed as a sort-slice PROJECTION over a 1-row broadcast
+    candidate-array dim — no N x C scored rows through an exchange,
+    no per-id window sort. The sort key is
+    struct(coalesce(-csim, +inf), cid): negation flips the DESC order
+    for the ascending array_sort, the coalesce keeps a (theoretical,
+    non-ANSI) null csim sorting last exactly like desc-nulls-last,
+    and equal keys fall to the lowest cid — the same total order the
+    window used; ``__cr`` is the 1-based rank like row_number.
+    ``cand_rows``: [(cid, cv, cn)] driver-side (bounded by the
+    codebook size, the same collect the Lloyd loop already does)."""
+    spark = base.sparkSession
+    if not cand_rows:
+        return base.select("__id", "__v", "__n",
+                           F.lit(None).cast("long").alias("__cid"),
+                           F.lit(None).cast("int").alias("__cr")).limit(0)
+    dim = tiny_df(
+        spark,
+        [([(int(cid), [float(x) for x in cv], float(cn))
+           for cid, cv, cn in sorted(cand_rows)],)],
+        "__cands array<struct<__cid:bigint,__cv:array<double>,__cn:double>>")
+
+    def key(c):
+        csim = dot(F.col("__v"), c["__cv"]) / (F.col("__n") * c["__cn"])
+        return F.coalesce(-csim, F.lit(float("inf")))
+
+    keyed = F.transform(
+        "__cands", lambda c: F.struct(key(c).alias("__k"),
+                                      c["__cid"].alias("__cid")))
+    top = F.slice(F.array_sort(keyed), 1, n)
+    return (base.crossJoin(F.broadcast(dim))
+            .select("__id", "__v", "__n",
+                    F.posexplode(top).alias("__r0", "__kc"))
+            .select("__id", "__v", "__n",
+                    F.col("__kc.__cid").alias("__cid"),
+                    (F.col("__r0") + 1).cast("int").alias("__cr")))
+
+
+def _argmax_cosine(base: DataFrame, cand_rows) -> DataFrame:
+    """Top-1 specialization of ``_probe_cosine``."""
+    return _probe_cosine(base, cand_rows, 1).select("__id", "__cid", "__v")
+
+
 def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int,
                    arrow_threshold: int = 64) -> DataFrame:
     """Lloyd iterations for the IVF codebook. The codebook is k ≪ N
@@ -340,40 +385,34 @@ def _kmeans_refine(base: DataFrame, cents: DataFrame, iters: int,
 
     The assignment step is size-gated on the codebook, the same
     policy as ``kmeans_assign``/``ivf_topk`` scoring: at k <=
-    ``arrow_threshold`` a broadcast crossJoin + top-1 window (cheap,
-    Python-free, bit-exact vs SQL oracles); above it the Arrow BLAS
-    argmax with the codebook in the closure. The expression plan
-    materializes an N x k scored intermediate AND shuffles it for the
-    window — at 2M vectors x 1414 centroids that is 2.8e9 rows
-    through an exchange, which is where the round-11 2M IVF probe
-    originally died; the BLAS form is one X @ C.T matmul per Arrow
-    batch with no N x k rows ever existing JVM-side."""
+    ``arrow_threshold`` the ``_probe_cosine`` sort-slice projection
+    (cheap, Python-free, no N x k rows through an exchange); above it
+    the Arrow BLAS argmax with the codebook in the closure — at 2M
+    vectors x 1414 centroids the old crossJoin+window form pushed
+    2.8e9 scored rows through an exchange, which is where the
+    round-11 2M IVF probe originally died; the BLAS form is one
+    X @ C.T matmul per Arrow batch with no N x k rows ever existing
+    JVM-side. The per-centroid means are ``dims`` avg(element_at)
+    aggregates in ONE pass — no 64x posexplode row blowup and no
+    second collect_list aggregate (r14, guide §2.2 shuffle/scan
+    fewer rows)."""
     spark = base.sparkSession
     for _ in range(iters):
         # one k-row collect serves both the size gate and the Arrow
         # codebook (a separate count() would run the seed scan twice)
         cent_rows = cents.collect()
+        dims = len(cent_rows[0]["__cv"]) if cent_rows else 0
         if len(cent_rows) <= arrow_threshold:
-            scored = base.crossJoin(F.broadcast(cents)).select(
-                "__id", "__v", "__cid",
-                (dot(F.col("__v"), F.col("__cv"))
-                 / (F.col("__n") * F.col("__cn"))).alias("__csim"))
-            wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
-                                               F.col("__cid").asc())
-            top1 = (scored.withColumn("__cr", F.row_number().over(wc))
-                    .filter(F.col("__cr") == 1).select("__cid", "__v"))
+            top1 = _argmax_cosine(base, [
+                (r["__cid"], r["__cv"], r["__cn"]) for r in cent_rows
+            ]).select("__cid", "__v")
         else:
             best = _nearest_centroid_udf(sorted(
                 (r["__cid"], r["__cv"]) for r in cent_rows))
             top1 = base.select(best(F.col("__v")).alias("__cid"), "__v")
-        means = (
-            top1.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
-            .groupBy("__cid", "__pos").agg(F.avg("__val").alias("__m"))
-            .groupBy("__cid")
-            .agg(F.sort_array(F.collect_list(F.struct("__pos", "__m"))).alias("__s"))
-            .select("__cid",
-                    F.transform("__s", lambda x: x["__m"]).alias("__cv"))
-        )
+        means = top1.groupBy("__cid").agg(F.array(*[
+            F.avg(F.element_at(F.col("__v"), i + 1)) for i in range(dims)
+        ]).alias("__cv"))
         rows = means.collect()  # k rows: the codebook
         cents = (tiny_df(spark, rows, means.schema)
                  .withColumn("__cn", l2norm(F.col("__cv"))))
@@ -421,7 +460,6 @@ def ivf_topk(
     if train_iters > 0:
         base = owned_persist(base)
         seed = _kmeans_refine(base, seed, train_iters, arrow_threshold)
-    cents = F.broadcast(seed)
 
     # nprobe nearest centroids per vector. The assignment table is
     # the IVF index: built ONCE and persisted (at production scale it
@@ -435,16 +473,11 @@ def ivf_topk(
     # allocate an array per (vector, centroid) pair and dominate the
     # index build (SURVEY finding #17).
     if n_centroids <= arrow_threshold:
-        scored_c = base.crossJoin(cents).select(
-            "__id", "__v", "__n", "__cid",
-            (dot(F.col("__v"), F.col("__cv"))
-             / (F.col("__n") * F.col("__cn"))).alias("__csim"))
-        wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
-                                           F.col("__cid").asc())
-        assigned = owned_persist(
-            scored_c.withColumn("__cr", F.row_number().over(wc))
-            .filter(F.col("__cr") <= nprobe)
-            .select("__id", "__v", "__n", "__cid", "__cr"))
+        # codebook collected once (bounded) — assignment is the
+        # sort-slice projection, not a crossJoin + window shuffle
+        assigned = owned_persist(_probe_cosine(
+            base, [(r["__cid"], r["__cv"], r["__cn"])
+                   for r in seed.collect()], nprobe))
     else:
         cent_rows = sorted((r["__cid"], r["__cv"]) for r in seed.collect())
         topn = _nearest_centroids_udf(cent_rows, nprobe)
@@ -575,50 +608,69 @@ def _pq_topk_impl(spark, df, id_col, vec_col, m, n_codes, k,
         ])).alias("__sub", "__sv"))
     sub = owned_persist(sub)
 
-    cents = tiny_df(
-        spark,
-        [(s, cid, list(r["__v"][s * sd:(s + 1) * sd]))
-         for cid, r in enumerate(sorted(seed_rows, key=lambda r: r["__id"]))
-         for s in range(m)],
-        "__sub int, __cid int, __cv array<double>")
-
-    def assign(c):
+    def assign(cent_rows):
         """nearest centroid per (vector, subspace) under L2.
 
-        ``min_by`` aggregation instead of a window: scalar agg buffer
-        stays on the fast HashAggregate path with map-side partial min
-        — no sort, one shuffle. The min_by key is struct(__d2, __cid)
-        so distance ties (duplicate/tied seed subvectors) break on the
-        lowest centroid id deterministically: an arbitrary split would
-        change the per-centroid means of the NEXT Lloyd round and make
-        training nondeterministic across runs. The subvector is
-        re-attached by min_by alongside the cid so no second join is
-        needed."""
-        d2 = _unrolled_d2("__sv", "__cv", sd)
-        scored = (sub.join(F.broadcast(c), "__sub")
-                  .select("__id", "__sub", "__sv", "__cid", d2.alias("__d2")))
-        picked = scored.groupBy("__id", "__sub").agg(
-            F.min_by("__cid", F.struct(F.col("__d2"), F.col("__cid")))
-             .alias("__cid"),
-            F.first("__sv").alias("__sv"))
-        return picked.select("__id", "__sub", "__sv", "__cid")
+        The codebook lives driver-side between Lloyd rounds
+        (``cent_rows``: (sub, cid, cv) tuples), so assignment is a
+        broadcast join to an 8-row per-subspace candidate-ARRAY dim +
+        an argmin projection — map-only, no keyed exchange and no
+        m*n_codes-fanout intermediate (the previous 16-rows-per-
+        subvector broadcast join + min_by groupBy paid a ~1.5 MB
+        shuffle per call, 3 calls). Bit-identical: the d2 chain is
+        the same strict left fold per element order, and
+        array_min over struct(__d2, __cid) is the same
+        (distance, lowest-cid) total order as min_by's struct key —
+        ties (duplicate/tied seed subvectors) still break on the
+        lowest centroid id so the next Lloyd round's means are
+        reproducible."""
+        by_sub: dict = {}
+        for s, cid, cv in cent_rows:
+            by_sub.setdefault(s, []).append((cid, [float(x) for x in cv]))
+        dim = tiny_df(
+            spark,
+            [(s, sorted(cands)) for s, cands in sorted(by_sub.items())],
+            "__sub int, __cands array<struct<__cid:int,__cv:array<double>>>")
 
+        def d2(c):
+            if sd > _UNROLL_MAX_DIMS:
+                return F.aggregate(
+                    F.zip_with(F.col("__sv"), c["__cv"],
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+            acc = F.lit(0.0)
+            for i in range(1, sd + 1):
+                dd = (F.element_at(F.col("__sv"), i)
+                      - F.element_at(c["__cv"], i))
+                acc = acc + dd * dd
+            return acc
+
+        best = F.array_min(F.transform(
+            "__cands",
+            lambda c: F.struct(d2(c).alias("__d2"),
+                               c["__cid"].alias("__cid"))))["__cid"]
+        return (sub.join(F.broadcast(dim), "__sub")
+                .select("__id", "__sub", "__sv", best.alias("__cid")))
+
+    cent_rows = [(s, cid, list(r["__v"][s * sd:(s + 1) * sd]))
+                 for cid, r in enumerate(sorted(seed_rows,
+                                                key=lambda r: r["__id"]))
+                 for s in range(m)]
     for _ in range(train_iters):
-        means = (
-            assign(cents)
-            .select("__sub", "__cid", F.posexplode("__sv").alias("__pos", "__val"))
-            .groupBy("__sub", "__cid", "__pos").agg(F.avg("__val").alias("__mv"))
-            .groupBy("__sub", "__cid")
-            .agg(F.sort_array(F.collect_list(F.struct("__pos", "__mv"))).alias("__s"))
-            .select("__sub", "__cid",
-                    F.transform("__s", lambda x: x["__mv"]).alias("__cv"))
-        )
-        cents = tiny_df(spark, means.collect(), means.schema)
+        # sd avg(element_at) aggregates in ONE pass — no sd-x
+        # posexplode row blowup, no second collect_list aggregate
+        means = assign(cent_rows).groupBy("__sub", "__cid").agg(F.array(*[
+            F.avg(F.element_at(F.col("__sv"), i + 1)) for i in range(sd)
+        ]).alias("__cv"))
+        cent_rows = [(r["__sub"], r["__cid"], list(r["__cv"]))
+                     for r in means.collect()]
+    cents = tiny_df(spark, [tuple(r) for r in cent_rows],
+                    "__sub int, __cid int, __cv array<double>")
 
     # encode the corpus: (id, subspace, code) — the stored index.
     # count() fills the persist NOW so the ADC search below scans the
     # cached codes instead of re-running assignment per downstream use.
-    codes = owned_persist(assign(cents).select("__id", "__sub", "__cid"))
+    codes = owned_persist(assign(cent_rows).select("__id", "__sub", "__cid"))
     codes.count()
 
     # probe set: LUT of partial dots per (query, subspace, centroid)
@@ -827,16 +879,11 @@ def kmeans_assign(
         if train_iters > 0:
             base = owned_persist(base)
             seed = _kmeans_refine(base, seed, train_iters)
-        scored = base.crossJoin(F.broadcast(seed)).select(
-            "__id", "__cid",
-            (dot(F.col("__v"), F.col("__cv"))
-             / (F.col("__n") * F.col("__cn"))).alias("__csim"))
-        wc = W.partitionBy("__id").orderBy(F.col("__csim").desc(),
-                                           F.col("__cid").asc())
-        return (scored.withColumn("__r", F.row_number().over(wc))
-                .filter(F.col("__r") == 1)
-                .select(F.col("__id").alias(id_col),
-                        F.col("__cid").alias("cluster_id")))
+        # the codebook is <= arrow_threshold rows — the same bounded
+        # collect every Lloyd round already does
+        cand = [(r["__cid"], r["__cv"], r["__cn"]) for r in seed.collect()]
+        return _argmax_cosine(base, cand).select(
+            F.col("__id").alias(id_col), F.col("__cid").alias("cluster_id"))
 
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -850,14 +897,10 @@ def kmeans_assign(
     for _ in range(train_iters):
         best = _nearest_centroid_udf(cents)
         top1 = base.select(best(F.col("__v")).alias("__cid"), "__v")
-        means = (
-            top1.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
-            .groupBy("__cid", "__pos").agg(F.avg("__val").alias("__m"))
-            .groupBy("__cid")
-            .agg(F.sort_array(F.collect_list(F.struct("__pos", "__m")))
-                 .alias("__s"))
-            .select("__cid",
-                    F.transform("__s", lambda x: x["__m"]).alias("__cv")))
+        dims = len(cents[0][1])
+        means = top1.groupBy("__cid").agg(F.array(*[
+            F.avg(F.element_at(F.col("__v"), i + 1)) for i in range(dims)
+        ]).alias("__cv"))
         cents = sorted((r["__cid"], r["__cv"]) for r in means.collect())
 
     best = _nearest_centroid_udf(cents)
