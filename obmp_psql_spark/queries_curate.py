@@ -1286,16 +1286,16 @@ def _mmr_oracle() -> str:
 )
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy MMR is sequential in k, so it can't be one declarative
-    agg — but k is tiny and fixed, so each round unrolls to a join +
-    windowed argmax over the BOUNDED candidate pool (<= pool x
-    queries rows). The pool and its pairwise-sim table are
-    localCheckpointed once (pool^2 x queries rows, fixed width) so
-    the k rounds reuse materialized inputs instead of re-deriving
-    the scan lineage 3^k times. At 100 TB the pool build is the ANN
-    stage (broadcast queries, one item scan); the re-rank cost is
+    agg — but the inputs to the greedy chain are BOUNDED small rows
+    (cand <= pool x queries, pairs <= pool^2 x queries, independent
+    of corpus size), so after Spark computes the pool and the
+    pairwise integer sims, the k sequential argmax rounds run
+    driver-side in exact Python-long arithmetic — the same
+    per-round values and (score desc, id) tie-breaks the unrolled
+    join+window chain produced, without k rounds x 3 jobs of
+    choreography. At 100 TB the pool build is the ANN stage
+    (broadcast queries, one item scan); the re-rank cost is
     independent of corpus size."""
-    from pyspark.sql import Window as W
-
     from .operators import similarity
     from .operators.similarity import as_double, dot, l2norm
 
@@ -1322,44 +1322,44 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.cand_id").alias("b_id"),
                      F.round(dot(F.col("a.emb"), F.col("b.emb"))
                              / (F.col("a.__n") * F.col("b.__n"))
-                             * 1_000_000).cast("long").alias("sim_ppm"))
-             .localCheckpoint())
-    w1 = W.partitionBy("query_id").orderBy(F.col("rel_ppm").desc(),
-                                           F.col("cand_id"))
-    selected = (cand.withColumn("__rn", F.row_number().over(w1))
-                .filter(F.col("__rn") == 1)
-                .select("query_id", "cand_id",
-                        F.lit(1).cast("int").alias("mmr_step"), "rel_ppm")
-                .localCheckpoint())
-    for i in range(2, _MMR_K + 1):
-        msim = (pairs.join(
-                    selected.select(F.col("query_id").alias("__sq"),
-                                    F.col("cand_id").alias("__sid")),
-                    (pairs["query_id"] == F.col("__sq"))
-                    & (pairs["b_id"] == F.col("__sid")))
-                .groupBy("query_id", "a_id")
-                .agg(F.max("sim_ppm").alias("maxsim_ppm")))
-        remaining = cand.join(
-            selected.select("query_id", "cand_id"),
-            ["query_id", "cand_id"], "left_anti")
-        scored = (remaining.join(
-                      msim,
-                      (remaining["query_id"] == msim["query_id"])
-                      & (remaining["cand_id"] == msim["a_id"]), "left")
-                  .select(remaining["query_id"].alias("query_id"),
-                          remaining["cand_id"].alias("cand_id"),
-                          "rel_ppm",
-                          F.expr(f"{_MMR_NUM} * rel_ppm - {_MMR_DEN} * "
-                                 "coalesce(maxsim_ppm, 0L)")
-                          .alias("__score")))
-        wi = W.partitionBy("query_id").orderBy(F.col("__score").desc(),
-                                               F.col("cand_id"))
-        pick = (scored.withColumn("__rn", F.row_number().over(wi))
-                .filter(F.col("__rn") == 1)
-                .select("query_id", "cand_id",
-                        F.lit(i).cast("int").alias("mmr_step"), "rel_ppm"))
-        selected = selected.unionAll(pick).localCheckpoint()
-    return selected
+                             * 1_000_000).cast("long").alias("sim_ppm")))
+    # bounded collects: cand <= queries x pool rows, pairs <= queries x
+    # pool^2 rows — never the corpus. All scores are integer ppm, so
+    # the Python greedy below is bit-identical to the former unrolled
+    # join+window chain: step 1 argmax (rel_ppm desc, cand_id asc);
+    # step i argmax (NUM*rel - DEN*max(sim to selected) desc, cand_id).
+    rel = {}         # (query_id, cand_id) -> rel_ppm
+    by_query = {}    # query_id -> [cand_id, ...]
+    for r in cand.collect():
+        rel[(r["query_id"], r["cand_id"])] = r["rel_ppm"]
+        by_query.setdefault(r["query_id"], []).append(r["cand_id"])
+    sim = {}         # (query_id, a_id, b_id) -> sim_ppm
+    for r in pairs.collect():
+        sim[(r["query_id"], r["a_id"], r["b_id"])] = r["sim_ppm"]
+    out = []
+    for qid in sorted(by_query):
+        cands = by_query[qid]
+        first = max(cands, key=lambda c: (rel[(qid, c)], -c))
+        picked = [first]
+        out.append((qid, first, 1, rel[(qid, first)]))
+        for step in range(2, _MMR_K + 1):
+            remaining = [c for c in cands if c not in picked]
+            if not remaining:
+                break
+            best, best_key = None, None
+            for c in remaining:
+                sims = [sim[(qid, c, s)] for s in picked
+                        if (qid, c, s) in sim]
+                maxsim = max(sims) if sims else 0
+                score = _MMR_NUM * rel[(qid, c)] - _MMR_DEN * maxsim
+                key = (score, -c)
+                if best is None or key > best_key:
+                    best, best_key = c, key
+            picked.append(best)
+            out.append((qid, best, step, rel[(qid, best)]))
+    return tiny_df(
+        spark, out,
+        "query_id long, cand_id long, mmr_step int, rel_ppm long")
 
 
 # ---------------------------------------------------------------------------

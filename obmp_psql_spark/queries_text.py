@@ -3342,17 +3342,20 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     with build_artifacts():
         assigned = similarity.kmeans_assign(
             fan_out(e, spark), n_clusters=16, train_iters=1)
+        # per-centroid means in ONE aggregate pass: dims
+        # avg(element_at) columns instead of a dims-x row posexplode
+        # blowup through two aggregates + a collect_list re-assembly
+        # (r14, guide §2.2 — same shape as the Lloyd means inside
+        # kmeans_assign). dims probe is one bounded head() row.
+        head = e.select(F.col("embedding")).head()
+        dims = len(head["embedding"]) if head else 0
         cents = (assigned.join(
             e.select("vec_id", similarity.as_double(F.col("embedding"))
                      .alias("__v")), "vec_id")
-            .select("cluster_id", F.posexplode("__v").alias("__p", "__x"))
-            .groupBy("cluster_id", "__p").agg(F.avg("__x").alias("__m"))
             .groupBy("cluster_id")
-            .agg(F.sort_array(F.collect_list(F.struct("__p", "__m")))
-                 .alias("__s"))
-            .select("cluster_id",
-                    F.transform("__s", lambda x: x["__m"])
-                    .alias("centroid")))
+            .agg(F.array(*[
+                F.avg(F.element_at(F.col("__v"), i + 1))
+                for i in range(dims)]).alias("centroid")))
         publish_aux(
             assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
                             F.col("cluster_id").cast("long")
