@@ -650,44 +650,39 @@ def _pagerank_oracle() -> str:
         "arithmetic so every iteration is hash-stable",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pregel-lite as plain DataFrame rounds: each iteration is one
-    hash join of edges (partitioned by src) with the current rank
-    vector plus one map-side-combinable sum into dst. The edge list
-    and degree table are built once and reused; Catalyst keeps the
-    src-hash partitioning across iterations so only the rank vector
-    (O(nodes), narrow) re-shuffles. Ranks are integer ppm: floor
-    division at every step means the fixpoint math is bit-identical
-    on any engine — the float-sum order dependence that makes naive
-    distributed PageRank non-reproducible is designed out. At 100 TB
-    the edge list is the big side (stays put, co-partitioned); the
-    rank vector is O(nodes) and either broadcasts or shuffles
-    narrow."""
+    """The distinct edge list is bounded by the FIXED _PR_NODES
+    universe (<= nodes^2 rows, independent of corpus size), so after
+    Spark's one corpus-scale pass (project to node ids + distinct),
+    the graph is model-sized state: ONE bounded collect and the
+    iterations run driver-side (r14, guide §8 decide with small
+    rows — same shape as lpa_rounds). Ranks are integer ppm with
+    floor division at every step, so the arithmetic is bit-identical
+    to the former unrolled join+agg rounds (sum of longs is
+    order-free): contrib = sum(rank div out_deg) into each dst,
+    rank' = BASE + DAMP*contrib div 1e6, dangling nodes keep
+    coalesce(contrib, 0)."""
     ev = fan_out(load_tables(spark, sf_dir, ("events",))["events"], spark)
     src = (F.col("user_id") % _PR_NODES).cast("long")
     dst = ((F.col("user_id") + F.col("event_id")) % _PR_NODES).cast("long")
-    edges = (ev.select(src.alias("src"), dst.alias("dst"))
-             .filter(F.col("src") != F.col("dst"))
-             .distinct())
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long")
-                                   .alias("out_deg"))
-    edges_d = edges.join(deg, "src")
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    ranks = nodes.withColumn("rank_ppm", F.lit(1_000_000).cast("long"))
+    edges_df = (ev.select(src.alias("src"), dst.alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    deg: dict = {}
+    nodes = set()
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    ranks = {n: 1_000_000 for n in nodes}
     for _ in range(_PR_ITERS):
-        contrib = (edges_d.join(ranks, edges_d["src"] == ranks["node"])
-                   .select("dst", F.expr("rank_ppm div out_deg")
-                           .alias("__c"))
-                   .groupBy("dst")
-                   .agg(F.sum("__c").cast("long").alias("contrib")))
-        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                 .select(
-                     "node",
-                     F.expr(f"cast({_PR_BASE} + (({_PR_DAMP} * "
-                            f"coalesce(contrib, 0L)) div 1000000) as bigint)")
-                     .alias("rank_ppm")))
-    return ranks
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + ranks[s] // deg[s]
+        ranks = {n: _PR_BASE + (_PR_DAMP * contrib.get(n, 0)) // 1_000_000
+                 for n in nodes}
+    return tiny_df(spark, sorted(ranks.items()),
+                   "node long, rank_ppm long")
 
 
 # ---------------------------------------------------------------------------
@@ -834,35 +829,39 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lpa_rounds(sym: DataFrame, iters: int,
                cap: int | None = None) -> DataFrame:
-    """Synchronous LPA rounds over a symmetric (src, dst) edge list:
-    per round one hash join with the O(nodes) label vector, one
-    (node, label) count aggregate (map-side combinable), one per-node
-    min_by top-1 with the deterministic (count DESC, label ASC)
-    tie-break. ``cap`` applies the cap_in_edges supernode guard once
-    up front (checkpointed so the cap window never re-runs per
-    round). Returns (node, community)."""
+    """Synchronous LPA rounds over a symmetric (src, dst) edge list.
+
+    The edge list is bounded by the FIXED node universe — and after
+    the ``cap_in_edges`` supernode guard by cap x nodes rows — so the
+    graph is model-sized state, not corpus-scale data: Spark computes
+    the (distinct, capped) edges, then ONE bounded collect runs the
+    synchronous rounds driver-side in exact integer arithmetic (r14,
+    guide §8 decide with small rows; same shape as the MG-sketch
+    merge). Each round reproduces the previous in-plan algebra
+    bit-for-bit: votes = per (dst, label-of-src) edge counts over
+    srcs that still carry a label, winner = (count DESC, label ASC)
+    — the min_by struct order it replaces — and nodes receiving no
+    votes drop out exactly as the join+aggregate dropped them.
+    Returns (node, community)."""
     if cap is not None:
         # supernode skew guard: every round's vote fan-in bounded by
         # the deterministic in-neighbor cap (see cap_in_edges)
-        sym = cap_in_edges(sym, cap).localCheckpoint()
-    labels = sym.select(F.col("src").alias("node")).distinct() \
-        .withColumn("label", F.col("node"))
+        sym = cap_in_edges(sym, cap)
+    edges = [(r["src"], r["dst"]) for r in sym.collect()]
+    labels = {s: s for s, _ in edges}
     for _ in range(iters):
-        votes = (sym.join(labels, sym["src"] == labels["node"])
-                 .select(F.col("dst").alias("node"), "label")
-                 .groupBy("node", "label")
-                 .agg(F.count(F.lit(1)).cast("long").alias("c")))
-        # top-1 via min_by instead of a row_number window: (node,
-        # label) is unique in votes, so the (-c, label) struct order
-        # has no ties and picks exactly the window's (c DESC, label
-        # ASC) winner — HashAggregate with map-side partial min, no
-        # per-round sort (r14, guide §2.4: same key, fewer passes)
-        labels = votes.groupBy("node").agg(
-            F.min_by("label", F.struct((-F.col("c")).alias("k1"),
-                                       F.col("label").alias("k2")))
-            .alias("label"))
-    return labels.select("node", F.col("label").cast("long")
-                         .alias("community"))
+        votes: dict = {}
+        for s, d in edges:
+            lab = labels.get(s)
+            if lab is None:
+                continue
+            cnt = votes.setdefault(d, {})
+            cnt[lab] = cnt.get(lab, 0) + 1
+        labels = {node: min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                  for node, cnt in votes.items()}
+    spark = sym.sparkSession
+    return tiny_df(spark, sorted(labels.items()),
+                   "node long, community long")
 
 
 # ---------------------------------------------------------------------------

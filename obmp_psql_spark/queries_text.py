@@ -49,7 +49,15 @@ _NORM = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    base = d.select("doc_id", "text", "source")
+    # fan_out BEFORE the union: every consumer runs md5/shingle/
+    # signature map work over the text, and the fixture parquet is a
+    # single row group — without the exchange that work lands on the
+    # union-branch tasks (measured: q_dedup_apply's signature stage
+    # ran 8.9 s of task time on 3 tasks at sf0.1). Fanning the base
+    # first also means the parquet text is scanned ONCE and the three
+    # branches re-read the (smaller, already-decoded) exchange instead
+    # of re-decoding the scan per branch (r14, guide §6.1).
+    base = fan_out(d.select("doc_id", "text", "source"), spark)
     clones = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text", "source")
     near = (
         base.filter(F.col("doc_id") % 5 == 0)
@@ -57,12 +65,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("text"), F.lit(" extra trailing tokens appended")).alias("text"),
                 "source")
     )
-    # fan_out here, not per caller: every consumer runs md5/shingle/
-    # signature map work over the text, and the fixture parquet is a
-    # single row group — without the exchange that work lands on the
-    # 3 union-branch tasks (measured: q_dedup_apply's signature stage
-    # ran 8.9 s of task time on 3 tasks at sf0.1)
-    return fan_out(base.unionByName(clones).unionByName(near), spark)
+    return base.unionByName(clones).unionByName(near)
 
 
 # ---------------------------------------------------------------------------
@@ -2311,14 +2314,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable explode+count), and the k merge rounds then
     run on that capped vocabulary — O(k x V) work that is independent
     of corpus size, so the loop costs the same at 100 TB as at sf0.01.
-    Each round collects exactly one row (the winning pair — the same
-    model-sized collect as the classifier's weight vector) and embeds
-    it as a literal in the next round's merge fold
-    (``F.aggregate`` greedy left-to-right: the accumulator's last
-    symbol merges with the next on a rule match, so ``aaa`` under
-    merge (a,a) gives [aa, a] on both engines). The per-round
-    ``localCheckpoint`` cuts the growing lineage on a <=V-row table.
-    """
+    The capped vocab is model-sized state (one bounded collect, the
+    same shape as the classifier's weight vector), so the rounds run
+    driver-side — see ``_bpe_train_run``."""
     (merge_df, _words) = _bpe_train_run(spark, sf_dir)
     return merge_df
 
@@ -2326,59 +2324,64 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_train_run(spark: SparkSession, sf_dir: str):
     """Shared BPE trainer: returns (merge table DataFrame, final
     segmented vocab DataFrame). Cached per (session, sf) — the encode
-    query reads the same trained state the merge-table query gates."""
+    query reads the same trained state the merge-table query gates.
+
+    The ONE corpus-scale aggregation (word-frequency top-V) runs on
+    Spark; the k merge rounds then operate on the capped <=V-row
+    vocabulary, which is model-sized state, so they run driver-side
+    in exact Python string/long arithmetic (r14, guide §8 decide
+    with small rows): identical pair counts (every adjacent
+    occurrence, freq-weighted), identical (n desc, lhs asc, rhs asc)
+    winner, identical greedy left-to-right fold (the accumulator's
+    last symbol merges with the next on a rule match, so ``aaa``
+    under merge (a,a) gives [aa, a] — same algebra as the previous
+    in-plan ``F.aggregate`` fold, which spent ~4 jobs per round on a
+    300-row single-partition table)."""
     from .queries_bmp import _cached_pipeline
 
     def build():
         d = load_tables(spark, sf_dir, ("documents",))["documents"]
         norm = F.lower(F.trim(F.regexp_replace(F.col("text"),
                                                r"\s+", " ")))
-        words = (d.select(F.explode(F.split(norm, " ")).alias("word"))
-                 .filter(F.col("word").rlike("^[a-z]+$"))
-                 .groupBy("word").agg(F.count(F.lit(1)).cast("long")
-                                      .alias("freq"))
-                 .orderBy(F.col("freq").desc(), F.col("word").asc())
-                 .limit(_BPE_WORDS)
-                 .withColumn("s", F.regexp_extract_all("word",
-                                                       F.lit("."), 0))
-                 # the corpus-scale work ends here; the merge rounds
-                 # iterate on a <=V-row table, where 32-partition
-                 # shuffles are pure task-launch overhead (measured
-                 # 11 s -> ~6 s at sf0.1 with single-partition rounds)
-                 .coalesce(1)
-                 .localCheckpoint())
+        vocab_rows = (d.select(F.explode(F.split(norm, " "))
+                               .alias("word"))
+                      .filter(F.col("word").rlike("^[a-z]+$"))
+                      .groupBy("word").agg(F.count(F.lit(1)).cast("long")
+                                           .alias("freq"))
+                      .orderBy(F.col("freq").desc(), F.col("word").asc())
+                      .limit(_BPE_WORDS)
+                      .collect())
+        vocab = [(r["word"], int(r["freq"]), list(r["word"]))
+                 for r in vocab_rows]
         merges: list[tuple] = []
         for i in range(1, _BPE_ROUNDS + 1):
-            n_1 = F.greatest(F.size("s") - 1, F.lit(0))
-            z = words.select("freq", F.arrays_zip(
-                F.slice("s", 1, n_1), F.slice("s", 2, n_1)).alias("z"))
-            top = (z.select(F.explode("z").alias("p"), "freq")
-                   .groupBy(F.col("p.0").alias("lhs"),
-                            F.col("p.1").alias("rhs"))
-                   .agg(F.sum("freq").cast("long").alias("n"))
-                   .orderBy(F.col("n").desc(), F.col("lhs").asc(),
-                            F.col("rhs").asc())
-                   .limit(1).collect())
-            if not top:
+            counts: dict[tuple, int] = {}
+            for _w, freq, s in vocab:
+                for j in range(len(s) - 1):
+                    p = (s[j], s[j + 1])
+                    counts[p] = counts.get(p, 0) + freq
+            if not counts:
                 break
-            lhs, rhs, n = top[0].lhs, top[0].rhs, int(top[0].n)
+            (lhs, rhs), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0]))
             merges.append((i, lhs, rhs, n))
-            fold = F.aggregate(
-                F.slice("s", 2, F.size("s") - 1),
-                F.slice("s", 1, 1),
-                lambda acc, x: F.when(
-                    (F.element_at(acc, -1) == F.lit(lhs))
-                    & (x == F.lit(rhs)),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                             F.array(F.lit(lhs + rhs)))
-                ).otherwise(F.concat(acc, F.array(x))))
-            words = words.select(
-                "word", "freq",
-                F.when(F.size("s") <= 1, F.col("s")).otherwise(fold)
-                 .alias("s")
-            ).localCheckpoint()
+            merged = lhs + rhs
+            nxt = []
+            for w, freq, s in vocab:
+                if len(s) > 1:
+                    acc = [s[0]]
+                    for x in s[1:]:
+                        if acc[-1] == lhs and x == rhs:
+                            acc[-1] = merged
+                        else:
+                            acc.append(x)
+                    s = acc
+                nxt.append((w, freq, s))
+            vocab = nxt
         merge_df = tiny_df(
             spark, merges, "step int, lhs string, rhs string, n long")
+        words = tiny_df(spark, vocab,
+                        "word string, freq long, s array<string>")
         return merge_df, words
 
     return _cached_pipeline("bpe", spark, sf_dir, build)
