@@ -947,16 +947,22 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(qlabels), "query_id")
              .groupBy("query_id", "true_label", "nlabel")
              .agg(F.count(F.lit(1)).cast("long").alias("n_votes")))
-    w = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
-                                          F.col("nlabel").asc())
-    return (votes.withColumn("__vr", F.row_number().over(w))
-            .filter(F.col("__vr") == 1)
-            .select(F.col("query_id").cast("long").alias("query_id"),
-                    F.col("true_label").cast("int").alias("true_label"),
-                    F.col("nlabel").cast("int").alias("pred_label"),
-                    "n_votes",
-                    (F.col("nlabel") == F.col("true_label"))
-                    .alias("is_correct")))
+    # top-1 vote via min_by aggregate, not a row_number window: votes
+    # is unique on (query_id, nlabel), so struct(-n_votes, nlabel) is a
+    # tie-free total order picking exactly the window's (n_votes DESC,
+    # nlabel ASC) winner — HashAggregate with map-side partials instead
+    # of a second exchange + full sort (the LPA top-1 shape)
+    best = (votes.groupBy("query_id", "true_label")
+            .agg(F.min_by(F.struct("nlabel", "n_votes"),
+                          F.struct((-F.col("n_votes")).alias("nv"),
+                                   F.col("nlabel").alias("nl")))
+                 .alias("__b")))
+    return best.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("__b.nlabel").cast("int").alias("pred_label"),
+        F.col("__b.n_votes").alias("n_votes"),
+        (F.col("__b.nlabel") == F.col("true_label")).alias("is_correct"))
 
 
 # ---------------------------------------------------------------------------

@@ -889,7 +889,11 @@ def q_er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern rows (a <= 8-row local table), not a distributed map."""
     import math
 
-    t = load_tables(spark, sf_dir, ("part",))["part"]
+    # fan_out at the load site: part.parquet is one row group, so the
+    # levenshtein pair stage otherwise runs on ONE core (the planner
+    # broadcasts the build side, so no exchange restores parallelism —
+    # the q_fuzzy_match finding applied to the EM pair stage)
+    t = fan_out(load_tables(spark, sf_dir, ("part",))["part"], spark)
     p = t.select("p_partkey", "p_name", "p_brand", "p_type",
                  F.split("p_name", " ").getItem(1).alias("noun"))
     p, keys = _shard_blocks(p, _FUZZY_BLOCK_CAP)

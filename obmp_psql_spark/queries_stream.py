@@ -263,9 +263,12 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     # exact count-distinct is unsupported inside a streaming agg:
-    # two-level form — streaming dedup of (ck, user) pairs, then count
+    # two-level form — streaming dedup of (ck, user) pairs, then count.
+    # The two streaming queries are independent (separate memory sinks,
+    # separate checkpoints), so START both and await both: the engine
+    # runs them concurrently and the second hides inside the first's
+    # micro-batch latency instead of paying a second full floor.
     users = (ev.select((F.col("user_id") % 1500 + 1).alias("ck"), "user_id")
              .dropDuplicates(["ck", "user_id"]))
     uname = f"{name}_u"
@@ -275,6 +278,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           .writeStream.outputMode("complete")
           .format("memory").queryName(uname)
           .trigger(availableNow=True).start())
+    q.awaitTermination()
     qu.awaitTermination()
     return (spark.table(name).select("nation", "n_events")
             .join(spark.table(uname), "nation"))

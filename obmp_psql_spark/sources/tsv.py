@@ -132,8 +132,17 @@ def ingest_with_dead_letter(store, raw: DataFrame,
     parsed = parse_tsv(raw, schema).persist()
     try:
         valid, dead = split_dead_letter(parsed, required)
+        # fill the cache with ONE job before the concurrent appends:
+        # two writes racing a cold cache would each re-run the parse
+        parsed.write.format("noop").mode("overwrite").save()
+        # the two appends target different tables and both stage
+        # BEFORE the single commit record links in — overlap them,
+        # same pattern (and same atomicity argument) as the BMP
+        # sink's _stage_concurrently
+        from ..streaming.pipeline import _stage_concurrently
         with store.transaction(app, batch_id) as txn:
-            txn.append(valid_table, valid)
-            txn.append(dead_table, dead)
+            _stage_concurrently(
+                lambda: txn.append(valid_table, valid),
+                lambda: txn.append(dead_table, dead))
     finally:
         parsed.unpersist()
