@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..state import stage_concurrently
 from .cache import owned_persist
 
 
@@ -270,9 +271,15 @@ def incremental_minhash_pairs(
                     F.greatest("a.__id", "b.__id").alias("id_b"))
             .dropDuplicates()
         )
+        # fill nb's persisted cache with ONE job, then overlap the two
+        # appends (different tables, both staged before the commit
+        # record links in); racing a cold cache would re-run the
+        # banding scan in both write jobs
+        nb.write.format("noop").mode("overwrite").save()
         with store.transaction(app, batch_id) as txn:
-            txn.append(bands_table, nb)
-            txn.append(pairs_table, pairs)
+            stage_concurrently(
+                lambda: txn.append(bands_table, nb),
+                lambda: txn.append(pairs_table, pairs))
         # same cadence contract as incremental_fingerprint_pairs
         # (SURVEY finding 32): compaction is its own atomic commit
         # after the batch txn; replay semantics untouched
@@ -360,9 +367,15 @@ def incremental_fingerprint_pairs(
             .filter(F.col("hamming") <= max_hamming)
             .dropDuplicates(["id_a", "id_b"])
         )
+        # fill nb's persisted cache with ONE job, then overlap the two
+        # appends (different tables, both staged before the commit
+        # record links in); racing a cold cache would re-run the
+        # banding scan in both write jobs
+        nb.write.format("noop").mode("overwrite").save()
         with store.transaction(app, batch_id) as txn:
-            txn.append(bands_table, nb)
-            txn.append(pairs_table, pairs)
+            stage_concurrently(
+                lambda: txn.append(bands_table, nb),
+                lambda: txn.append(pairs_table, pairs))
         _maybe_optimize(store, bands_table, batch_id, optimize_every)
     finally:
         nb.unpersist()
@@ -988,9 +1001,15 @@ def incremental_frameset_pairs(
         pairs = (hits.groupBy("id_a", "id_b")
                  .agg(F.min("hamming").cast("int").alias("min_hamming"),
                       F.count(F.lit(1)).alias("n_hit_frames")))
+        # fill nb's persisted cache with ONE job, then overlap the two
+        # appends (different tables, both staged before the commit
+        # record links in); racing a cold cache would re-run the
+        # banding scan in both write jobs
+        nb.write.format("noop").mode("overwrite").save()
         with store.transaction(app, batch_id) as txn:
-            txn.append(bands_table, nb)
-            txn.append(pairs_table, pairs)
+            stage_concurrently(
+                lambda: txn.append(bands_table, nb),
+                lambda: txn.append(pairs_table, pairs))
         _maybe_optimize(store, bands_table, batch_id, optimize_every)
     finally:
         nb.unpersist()

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..state import stage_concurrently
 from .cache import owned_persist
 from ..session import empty_df, tiny_df
 
@@ -1212,8 +1213,14 @@ def incremental_semantic_dedup(
         F.col("__id").cast("long").alias("vec_id"),
         F.lit(batch_id).cast("long").alias("batch_id"),
         "cluster_id", F.col("__v").alias("vec"))
+    # fill assigned's persisted cache with ONE job, then overlap the
+    # appends (distinct tables, all staged before the commit record
+    # links in); members and verdicts would otherwise each re-run the
+    # assignment stage against a cold cache
+    assigned.write.format("noop").mode("overwrite").save()
     with store.transaction(app, batch_id) as txn:
+        thunks = [lambda: txn.append(members_table, members),
+                  lambda: txn.append(verdict_table, verdicts)]
         if seed is not None:
-            txn.append(centroids_table, seed)
-        txn.append(members_table, members)
-        txn.append(verdict_table, verdicts)
+            thunks.append(lambda: txn.append(centroids_table, seed))
+        stage_concurrently(*thunks)

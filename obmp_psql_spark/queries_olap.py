@@ -1499,12 +1499,17 @@ def q_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _ewma_scan(
                     F.coalesce(F.col("e"), F.lit(-1).cast("long")),
                     cs).alias("__s"))
+            # materialize the scan output ONCE per batch: both txn
+            # outputs (flags append + state replace) project from z,
+            # which would otherwise each re-run the batch aggregation
+            # + Arrow scan as separate write jobs (the finding-2
+            # two-output barrier applied to this sink)
             z = g1.select("peer",
                           F.col("__s")["e"].alias("new_e"),
                           F.arrays_zip(
                               "__m", "__c",
                               F.col("__s")["eps"].alias("__e"))
-                          .alias("z"))
+                          .alias("z")).localCheckpoint()
             flags = (z.select("peer", F.explode("z").alias("r"))
                      .select("peer",
                              F.col("r.__m").alias("minute_epoch"),
@@ -1517,9 +1522,14 @@ def q_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "left_anti")
                          .unionByName(z.select(
                              "peer", F.col("new_e").alias("e"))))
+            # different target tables, both staged before the single
+            # commit record links in — overlap them (the BMP sink's
+            # _stage_concurrently pattern)
+            from .state import stage_concurrently
             with store.transaction("rate_anomaly", b) as txn:
-                txn.append("rate_flags", flags)
-                txn.replace("ewma_state", new_state)
+                stage_concurrently(
+                    lambda: txn.append("rate_flags", flags),
+                    lambda: txn.replace("ewma_state", new_state))
         # replay batch 1 with REAL rows: if the txn guard failed,
         # these duplicates would land in rate_flags and break the hash
         replay = src.filter(

@@ -139,9 +139,9 @@ def ingest_with_dead_letter(store, raw: DataFrame,
         # BEFORE the single commit record links in — overlap them,
         # same pattern (and same atomicity argument) as the BMP
         # sink's _stage_concurrently
-        from ..streaming.pipeline import _stage_concurrently
+        from ..state import stage_concurrently
         with store.transaction(app, batch_id) as txn:
-            _stage_concurrently(
+            stage_concurrently(
                 lambda: txn.append(valid_table, valid),
                 lambda: txn.append(dead_table, dead))
     finally:

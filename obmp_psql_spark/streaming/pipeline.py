@@ -30,26 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import ingest, ingest_ls
 from ..schemas import MESSAGE_SCHEMAS
 from ..state import ParquetStateStore
-
-
-def _stage_concurrently(*thunks) -> None:
-    """Run the independent staging writes of ONE transaction in
-    parallel threads. The change-log append and the state write read
-    the same checkpointed merge but target different tables, so their
-    Spark write jobs only contend for idle cores — overlapping them
-    hides one write's task-scheduling + commit latency behind the
-    other's I/O (measured ~10-15%% off the durable micro-batch).
-    Atomicity is untouched: both writes stage BEFORE the single
-    commit record links in, the Transaction guards its metadata with
-    a lock, and if either thunk raises the executor still waits for
-    the other before the exception aborts the txn (staged dirs
-    removed, nothing visible)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-        futures = [ex.submit(t) for t in thunks]
-    for f in futures:
-        f.result()
+# staging-write concurrency lives with the txn store (shared by the
+# wire-ingest and incremental-index operators); old private name kept
+# for this module's call sites
+from ..state import stage_concurrently as _stage_concurrently
 
 
 class BmpStreamingIngest:
