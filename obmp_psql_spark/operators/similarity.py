@@ -330,6 +330,103 @@ def cosine_topk_arrow(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_topk_exact_arrow(
+    queries: DataFrame, items: DataFrame,
+    query_id: str = "vec_id", item_id: str = "vec_id",
+    query_vec: str = "embedding", item_vec: str = "embedding",
+    k: int = 5, max_queries: int = 10_000,
+) -> DataFrame:
+    """Bit-identical Arrow twin of :func:`cosine_topk` — same rows,
+    same ``cos`` doubles, ~20x less compute time.
+
+    ``cosine_topk`` evaluates the dot/norm folds as interpreted
+    higher-order functions: measured ~100 ns per element-multiply at
+    sf0.1 (200 probes x 2000 items x 64 dims = 2.4 s). This kernel
+    reproduces the EXACT floating-point operation sequence of those
+    folds, just vectorized across rows instead of across dims:
+
+    - norms: ``acc = (((0.0 + x0*x0) + x1*x1) + ...)`` then sqrt —
+      the kernel accumulates dim-sequentially over numpy element-wise
+      ops (one IEEE mul + one IEEE add rounding per dim per row, no
+      FMA, no pairwise regrouping), which performs the identical
+      rounding chain per element;
+    - dot: same dim-sequential fold of ``q_d * i_d``;
+    - ``cos = dot / (qn * in)`` in the same association.
+
+    Vectorizing across ROWS changes which element is computed when,
+    never how any single element rounds — so the emitted doubles are
+    equal, the (cos DESC, neighbor_id ASC) order is equal, and the
+    top-k SET is equal. (Contrast ``cosine_topk_arrow``, which
+    normalizes then matmuls — BLAS pairwise summation, last-ulp
+    divergence, rows-only verification.)
+
+    The query side is collected and broadcast (bounded probe sets
+    only, same contract as ``cosine_topk_arrow``)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (queries.select(F.col(query_id).alias("__qid"),
+                             as_double(F.col(query_vec)).alias("__qv"))
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_exact_arrow collects the query set; got more "
+            f"than max_queries={max_queries} rows — bounded probe sets "
+            f"only.")
+    spark0 = queries.sparkSession
+    if not q_rows:
+        return empty_df(
+            spark0, "query_id long, neighbor_id long, cos double, rank int")
+    q_ids = [r["__qid"] for r in q_rows]
+    q_mat = np.array([r["__qv"] for r in q_rows], dtype=np.float64)
+    # query norms: plain-Python floats ARE IEEE doubles; this is the
+    # same ((0.0 + x*x) + ...) chain l2norm folds
+    import math
+    q_norm = []
+    for v in q_mat:
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        q_norm.append(math.sqrt(acc))
+    bc = spark0.sparkContext.broadcast(
+        (q_ids, q_mat, np.array(q_norm, dtype=np.float64)))
+
+    def score(batches):
+        ids, qmat, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            iv = np.array(list(pdf[item_vec]), dtype=np.float64)
+            # item norms, dim-sequential (see docstring)
+            acc = np.zeros(len(iv))
+            for d in range(iv.shape[1]):
+                x = iv[:, d]
+                acc = acc + x * x
+            inorm = np.sqrt(acc)
+            nid = pdf[item_id].values
+            out = []
+            for qi, qid in enumerate(ids):
+                q = qmat[qi]
+                dotv = np.zeros(len(iv))
+                for d in range(iv.shape[1]):
+                    dotv = dotv + q[d] * iv[:, d]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": nid,
+                    "cos": dotv / (qn[qi] * inorm)}))
+            yield pd.concat(out, ignore_index=True)
+
+    scored = (items.select(item_id, item_vec)
+              .mapInPandas(score,
+                           schema="query_id long, neighbor_id long, "
+                                  "cos double")
+              .filter(F.col("query_id") != F.col("neighbor_id")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _probe_cosine(base: DataFrame, cand_rows, n: int) -> DataFrame:
     """(__id, __v, __n, __cid, __cr): per-row top-``n`` centroids by
     cosine in the (csim DESC, cid ASC) order of the previous window

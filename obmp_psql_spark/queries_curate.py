@@ -938,7 +938,11 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"],
                 spark)
     q = e.filter(F.col("vec_id") % _KNN_MOD == 0)
-    topk = similarity.cosine_topk(q, e, k=_KNN_K)
+    # bit-identical Arrow twin of cosine_topk; the collected query side
+    # has the same driver ceiling the former broadcast had (N/40 rows
+    # of 64 doubles — 25 MB at sf100), raised max_queries documents it
+    topk = similarity.cosine_topk_exact_arrow(q, e, k=_KNN_K,
+                                              max_queries=1_000_000)
     labels = e.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("label").alias("nlabel"))
     qlabels = e.select(F.col("vec_id").alias("query_id"),
@@ -1307,7 +1311,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(load_tables(spark, sf_dir, ("embeddings",))["embeddings"],
                 spark)
     q = e.filter(F.col("vec_id") < 5)
-    topk = similarity.cosine_topk(q, e, k=_MMR_POOL)
+    # bit-identical Arrow twin (same cos doubles -> same rel_ppm)
+    topk = similarity.cosine_topk_exact_arrow(q, e, k=_MMR_POOL)
     cand = (topk.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("cand_id"),

@@ -483,7 +483,8 @@ _COS_SQL = ("list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2])) "
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk(q, e, k=5) \
+    # bit-identical Arrow twin (same cos doubles/ranks, hash-gated)
+    return similarity.cosine_topk_exact_arrow(q, e, k=5) \
         .select("query_id", "neighbor_id", "cos", "rank")
 
 
@@ -685,7 +686,8 @@ def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feats.filter(F.col("doc_id") < 5) \
         .withColumnRenamed("doc_id", "vec_id")
     items = feats.withColumnRenamed("doc_id", "vec_id")
-    return similarity.cosine_topk(q, items, k=5) \
+    # bit-identical Arrow twin (same cos doubles/ranks, hash-gated)
+    return similarity.cosine_topk_exact_arrow(q, items, k=5) \
         .select("query_id", "neighbor_id", "cos", "rank")
 
 
@@ -1547,7 +1549,11 @@ def _recall_vs_exact(spark: SparkSession, approx: DataFrame,
     probes = items.join(
         ap.select(F.col("query_id").alias(id_col)).distinct(), id_col) \
         .select(id_col, vec_col)
-    exact = similarity.cosine_topk(
+    # bit-identical Arrow twin of cosine_topk (same cos doubles, same
+    # top-k set — dim-sequential fold, see the operator docstring):
+    # the interpreted HOF comparator was ~60% of each recall gate's
+    # wall (2.4 s for 200 probes x 2000 items x 64 dims at sf0.1)
+    exact = similarity.cosine_topk_exact_arrow(
         probes, items, query_id=id_col, item_id=id_col,
         query_vec=vec_col, item_vec=vec_col, k=k) \
         .select(F.col("query_id").cast("long").alias("query_id"),
